@@ -1,0 +1,34 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+TPU hardware is single-chip in CI; multi-chip sharding is validated on a
+virtual CPU mesh (see SURVEY.md §7 and the driver's dryrun_multichip hook).
+Must set flags before jax is imported anywhere.
+"""
+
+import os
+
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (remote TPU
+# tunnel) and the axon sitecustomize force-sets jax_platforms="axon,cpu" at
+# interpreter start; running unit tests op-by-op over that link is orders of
+# magnitude slower and single-device. Benchmarks (bench.py) use the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# Must come AFTER import: sitecustomize may already have set "axon,cpu".
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # oracles compare at f64; ops pick dtypes
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

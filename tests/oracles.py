@@ -1,0 +1,277 @@
+"""Pure-numpy reference oracles for every device op.
+
+These mirror the reference CUDA math 1:1 (scalar loops, same order of
+operations) and serve the role of the reference's own CPU oracle
+`deprojectDepthCpu` (registration_node.cpp:554-592), extended to every kernel.
+They are deliberately slow and simple.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --- camera model -----------------------------------------------------------
+
+
+def deproject_oracle(depth_m, fx, fy, ppx, ppy, coeffs=None, inverse_bc=False):
+    """Dense deprojection oracle. depth_m: (H, W) meters -> (H, W, 3)."""
+    h, w = depth_m.shape
+    pts = np.zeros((h, w, 3), np.float64)
+    for v in range(h):
+        for u in range(w):
+            d = depth_m[v, u]
+            x = (u - ppx) / fx
+            y = (v - ppy) / fy
+            if inverse_bc and coeffs is not None:
+                r2 = x * x + y * y
+                f = 1 + coeffs[0] * r2 + coeffs[1] * r2**2 + coeffs[4] * r2**3
+                ux = x * f + 2 * coeffs[2] * x * y + coeffs[3] * (r2 + 2 * x * x)
+                uy = y * f + 2 * coeffs[3] * x * y + coeffs[2] * (r2 + 2 * y * y)
+                x, y = ux, uy
+            pts[v, u] = (d * x, d * y, d)
+    return pts
+
+
+def project_oracle(points, fx, fy, ppx, ppy):
+    """(N, 3) -> (N, 2) continuous pixel coordinates (pinhole)."""
+    pts = np.asarray(points, np.float64)
+    z = pts[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = pts[:, 0] / z
+        y = pts[:, 1] / z
+    return np.stack([x * fx + ppx, y * fy + ppy], -1)
+
+
+def transform_oracle(points, transform):
+    """(N, 3) x (4, 4) -> (N, 3)."""
+    pts = np.asarray(points, np.float64)
+    r = transform[:3, :3]
+    t = transform[:3, 3]
+    return pts @ r.T + t
+
+
+# --- z-buffer render --------------------------------------------------------
+
+
+def project_zbuffer_oracle(points, colors, valid, fx, fy, ppx, ppy, width, height,
+                           mirror=False):
+    """Sequential z-buffer projection oracle.
+
+    Mirrors kernel_project_pointcloud (kernels.cu:239-274) but resolves the
+    color-store race deterministically: for equal depths the point with the
+    smallest packed RGB wins (the framework's documented tie-break).
+    Returns (image uint8 (H, W, 3), zbuf float (H, W)).
+    """
+    img = np.zeros((height, width, 3), np.uint8)
+    zbuf = np.full((height, width), np.finfo(np.float32).max, np.float64)
+    packed = np.full((height, width), 2**24, np.int64)
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    cols = np.asarray(colors).reshape(-1, 3)
+    val = np.asarray(valid).reshape(-1)
+    for i in range(pts.shape[0]):
+        if not val[i]:
+            continue
+        x, y, z = pts[i]
+        if z <= 0:
+            continue
+        px = int(np.floor(x / z * fx + ppx + 0.5))
+        py = int(np.floor(y / z * fy + ppy + 0.5))
+        if px < 0 or py < 0 or px > width - 1 or py > height - 1:
+            continue
+        if mirror:
+            px = width - 1 - px
+        p = (int(cols[i][0]) << 16) | (int(cols[i][1]) << 8) | int(cols[i][2])
+        zf = np.float32(z)
+        if zf < zbuf[py, px] or (zf == zbuf[py, px] and p < packed[py, px]):
+            zbuf[py, px] = zf
+            packed[py, px] = p
+            img[py, px] = cols[i]
+    return img, zbuf
+
+
+# --- filters ----------------------------------------------------------------
+
+
+def minmax_filter_oracle(depth_u16, depth_scale, min_depth, max_depth):
+    """Threshold-to-zero like nppiThreshold_LTValGTVal (kernels.cu:353-369).
+
+    NPP thresholds on raw uint16 against truncated uint16 thresholds.
+    """
+    lo = np.uint16(min_depth / depth_scale)
+    hi = np.uint16(max_depth / depth_scale)
+    d = np.asarray(depth_u16, np.uint16).copy()
+    d[d < lo] = 0
+    d[d > hi] = 0
+    return d
+
+
+def median3x3_oracle(img):
+    """Per-channel 3×3 median on the interior; border left untouched.
+
+    Mirrors nppiFilterMedian semantics as invoked (kernels.cu:594-630: ROI is
+    the interior, borders keep their input values).
+    """
+    img = np.asarray(img)
+    out = img.copy()
+    h, w = img.shape[:2]
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            patch = img[y - 1 : y + 2, x - 1 : x + 2]
+            out[y, x] = np.median(patch.reshape(9, -1), axis=0).astype(img.dtype)
+    return out
+
+
+def gauss3x3_oracle(img):
+    """Binomial 3×3 Gauss ([1 2 1]⊗[1 2 1]/16) on the interior."""
+    img = np.asarray(img).astype(np.float64)
+    out = img.copy()
+    k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float64) / 16.0
+    h, w = img.shape[:2]
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            patch = img[y - 1 : y + 2, x - 1 : x + 2]
+            out[y, x] = np.tensordot(k, patch, axes=([0, 1], [0, 1]))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+CROSS5_SE = np.ones((5, 5), bool)
+CROSS5_SE[0, 0] = CROSS5_SE[0, 4] = CROSS5_SE[4, 0] = CROSS5_SE[4, 4] = False
+"""5×5 structuring element with zeroed corners (kernels.cu:413-418)."""
+
+
+def erode_oracle(mask, se=CROSS5_SE):
+    h, w = mask.shape
+    kh, kw = se.shape
+    ah, aw = kh // 2, kw // 2
+    pad = np.pad(mask, ((ah, ah), (aw, aw)), mode="edge")
+    out = np.zeros_like(mask)
+    for y in range(h):
+        for x in range(w):
+            patch = pad[y : y + kh, x : x + kw]
+            out[y, x] = np.all(patch[se])
+    return out
+
+
+def dilate_oracle(mask, se=CROSS5_SE):
+    h, w = mask.shape
+    kh, kw = se.shape
+    ah, aw = kh // 2, kw // 2
+    pad = np.pad(mask, ((ah, ah), (aw, aw)), mode="edge")
+    out = np.zeros_like(mask)
+    for y in range(h):
+        for x in range(w):
+            patch = pad[y : y + kh, x : x + kw]
+            out[y, x] = np.any(patch[se])
+    return out
+
+
+def morph_open_oracle(mask, se=CROSS5_SE):
+    return dilate_oracle(erode_oracle(mask, se), se)
+
+
+def morph_close_oracle(mask, se=CROSS5_SE):
+    return erode_oracle(dilate_oracle(mask, se), se)
+
+
+def temporal_filter_oracle(depth, prev, alpha=0.4, delta=20.0, persistence=True):
+    """librealsense temporal filter (valid-2/last-8-frames simplified to
+    previous-frame persistence; realsense.cpp:398-404 uses alpha=0.4).
+
+    depth/prev: uint16 frames; returns filtered uint16 + new history.
+    """
+    d = np.asarray(depth, np.float64)
+    p = np.asarray(prev, np.float64)
+    out = d.copy()
+    have_both = (d > 0) & (p > 0)
+    close = np.abs(d - p) <= delta
+    blend = have_both & close
+    out[blend] = alpha * d[blend] + (1 - alpha) * p[blend]
+    if persistence:
+        fill = (d == 0) & (p > 0)
+        out[fill] = p[fill]
+    return np.clip(np.rint(out), 0, 65535).astype(np.uint16)
+
+
+# --- depth->color alignment -------------------------------------------------
+
+
+def align_depth_to_color_oracle(
+    depth_u16, depth_scale,
+    d_fx, d_fy, d_ppx, d_ppy,
+    c_fx, c_fy, c_ppx, c_ppy,
+    rotation, translation, c_width, c_height,
+):
+    """Scalar oracle of the two-corner footprint alignment
+    (kernels.cu:138-158, :276-301, :714-747)."""
+    depth_u16 = np.asarray(depth_u16)
+    dh, dw = depth_u16.shape
+    out = np.full((c_height, c_width), 0xFFFF, np.uint32)
+
+    def map_pixel(u, v, z):
+        x = (u - d_ppx) / d_fx
+        y = (v - d_ppy) / d_fy
+        pt = np.array([z * x, z * y, z])
+        q = rotation @ pt + translation
+        px = q[0] / q[2] * c_fx + c_ppx
+        py = q[1] / q[2] * c_fy + c_ppy
+        return int(px + 0.5), int(py + 0.5)
+
+    for v in range(dh):
+        for u in range(dw):
+            raw = depth_u16[v, u]
+            if raw == 0:
+                continue
+            z = raw * depth_scale
+            p0 = map_pixel(u - 0.5, v - 0.5, z)
+            p1 = map_pixel(u + 0.5, v + 0.5, z)
+            if p0[0] < 0 or p0[1] < 0 or p1[0] >= c_width or p1[1] >= c_height:
+                continue
+            for y in range(p0[1], p1[1] + 1):
+                for x in range(p0[0], p1[0] + 1):
+                    out[y, x] = min(out[y, x], int(raw))
+    out[out == 0xFFFF] = 0
+    return out.astype(np.uint16)
+
+
+# --- registration helpers ---------------------------------------------------
+
+
+def voxel_downsample_oracle(points, leaf):
+    """ApproximateVoxelGrid-style: mean of points per occupied voxel
+    (registration.cpp voxelFilter). Voxel id by floor(p/leaf)."""
+    pts = np.asarray(points, np.float64)
+    keys = np.floor(pts / leaf).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    out = np.zeros((len(uniq), 3))
+    counts = np.zeros(len(uniq))
+    for i, j in enumerate(inv):
+        out[j] += pts[i]
+        counts[j] += 1
+    return out / counts[:, None]
+
+
+def make_bunny_like_cloud(n=4000, seed=0):
+    """Synthetic structured test cloud (sphere + plane + noise) standing in
+    for the reference's Stanford-bunny golden data
+    (registration_node/data/icp_testdata)."""
+    rng = np.random.default_rng(seed)
+    # Hemisphere shell
+    phi = rng.uniform(0, np.pi / 2, n // 2)
+    theta = rng.uniform(0, 2 * np.pi, n // 2)
+    r = 0.3 + rng.normal(0, 0.003, n // 2)
+    sphere = np.stack(
+        [r * np.sin(phi) * np.cos(theta), r * np.sin(phi) * np.sin(theta), r * np.cos(phi)],
+        -1,
+    )
+    # Ground plane patch
+    plane = np.stack(
+        [
+            rng.uniform(-0.5, 0.5, n - n // 2),
+            rng.uniform(-0.5, 0.5, n - n // 2),
+            rng.normal(0, 0.002, n - n // 2),
+        ],
+        -1,
+    )
+    cloud = np.concatenate([sphere, plane]) + np.array([0.0, 0.0, 1.0])
+    return cloud.astype(np.float32)

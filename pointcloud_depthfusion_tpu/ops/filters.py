@@ -1,0 +1,336 @@
+"""Dense image filters: the TPU-native NPP-filter-suite equivalent.
+
+Replaces the reference's NPP calls and depth-filter pipeline
+(pointcloud_processing/src/kernels.cu:353-540, :594-712, :749-779 and
+depth_frame.cpp:153-182) with jnp window ops that XLA fuses into the
+surrounding pipeline. All filters keep static shapes; "ROI" semantics are
+expressed with masks rather than pointer offsets.
+
+Filter inventory (reference parity):
+  * minmax threshold-to-zero          (nppiThreshold_LTValGTVal, kernels.cu:353-369)
+  * >0 compare mask with ROI          (nppiCompareC,            kernels.cu:371-395)
+  * morphological open/close, 5×5 SE with zeroed corners
+                                      (nppiMorph*Border,        kernels.cu:397-499)
+  * mask count                        (nppiSum,                 kernels.cu:501-540)
+  * color median 3×3 (interior ROI)   (nppiFilterMedian_8u_C3R, kernels.cu:594-630)
+  * color Gauss 3×3 (interior ROI)    (nppiFilterGauss_8u_C3R,  kernels.cu:632-653)
+  * depth median 3×3                  (nppiFilterMedian_16u,    kernels.cu:655-688)
+  * depth Gauss 5×5                   (nppiFilterGauss_16u,     kernels.cu:690-712)
+  * depth bilateral Gauss             (nppiFilterBilateralGaussBorder, kernels.cu:749-779)
+  * temporal EMA filter               (rs2::temporal_filter,    realsense.cpp:398-404)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Depth range filtering
+# ---------------------------------------------------------------------------
+
+
+def filter_depth_minmax(
+    depth_u16: Array, depth_scale, min_depth, max_depth
+) -> Array:
+    """Zero out depth values outside [min_depth, max_depth] meters.
+
+    NPP semantics: thresholds are computed on the raw uint16 grid with
+    truncating casts (kernels.cu:357-359), so comparisons happen in integer
+    space.
+    """
+    lo = (jnp.asarray(min_depth, jnp.float32) / depth_scale).astype(jnp.uint16)
+    hi = (jnp.asarray(max_depth, jnp.float32) / depth_scale).astype(jnp.uint16)
+    keep = (depth_u16 >= lo) & (depth_u16 <= hi)
+    return jnp.where(keep, depth_u16, jnp.zeros_like(depth_u16))
+
+
+def roi_mask(
+    height: int, width: int, roi: Optional[Sequence[int]], dtype=jnp.bool_
+) -> Array:
+    """Build a rectangular ROI mask [x, y, w, h] with the reference's
+    clamping rules (kernels.cu:379-384): negative fields select the full
+    image; boxes exceeding bounds fall back to full extent.
+    """
+    if roi is None:
+        return jnp.ones((height, width), dtype)
+    x0, y0, rw, rh = (int(v) for v in roi)
+    x0 = max(x0, 0)
+    y0 = max(y0, 0)
+    rw = width if (rw < 0 or x0 + rw > width) else rw
+    rh = height if (rh < 0 or y0 + rh > height) else rh
+    m = np.zeros((height, width), bool)
+    m[y0 : y0 + rh, x0 : x0 + rw] = True
+    return jnp.asarray(m, dtype)
+
+
+def depth_validity_mask(
+    depth_u16: Array, roi: Optional[Sequence[int]] = None
+) -> Array:
+    """depth > 0 within the ROI — the compare-mask stage
+    (kernels.cu:371-395). Outside the ROI the mask is False, which is what
+    the compacted-index pipeline in the reference effectively produces (it
+    only writes mask bytes inside the ROI of a zero-initialised buffer)."""
+    h, w = depth_u16.shape
+    valid = depth_u16 > 0
+    if roi is not None:
+        valid = valid & roi_mask(h, w, roi)
+    return valid
+
+
+def mask_count(mask: Array) -> Array:
+    """Number of valid pixels (nppiSum equivalent, kernels.cu:501-540)."""
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Morphology (5×5 structuring element with zeroed corners)
+# ---------------------------------------------------------------------------
+
+_CROSS5 = np.ones((5, 5), np.bool_)
+_CROSS5[0, 0] = _CROSS5[0, 4] = _CROSS5[4, 0] = _CROSS5[4, 4] = False
+_CROSS5_OFFSETS = tuple(
+    (int(dy) - 2, int(dx) - 2) for dy, dx in np.argwhere(_CROSS5)
+)
+
+
+def _window_reduce(mask: Array, offsets, reduce_fn, init: bool) -> Array:
+    """Reduce a boolean image over a set of (dy, dx) offsets with replicate
+    padding (NPP_BORDER_REPLICATE). Expressed as shifted slices so XLA turns
+    it into fused vector ops instead of a gather."""
+    h, w = mask.shape
+    pad = 2
+    padded = jnp.pad(mask, pad, mode="edge")
+    out = jnp.full((h, w), init, mask.dtype)
+    for dy, dx in offsets:
+        window = jax.lax.dynamic_slice(padded, (pad + dy, pad + dx), (h, w))
+        out = reduce_fn(out, window)
+    return out
+
+
+def erode(mask: Array) -> Array:
+    """Binary erosion with the 21-point structuring element."""
+    return _window_reduce(mask, _CROSS5_OFFSETS, jnp.logical_and, True)
+
+
+def dilate(mask: Array) -> Array:
+    """Binary dilation with the 21-point structuring element."""
+    return _window_reduce(mask, _CROSS5_OFFSETS, jnp.logical_or, False)
+
+
+def morph_open(mask: Array) -> Array:
+    """Erosion then dilation (nppiMorphOpenBorder, kernels.cu:397-447).
+
+    Note: disabled at the reference call site (depth_frame.cpp:175-178) but
+    part of the public filter API.
+    """
+    return dilate(erode(mask))
+
+
+def morph_close(mask: Array) -> Array:
+    """Dilation then erosion (nppiMorphCloseBorder, kernels.cu:449-499)."""
+    return erode(dilate(mask))
+
+
+# ---------------------------------------------------------------------------
+# Rank / convolution filters
+# ---------------------------------------------------------------------------
+
+
+def _shifted_stack(img: Array, radius: int) -> Array:
+    """Stack the (2r+1)² shifted neighborhoods of a 2D/3D image along a new
+    leading axis, replicate-padded."""
+    h, w = img.shape[:2]
+    k = 2 * radius + 1
+    pad_width = [(radius, radius), (radius, radius)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad_width, mode="edge")
+    stack = []
+    for dy in range(k):
+        for dx in range(k):
+            start = (dy, dx) + (0,) * (img.ndim - 2)
+            size = (h, w) + img.shape[2:]
+            stack.append(jax.lax.dynamic_slice(padded, start, size))
+    return jnp.stack(stack)
+
+
+def _interior_only(filtered: Array, original: Array, border: int) -> Array:
+    """Keep the filter output on the interior, original values on the
+    border — NPP's offset-ROI convention as used by the reference
+    (kernels.cu:600-609: ROI shrunk by the mask border)."""
+    h, w = original.shape[:2]
+    row = jnp.arange(h)
+    col = jnp.arange(w)
+    interior = (
+        (row[:, None] >= border)
+        & (row[:, None] < h - border)
+        & (col[None, :] >= border)
+        & (col[None, :] < w - border)
+    )
+    if original.ndim == 3:
+        interior = interior[..., None]
+    return jnp.where(interior, filtered, original)
+
+
+def median_filter(img: Array, radius: int = 1, interior_roi: bool = True) -> Array:
+    """Per-channel square median filter.
+
+    ``interior_roi=True`` reproduces the NPP call pattern: the border keeps
+    its input value. Median of the sorted 9-stack = element 4.
+    """
+    stack = _shifted_stack(img, radius)
+    k2 = stack.shape[0]
+    med = jnp.sort(stack, axis=0)[k2 // 2]
+    return _interior_only(med, img, radius) if interior_roi else med
+
+
+def _gauss_kernel_1d(size: int) -> np.ndarray:
+    """NPP fixed Gauss kernels are binomial; 3→[1,2,1]/4, 5→[1,4,6,4,1]/16."""
+    k = np.array([1.0])
+    for _ in range(size - 1):
+        k = np.convolve(k, [1.0, 1.0])
+    return k / k.sum()
+
+
+def gauss_filter(
+    img: Array, size: int = 3, interior_roi: bool = True
+) -> Array:
+    """Separable binomial Gauss filter (uint8/uint16 in, same dtype out,
+    round-to-nearest like NPP's fixed-point path)."""
+    radius = size // 2
+    k1 = _gauss_kernel_1d(size)
+    x = img.astype(jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    pad = [(radius, radius), (0, 0), (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
+    rows = sum(
+        k1[i] * jax.lax.dynamic_slice_in_dim(xp, i, x.shape[0], axis=0)
+        for i in range(size)
+    )
+    pad = [(0, 0), (radius, radius), (0, 0)]
+    rp = jnp.pad(rows, pad, mode="edge")
+    out = sum(
+        k1[i] * jax.lax.dynamic_slice_in_dim(rp, i, x.shape[1], axis=1)
+        for i in range(size)
+    )
+    out = jnp.clip(jnp.round(out), 0, float(jnp.iinfo(img.dtype).max)).astype(img.dtype)
+    if squeeze:
+        out = out[..., 0]
+        img_orig = img
+    else:
+        img_orig = img
+    return _interior_only(out, img_orig, radius) if interior_roi else out
+
+
+def filter_color(color: Array, use_median: bool) -> Array:
+    """Fused-image color filter: 3×3 median or 3×3 Gauss, selected like the
+    reference's ``use_median_filter`` switch (frameset.cpp filterColor →
+    kernels.cu:594-653)."""
+    if use_median:
+        return median_filter(color, 1)
+    return gauss_filter(color, 3)
+
+
+def bilateral_filter_depth(
+    depth_u16: Array,
+    radius: int = 10,
+    val_square_sigma: float = 9_000_000.0,
+    pos_square_sigma: float = 10_000.0,
+) -> Array:
+    """Bilateral Gauss on uint16 depth (kernels.cu:749-779 parameters).
+
+    Note: unused in the reference main path; provided for parity. The
+    (2r+1)² window is materialised as shifted slices — at r=10 this is 441
+    shifts, so call it off the hot path.
+    """
+    h, w = depth_u16.shape
+    x = depth_u16.astype(jnp.float32)
+    k = 2 * radius + 1
+    padded = jnp.pad(x, radius, mode="edge")
+    num = jnp.zeros((h, w), jnp.float32)
+    den = jnp.zeros((h, w), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            win = jax.lax.dynamic_slice(padded, (dy, dx), (h, w))
+            gd = (dy - radius) ** 2 + (dx - radius) ** 2
+            wg = np.exp(-gd / (2.0 * pos_square_sigma))
+            vd = (win - x) ** 2
+            wv = jnp.exp(-vd / (2.0 * val_square_sigma))
+            wgt = wg * wv
+            num = num + wgt * win
+            den = den + wgt
+    out = num / jnp.maximum(den, 1e-12)
+    return jnp.clip(jnp.round(out), 0, 65535).astype(jnp.uint16)
+
+
+# ---------------------------------------------------------------------------
+# Temporal filter (librealsense rs2::temporal_filter equivalent)
+# ---------------------------------------------------------------------------
+
+
+def temporal_filter(
+    depth_u16: Array,
+    prev_u16: Array,
+    alpha: float = 0.4,
+    delta: float = 20.0,
+    persistence: bool = True,
+) -> Tuple[Array, Array]:
+    """One step of the temporal EMA filter.
+
+    Semantics follow the rs2 temporal filter as configured by the reference
+    (smooth_alpha = 0.4, realsense.cpp:249; delta default 20): where both the
+    current and previous frames are valid and within ``delta`` raw units,
+    blend ``alpha·cur + (1-alpha)·prev``; where the current frame is invalid
+    and persistence is enabled, hold the previous value.
+
+    Returns (filtered, new_history). Use with ``lax.scan`` over a frame
+    sequence or carry the history through the host feeder.
+    """
+    cur = depth_u16.astype(jnp.float32)
+    prev = prev_u16.astype(jnp.float32)
+    have_both = (cur > 0) & (prev > 0)
+    close = jnp.abs(cur - prev) <= delta
+    blended = alpha * cur + (1.0 - alpha) * prev
+    out = jnp.where(have_both & close, blended, cur)
+    if persistence:
+        out = jnp.where((cur == 0) & (prev > 0), prev, out)
+    out_u16 = jnp.clip(jnp.round(out), 0, 65535).astype(jnp.uint16)
+    return out_u16, out_u16
+
+
+# ---------------------------------------------------------------------------
+# The composed depth filter stage (reference DepthFrame::filter pipeline)
+# ---------------------------------------------------------------------------
+
+
+def filter_depth(
+    depth_u16: Array,
+    depth_scale,
+    min_depth,
+    max_depth,
+    roi: Optional[Sequence[int]] = None,
+    use_morphology: bool = False,
+) -> Tuple[Array, Array]:
+    """The composed per-frame depth filter: minmax → mask(ROI) [→ open/close].
+
+    Mirrors DepthFrame::filter (depth_frame.cpp:153-182); morphology is off
+    by default, matching the disabled call site (depth_frame.cpp:175-178).
+    Where the reference then compacts indices, we return the dense mask —
+    the TPU-native replacement for compactor.cuh (SURVEY.md §2.7 item 2).
+
+    Returns (filtered_depth_u16, valid_mask).
+    """
+    d = filter_depth_minmax(depth_u16, depth_scale, min_depth, max_depth)
+    valid = depth_validity_mask(d, roi)
+    if use_morphology:
+        valid = morph_close(morph_open(valid))
+    d = jnp.where(valid, d, jnp.zeros_like(d))
+    return d, valid

@@ -1,0 +1,189 @@
+"""Z-buffered point-cloud projection (virtual-camera rendering).
+
+TPU-native replacement for kernel_project_pointcloud + atomicMinFloat
+(kernels.cu:118-126, :239-274, host wrapper :577-592). The CUDA design —
+per-point atomics with a racy color store — becomes a deterministic
+scatter-min formulation:
+
+  1. scatter-min the float32 depth of every valid point into a flat z-buffer
+     (invalid points are routed to a dump slot past the image);
+  2. gather each point's winning depth and mark the points that achieved it;
+  3. scatter-min the *packed RGB* of winning points, which both resolves
+     depth ties deterministically (smallest packed color wins) and fixes the
+     reference's benign race (kernels.cu:264-273) documented in SURVEY.md §7.
+
+There is also a single-scatter fast path (`packed_single_scatter=True`) that
+quantizes depth to 16 bits and packs depth+RGB565 into one uint32 key — one
+scatter instead of two plus a gather — for latency-critical paths that can
+tolerate 5/6/5 color.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+
+Array = jax.Array
+
+_INVALID_PACKED = jnp.int32(1 << 24)  # larger than any 24-bit RGB key
+
+
+def compute_pixel_indices(
+    points: Array,
+    valid: Array,
+    intrinsics: Intrinsics,
+    mirror: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Project points to integer pixel indices with bounds masking.
+
+    Rounding matches the reference exactly: ``(int)(x + 0.5f)`` is a C cast,
+    i.e. truncation toward zero (kernels.cu:249-250) — not floor — which
+    matters for the -0.5 < x < 0 sliver at the image border.
+
+    Returns (flat_index, z, in_bounds) where flat_index ∈ [0, W*H] with W*H
+    used as the dump slot for masked-out points.
+    """
+    w, h = intrinsics.width, intrinsics.height
+    z = points[..., 2]
+    pos_z = z > 0
+    safe_z = jnp.where(pos_z, z, 1.0)
+    image_x = intrinsics.ppx + intrinsics.fx * points[..., 0] / safe_z
+    image_y = intrinsics.ppy + intrinsics.fy * points[..., 1] / safe_z
+    # float->int conversion truncates toward zero in both C and XLA, so the
+    # reference's acceptance of the (-1.5, 0) sliver onto pixel 0 is
+    # reproduced exactly (kernels.cu:249-253).
+    px = (image_x + 0.5).astype(jnp.int32)
+    py = (image_y + 0.5).astype(jnp.int32)
+    in_bounds = (
+        valid
+        & pos_z
+        & (px >= 0)
+        & (py >= 0)
+        & (px <= w - 1)
+        & (py <= h - 1)
+    )
+    if mirror:
+        px = (w - 1) - px
+    flat = jnp.where(in_bounds, py * w + px, w * h)
+    return flat, z, in_bounds
+
+
+def pack_rgb(color_u8: Array) -> Array:
+    """(..., 3) uint8 -> (...,) int32 key r<<16 | g<<8 | b."""
+    c = color_u8.astype(jnp.int32)
+    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+
+
+def unpack_rgb(packed: Array) -> Array:
+    """(...,) int32 -> (..., 3) uint8."""
+    r = (packed >> 16) & 0xFF
+    g = (packed >> 8) & 0xFF
+    b = packed & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
+
+
+def project_zbuffer(
+    points: Array,
+    colors: Array,
+    valid: Array,
+    intrinsics: Intrinsics,
+    mirror: bool = False,
+    background: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Render a colored point cloud into an image with z-buffering.
+
+    Args:
+      points: (..., 3) float32 camera-frame points (any leading shape).
+      colors: (..., 3) uint8 RGB per point.
+      valid: (...,) bool.
+      intrinsics: target (virtual) camera intrinsics; width/height give the
+        output size.
+      mirror: horizontal mirror (smart-mirror mode, kernels.cu:257-261).
+      background: optional (H, W, 3) uint8 fill for uncovered pixels
+        (reference uses black, kernels.cu:582).
+
+    Returns:
+      (image uint8 (H, W, 3), zbuf float32 (H, W) — FLT_MAX where empty,
+      matching the reference's z-buffer preset, kernels.cu:584-587).
+    """
+    w, h = intrinsics.width, intrinsics.height
+    n_px = w * h
+
+    flat = points.reshape(-1, 3).astype(jnp.float32)
+    col = colors.reshape(-1, 3)
+    val = valid.reshape(-1)
+
+    idx, z, ok = compute_pixel_indices(flat, val, intrinsics, mirror)
+    zmax = jnp.float32(jnp.finfo(jnp.float32).max)
+    z_entry = jnp.where(ok, z, zmax)
+
+    # Pass 1: depth winner per pixel.
+    zbuf = jnp.full((n_px + 1,), zmax, jnp.float32)
+    zbuf = zbuf.at[idx].min(z_entry, mode="drop")
+
+    # Pass 2: color of the winning point; packed-RGB min is the
+    # deterministic tie-break.
+    zwin = zbuf[idx]
+    winner = ok & (z_entry <= zwin)
+    packed = jnp.where(winner, pack_rgb(col), _INVALID_PACKED)
+    cbuf = jnp.full((n_px + 1,), _INVALID_PACKED, jnp.int32)
+    cbuf = cbuf.at[idx].min(packed, mode="drop")
+
+    covered = cbuf[:n_px] < _INVALID_PACKED
+    img = unpack_rgb(jnp.where(covered, cbuf[:n_px], 0)).reshape(h, w, 3)
+    if background is None:
+        img = jnp.where(covered.reshape(h, w, 1), img, jnp.zeros_like(img))
+    else:
+        img = jnp.where(covered.reshape(h, w, 1), img, background)
+    return img, zbuf[:n_px].reshape(h, w)
+
+
+def project_zbuffer_packed(
+    points: Array,
+    colors: Array,
+    valid: Array,
+    intrinsics: Intrinsics,
+    mirror: bool = False,
+    z_near: float = 0.1,
+    z_far: float = 20.0,
+) -> Tuple[Array, Array]:
+    """Single-scatter variant: pack quantized depth (16 bits) + RGB565 into
+    one uint32 key and scatter-min once.
+
+    Halves the scatter traffic at the cost of 5/6/5 color and ~0.3 mm depth
+    resolution over [z_near, z_far]. Returns (image uint8, zbuf f32 approx).
+    """
+    w, h = intrinsics.width, intrinsics.height
+    n_px = w * h
+
+    flat = points.reshape(-1, 3)
+    col = colors.reshape(-1, 3).astype(jnp.uint32)
+    val = valid.reshape(-1)
+    idx, z, ok = compute_pixel_indices(flat, val, intrinsics, mirror)
+
+    zq = jnp.clip(
+        ((z - z_near) / (z_far - z_near) * 65535.0), 0.0, 65535.0
+    ).astype(jnp.uint32)
+    rgb565 = (
+        ((col[:, 0] >> 3) << 11) | ((col[:, 1] >> 2) << 5) | (col[:, 2] >> 3)
+    )
+    key = (zq << 16) | rgb565
+    key = jnp.where(ok, key, jnp.uint32(0xFFFFFFFF))
+
+    buf = jnp.full((n_px + 1,), jnp.uint32(0xFFFFFFFF), jnp.uint32)
+    buf = buf.at[idx].min(key, mode="drop")
+    buf = buf[:n_px]
+
+    covered = buf != jnp.uint32(0xFFFFFFFF)
+    r = ((buf >> 11) & 0x1F) << 3
+    g = ((buf >> 5) & 0x3F) << 2
+    b = (buf & 0x1F) << 3
+    img = jnp.stack([r, g, b], -1).astype(jnp.uint8).reshape(h, w, 3)
+    img = jnp.where(covered.reshape(h, w, 1), img, 0)
+    zq_out = (buf >> 16).astype(jnp.float32) / 65535.0 * (z_far - z_near) + z_near
+    zbuf = jnp.where(covered, zq_out, jnp.float32(jnp.finfo(jnp.float32).max))
+    return img, zbuf.reshape(h, w)

@@ -75,8 +75,9 @@ def project_zbuffer_oracle(points, colors, valid, fx, fy, ppx, ppy, width, heigh
         x, y, z = pts[i]
         if z <= 0:
             continue
-        px = int(np.floor(x / z * fx + ppx + 0.5))
-        py = int(np.floor(y / z * fy + ppy + 0.5))
+        # C cast semantics: truncation toward zero (kernels.cu:249-250).
+        px = int(np.float32(x / z * fx + ppx) + np.float32(0.5))
+        py = int(np.float32(y / z * fy + ppy) + np.float32(0.5))
         if px < 0 or py < 0 or px > width - 1 or py > height - 1:
             continue
         if mirror:

@@ -1,0 +1,69 @@
+"""Depth→color alignment tests against the scalar oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import Extrinsics, Intrinsics
+from pointcloud_depthfusion_tpu.ops.align import align_depth_to_color
+
+import oracles
+
+
+def setup_cams():
+    d_intr = Intrinsics.create(32, 24, fx=28.0, fy=28.5, ppx=16.0, ppy=12.0)
+    c_intr = Intrinsics.create(40, 30, fx=35.0, fy=35.5, ppx=20.0, ppy=15.0)
+    # small rotation + baseline
+    a = 0.02
+    rot = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+        np.float32,
+    )
+    ext = Extrinsics.create(rot, [0.015, -0.001, 0.002])
+    return d_intr, c_intr, ext, rot
+
+
+def test_align_matches_oracle(rng):
+    d_intr, c_intr, ext, rot = setup_cams()
+    depth = rng.integers(400, 3000, (24, 32)).astype(np.uint16)
+    depth[rng.random((24, 32)) < 0.2] = 0
+    got = align_depth_to_color(
+        jnp.asarray(depth), 0.001, d_intr, c_intr, ext
+    )
+    want = oracles.align_depth_to_color_oracle(
+        depth, 0.001,
+        28.0, 28.5, 16.0, 12.0,
+        35.0, 35.5, 20.0, 15.0,
+        np.asarray(rot, np.float64), np.array([0.015, -0.001, 0.002]),
+        40, 30,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_align_identity_extrinsics_same_intrinsics(rng):
+    intr = Intrinsics.create(32, 24, fx=28.0, fy=28.0, ppx=16.0, ppy=12.0)
+    depth = rng.integers(400, 3000, (24, 32)).astype(np.uint16)
+    got = np.asarray(
+        align_depth_to_color(
+            jnp.asarray(depth), 0.001, intr, intr, Extrinsics.identity()
+        )
+    )
+    # with identity mapping, each pixel's footprint covers itself; interior
+    # pixels should keep (a min over neighbors including) their own value
+    assert got.shape == depth.shape
+    nonzero = got > 0
+    assert nonzero.mean() > 0.9
+    # A pixel covered by its own (valid) footprint can only decrease; edge
+    # pixels whose own box fell outside the image are covered by neighbors
+    # and may exceed their input value, so check the interior only.
+    interior = np.zeros_like(nonzero)
+    interior[:-1, :-1] = True
+    sel = nonzero & interior
+    assert (got[sel] <= depth[sel]).all()
+
+
+def test_align_zero_depth_is_zero():
+    d_intr, c_intr, ext, _ = setup_cams()
+    out = align_depth_to_color(
+        jnp.zeros((24, 32), jnp.uint16), 0.001, d_intr, c_intr, ext
+    )
+    assert np.asarray(out).sum() == 0

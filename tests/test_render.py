@@ -1,0 +1,107 @@
+"""Z-buffer projection tests against the sequential oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.ops import render as R
+
+import oracles
+
+
+def make_intr(w=40, h=30):
+    return Intrinsics.create(w, h, fx=35.0, fy=36.0, ppx=w / 2, ppy=h / 2)
+
+
+def random_cloud(rng, n, intr, spread=1.0):
+    # points that mostly land inside the image
+    z = rng.uniform(0.5, 3.0, n)
+    px = rng.uniform(-5, intr.width + 5, n)
+    py = rng.uniform(-5, intr.height + 5, n)
+    x = (px - float(intr.ppx)) / float(intr.fx) * z
+    y = (py - float(intr.ppy)) / float(intr.fy) * z
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+    cols = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    valid = rng.random(n) > 0.1
+    return pts, cols, valid
+
+
+def test_project_matches_oracle(rng):
+    intr = make_intr()
+    pts, cols, valid = random_cloud(rng, 5000, intr)
+    img, zbuf = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    want_img, want_z = oracles.project_zbuffer_oracle(
+        pts, cols, valid,
+        float(intr.fx), float(intr.fy), float(intr.ppx), float(intr.ppy),
+        intr.width, intr.height,
+    )
+    np.testing.assert_array_equal(np.asarray(img), want_img)
+    covered = want_z < 1e37
+    np.testing.assert_allclose(
+        np.asarray(zbuf)[covered], want_z[covered], rtol=1e-6
+    )
+
+
+def test_project_mirror(rng):
+    intr = make_intr()
+    pts, cols, valid = random_cloud(rng, 3000, intr)
+    img_m, _ = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr, mirror=True
+    )
+    want_img, _ = oracles.project_zbuffer_oracle(
+        pts, cols, valid,
+        float(intr.fx), float(intr.fy), float(intr.ppx), float(intr.ppy),
+        intr.width, intr.height, mirror=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img_m), want_img)
+
+
+def test_depth_tie_break_deterministic():
+    intr = make_intr()
+    # two points, identical pixel and depth, different colors: packed-min wins
+    pts = np.array([[0, 0, 1.0], [0, 0, 1.0]], np.float32)
+    cols = np.array([[200, 0, 0], [100, 0, 0]], np.uint8)
+    valid = np.array([True, True])
+    img, _ = R.project_zbuffer(jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr)
+    px, py = int(intr.ppx), int(intr.ppy)
+    np.testing.assert_array_equal(np.asarray(img)[py, px], [100, 0, 0])
+
+
+def test_occlusion():
+    intr = make_intr()
+    pts = np.array([[0, 0, 2.0], [0, 0, 1.0]], np.float32)  # nearer second
+    cols = np.array([[1, 2, 3], [9, 8, 7]], np.uint8)
+    img, zbuf = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(np.array([True, True])), intr
+    )
+    px, py = int(intr.ppx), int(intr.ppy)
+    np.testing.assert_array_equal(np.asarray(img)[py, px], [9, 8, 7])
+    assert abs(float(zbuf[py, px]) - 1.0) < 1e-6
+
+
+def test_empty_pixels_black_and_fltmax(rng):
+    intr = make_intr()
+    img, zbuf = R.project_zbuffer(
+        jnp.zeros((10, 3)), jnp.zeros((10, 3), jnp.uint8),
+        jnp.zeros(10, bool), intr,
+    )
+    assert np.asarray(img).sum() == 0
+    assert np.all(np.asarray(zbuf) > 1e37)
+
+
+def test_packed_variant_close_to_exact(rng):
+    intr = make_intr()
+    pts, cols, valid = random_cloud(rng, 4000, intr)
+    img, _ = R.project_zbuffer(jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr)
+    img_p, _ = R.project_zbuffer_packed(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr,
+        z_near=0.4, z_far=3.5,
+    )
+    a = np.asarray(img).astype(int)
+    b = np.asarray(img_p).astype(int)
+    covered = (a.sum(-1) > 0) & (b.sum(-1) > 0)
+    # RGB565 quantization: channel error <= 8; allow small set of depth-tie flips
+    diff = np.abs(a - b)[covered]
+    assert np.quantile(diff, 0.99) <= 8

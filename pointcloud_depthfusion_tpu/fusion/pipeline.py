@@ -1,0 +1,247 @@
+"""The end-to-end fusion pipeline: two framesets → one fused RGB image.
+
+This is the whole reference fusion hot path (FusionNode::processSyncedFrames,
+fusion_node.cpp:700-811) expressed as ONE jitted XLA computation:
+
+    H2D → [align] → filter → deproject ×2 → transform right → merge →
+    virtual-camera transform → z-buffer project → color filter → D2H
+
+The reference stages this across hand-managed CUDA buffers on two streams;
+here every intermediate is an SSA value inside one program, so XLA fuses the
+elementwise chain (filter→deproject→transform) into a handful of kernels and
+overlaps the scatter passes. Dense (H, W) tensors + masks replace the
+compacted point lists, and `append` (pointcloud.cpp:117-129) becomes a
+concatenation of the two statically-shaped clouds.
+
+Deliberate behavior decisions vs the reference (SURVEY.md §7 "quirks"):
+  * the `align_frames` path aligns LEFT and RIGHT each with their own
+    frames — the reference re-aligns the left frame twice and never aligns
+    the right (copy-paste bug, fusion_node.cpp:729-733). Fixed here.
+  * z-buffer ties resolve deterministically (ops/render.py) instead of
+    racing.
+  * intrinsics int-truncation (cameraInfo2Intrinsics) is applied at config
+    load time via ``legacy_int_truncation`` (core/camera.py), not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core import geometry as G
+from pointcloud_depthfusion_tpu.core.camera import (
+    Extrinsics,
+    Intrinsics,
+    fused_virtual_intrinsics,
+)
+from pointcloud_depthfusion_tpu.core.frameset import Frameset
+from pointcloud_depthfusion_tpu.ops import filters as F
+from pointcloud_depthfusion_tpu.ops import render as R
+from pointcloud_depthfusion_tpu.ops.align import align_depth_to_color
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Fusion parameters (config_default.yaml of fusion_node).
+
+    Traced leaves: depth window and virtual-camera pose; static fields:
+    everything that changes program structure.
+    """
+
+    min_depth: Array  # meters
+    max_depth: Array
+    camera_translation: Array  # (3,) meters, when set_camera_pose
+    camera_rotation_deg: Array  # (3,) degrees, when set_camera_pose
+    vertical_image: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
+    mirror_image: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    use_median_filter: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    align_frames: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    set_camera_pose: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    filter_fused_color: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
+    roi_left: Optional[Tuple[int, int, int, int]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    roi_right: Optional[Tuple[int, int, int, int]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
+    @staticmethod
+    def create(
+        min_depth: float = 0.5,
+        max_depth: float = 3.0,
+        camera_translation=(0.0, 0.0, 0.0),
+        camera_rotation_deg=(0.0, 0.0, 0.0),
+        **static_fields,
+    ) -> "FusionConfig":
+        return FusionConfig(
+            min_depth=jnp.asarray(min_depth, jnp.float32),
+            max_depth=jnp.asarray(max_depth, jnp.float32),
+            camera_translation=jnp.asarray(camera_translation, jnp.float32),
+            camera_rotation_deg=jnp.asarray(camera_rotation_deg, jnp.float32),
+            **static_fields,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusionResult:
+    """Outputs of one fused frame."""
+
+    image: Array  # (Hf, Wf, 3) uint8
+    zbuf: Array  # (Hf, Wf) float32, FLT_MAX where empty
+    valid_left: Array  # (H, W) bool
+    valid_right: Array
+    timestamp: Array  # left frame's stamp (fusion_node.cpp:801)
+
+
+def virtual_camera_transform(config: FusionConfig) -> Array:
+    """The explicit virtual-camera pose (fusion_node.cpp:168-180).
+
+    Eigen construction order: identity, prerotate(Rz 90°),
+    pretranslate(-t), prerotate(R(x,y,z)^{-1})  ⇒  M = R⁻¹ · T(-t) · Rz90.
+    """
+    rz90 = G.rotz(G.deg2rad(90.0))
+    rot = G.euler_to_matrix(G.deg2rad(config.camera_rotation_deg))
+    m = rz90
+    m = m.at[:3, 3].add(-config.camera_translation)  # pretranslate
+    r_inv4 = jnp.eye(4, dtype=m.dtype).at[:3, :3].set(rot.T)
+    return r_inv4 @ m
+
+
+def fused_camera_transform(config: FusionConfig, right_transform: Array) -> Array:
+    """Virtual-camera transform for this frame.
+
+    Either the slerp midpoint between the (identity) left pose and the
+    registration transform (fusion_node.cpp:766-771) or the configured pose;
+    vertical output prerotates +90° about Z (fusion_node.cpp:775-778).
+    """
+    if config.set_camera_pose:
+        t = virtual_camera_transform(config)
+    else:
+        left = jnp.eye(4, dtype=right_transform.dtype)
+        t = G.interpolate_transform(left, right_transform)
+    if config.vertical_image:
+        t = G.rotz(G.deg2rad(90.0)) @ t
+    return t
+
+
+def _prepare_camera(
+    fs: Frameset,
+    roi,
+    config: FusionConfig,
+) -> Tuple[Array, Array, Array]:
+    """Per-camera stage: [align] → filter → deproject.
+
+    Returns (points (H,W,3), colors (H,W,3) u8, valid (H,W)).
+    """
+    depth = fs.depth
+    if config.align_frames:
+        depth = align_depth_to_color(
+            depth,
+            fs.depth_scale,
+            fs.depth_intrinsics,
+            fs.color_intrinsics,
+            fs.depth_to_color,
+        )
+    depth, valid = F.filter_depth(
+        depth, fs.depth_scale, config.min_depth, config.max_depth, roi
+    )
+    depth_m = depth.astype(jnp.float32) * fs.depth_scale
+    points, valid = G.deproject(depth_m, fs.color_intrinsics, valid)
+    return points, fs.color, valid
+
+
+def fuse(
+    left: Frameset,
+    right: Frameset,
+    right_transform: Array,
+    config: FusionConfig,
+    fused_intrinsics: Intrinsics,
+) -> FusionResult:
+    """Fuse one synchronized frameset pair into a virtual-camera RGB image.
+
+    Args:
+      right_transform: 4×4 right→left registration transform (from
+        the registration service, fusion_node.cpp:610-613).
+      fused_intrinsics: virtual-camera intrinsics
+        (core.camera.fused_virtual_intrinsics).
+    """
+    pts_l, col_l, val_l = _prepare_camera(left, config.roi_left, config)
+    pts_r, col_r, val_r = _prepare_camera(right, config.roi_right, config)
+
+    # Move the right cloud into the left camera frame.
+    pts_r_t = G.transform_points(pts_r.reshape(-1, 3), right_transform).reshape(
+        pts_r.shape
+    )
+
+    # Merge (reference: Pointcloud::append D2D memcpy; here a free concat).
+    pts = jnp.concatenate([pts_l.reshape(-1, 3), pts_r_t.reshape(-1, 3)])
+    cols = jnp.concatenate([col_l.reshape(-1, 3), col_r.reshape(-1, 3)])
+    vals = jnp.concatenate([val_l.reshape(-1), val_r.reshape(-1)])
+
+    # Virtual-camera transform + render.
+    fused_t = fused_camera_transform(config, right_transform)
+    pts = G.transform_points(pts, fused_t)
+    image, zbuf = R.project_zbuffer(
+        pts, cols, vals, fused_intrinsics, mirror=config.mirror_image
+    )
+
+    if config.filter_fused_color:
+        image = F.filter_color(image, config.use_median_filter)
+
+    return FusionResult(
+        image=image,
+        zbuf=zbuf,
+        valid_left=val_l,
+        valid_right=val_r,
+        timestamp=left.timestamp,
+    )
+
+
+class FusionPipeline:
+    """Stateful convenience wrapper: holds config + intrinsics, jits `fuse`.
+
+    Plays the role of the reference FusionNode's steady-state machinery
+    (minus transport): construct with both cameras' calibration (the
+    service-handshake data, fusion_node.cpp:92-148), then call
+    :meth:`process` per synchronized frame pair.
+    """
+
+    def __init__(
+        self,
+        color_intrinsics_left: Intrinsics,
+        config: FusionConfig,
+        donate: bool = True,
+    ):
+        self.config = config
+        self.fused_intrinsics = fused_virtual_intrinsics(
+            color_intrinsics_left, config.vertical_image
+        )
+        self._fuse = jax.jit(
+            functools.partial(fuse, fused_intrinsics=self.fused_intrinsics),
+            static_argnames=(),
+            donate_argnums=(0, 1) if donate else (),
+        )
+        self.right_transform = jnp.eye(4, dtype=jnp.float32)
+
+    def set_right_transform(self, transform) -> None:
+        """Registration-transform update (transformCallback equivalent)."""
+        self.right_transform = jnp.asarray(transform, jnp.float32)
+
+    def process(self, left: Frameset, right: Frameset) -> FusionResult:
+        return self._fuse(left, right, self.right_transform, self.config)

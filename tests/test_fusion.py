@@ -1,0 +1,156 @@
+"""End-to-end fusion pipeline tests on the synthetic two-camera rig."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import (
+    Intrinsics,
+    fused_virtual_intrinsics,
+)
+from pointcloud_depthfusion_tpu.core.frameset import Frameset
+from pointcloud_depthfusion_tpu.core import geometry as G
+from pointcloud_depthfusion_tpu.fusion.pipeline import (
+    FusionConfig,
+    FusionPipeline,
+    fuse,
+    fused_camera_transform,
+    virtual_camera_transform,
+)
+from pointcloud_depthfusion_tpu.io.synthetic import (
+    SyntheticScene,
+    right_to_left_transform,
+    two_camera_rig,
+)
+
+
+W, H = 106, 60  # small frames keep CPU tests fast (ratio ~848x480)
+
+
+def small_intr():
+    return Intrinsics.create(W, H, fx=80.0, fy=80.0, ppx=W / 2, ppy=H / 2)
+
+
+def make_pair(scene=None, **render_kw):
+    scene = scene or SyntheticScene()
+    intr = small_intr()
+    wl, wr = two_camera_rig(baseline=0.5, toe_in_deg=8.0)
+    fs_l = scene.render(intr, wl, **render_kw)
+    fs_r = scene.render(intr, wr, **render_kw)
+    t_rl = right_to_left_transform(wl, wr)
+    left = Frameset.create(fs_l.depth, fs_l.color, intr, depth_scale=fs_l.depth_scale)
+    right = Frameset.create(fs_r.depth, fs_r.color, intr, depth_scale=fs_r.depth_scale)
+    return left, right, t_rl, intr, (wl, wr), scene
+
+
+def test_fuse_runs_and_covers():
+    left, right, t_rl, intr, _, _ = make_pair()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 set_camera_pose=False, filter_fused_color=False)
+    pipe = FusionPipeline(intr, config, donate=False)
+    pipe.set_right_transform(t_rl)
+    res = pipe.process(left, right)
+    img = np.asarray(res.image)
+    assert img.shape == (H, W, 3)
+    coverage = (img.sum(-1) > 0).mean()
+    assert coverage > 0.5, coverage
+
+
+def test_fuse_geometry_against_direct_render():
+    """Fused z-buffer from the midpoint camera ≈ direct scene render."""
+    left, right, t_rl, intr, (wl, wr), scene = make_pair()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False)
+    pipe = FusionPipeline(intr, config, donate=False)
+    pipe.set_right_transform(t_rl)
+    res = pipe.process(left, right)
+
+    # Virtual camera = slerp midpoint of identity and t_rl, in the left
+    # camera frame → world pose = wl @ inv(mid).
+    mid = np.asarray(fused_camera_transform(pipe.config, jnp.asarray(t_rl, jnp.float32)))
+    virt_world = wl @ np.linalg.inv(mid)
+    direct = scene.render(intr, virt_world)
+
+    zb = np.asarray(res.zbuf)
+    covered = zb < 1e37
+    want_depth = direct.depth.astype(np.float64) * direct.depth_scale
+    both = covered & (want_depth > 0)
+    assert both.mean() > 0.4
+    err = np.abs(zb[both] - want_depth[both])
+    # Most pixels should agree with the direct render to ~1 cm; occlusion
+    # boundaries and splat rounding produce a small tail.
+    assert np.quantile(err, 0.8) < 0.012, np.quantile(err, [0.5, 0.8, 0.95])
+
+
+def test_fuse_color_consistency():
+    """Fused color at agreeing pixels matches the direct render closely."""
+    left, right, t_rl, intr, (wl, wr), scene = make_pair()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False)
+    pipe = FusionPipeline(intr, config, donate=False)
+    pipe.set_right_transform(t_rl)
+    res = pipe.process(left, right)
+
+    mid = np.asarray(fused_camera_transform(pipe.config, jnp.asarray(t_rl, jnp.float32)))
+    virt_world = wl @ np.linalg.inv(mid)
+    direct = scene.render(intr, virt_world)
+
+    zb = np.asarray(res.zbuf)
+    want_depth = direct.depth.astype(np.float64) * direct.depth_scale
+    img = np.asarray(res.image).astype(int)
+    want = direct.color.astype(int)
+    both = (zb < 1e37) & (want_depth > 0) & (np.abs(zb - want_depth) < 0.005)
+    # Where geometry agrees, color should agree except at checker edges.
+    chan_err = np.abs(img - want).max(-1)[both]
+    assert np.quantile(chan_err, 0.75) <= 30, np.quantile(chan_err, [0.5, 0.75, 0.9])
+
+
+def test_vertical_and_mirror_shapes():
+    left, right, t_rl, intr, _, _ = make_pair()
+    config = FusionConfig.create(vertical_image=True, mirror_image=True)
+    pipe = FusionPipeline(intr, config, donate=False)
+    pipe.set_right_transform(t_rl)
+    res = pipe.process(left, right)
+    assert np.asarray(res.image).shape == (W, H, 3)  # transposed
+    assert pipe.fused_intrinsics.width == H and pipe.fused_intrinsics.height == W
+
+
+def test_mirror_flips_image():
+    left, right, t_rl, intr, _, _ = make_pair()
+    base = FusionConfig.create(vertical_image=False, mirror_image=False,
+                               filter_fused_color=False)
+    mirrored = FusionConfig.create(vertical_image=False, mirror_image=True,
+                                   filter_fused_color=False)
+    p1 = FusionPipeline(intr, base, donate=False)
+    p2 = FusionPipeline(intr, mirrored, donate=False)
+    p1.set_right_transform(t_rl)
+    p2.set_right_transform(t_rl)
+    a = np.asarray(p1.process(left, right).image)
+    b = np.asarray(p2.process(left, right).image)
+    np.testing.assert_array_equal(a, b[:, ::-1])
+
+
+def test_set_camera_pose_transform():
+    config = FusionConfig.create(
+        set_camera_pose=True,
+        camera_translation=(0.25, 0.0, 0.0),
+        camera_rotation_deg=(0.0, 0.0, 0.0),
+        vertical_image=False,
+    )
+    t = np.asarray(virtual_camera_transform(config))
+    # M = R^-1 T(-t) Rz90; with R=I it is T(-t) @ Rz90.
+    want_rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(t[:3, :3], want_rz, atol=1e-6)
+    np.testing.assert_allclose(t[:3, 3], [-0.25, 0, 0], atol=1e-6)
+
+
+def test_depth_window_filters_points():
+    left, right, t_rl, intr, _, _ = make_pair()
+    config = FusionConfig.create(min_depth=0.5, max_depth=1.0,
+                                 vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False)
+    pipe = FusionPipeline(intr, config, donate=False)
+    pipe.set_right_transform(t_rl)
+    res = pipe.process(left, right)
+    zb = np.asarray(res.zbuf)
+    # plane at ~2.2-2.5 m excluded; only near sphere parts remain
+    assert (zb < 1e37).mean() < 0.4

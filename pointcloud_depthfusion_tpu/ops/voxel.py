@@ -1,0 +1,231 @@
+"""Voxel hashing, downsampling, and per-voxel Gaussian statistics.
+
+TPU-native replacement for PCL's ApproximateVoxelGrid (registration.cpp
+voxelFilter) and for the voxel-distribution machinery inside FastVGICPCuda
+(SURVEY.md §2.7 items 4-5). Everything is dense and statically shaped:
+
+  * a fixed-size hash table (power-of-two slots) indexed by a spatial hash
+    of integer voxel coordinates;
+  * scatter-adds accumulate per-voxel count / mean / second moment;
+  * "downsampled cloud" = the table of voxel means + occupancy mask — no
+    compaction, downstream consumers mask on ``count > 0``.
+
+Hash collisions merge distinct voxels' statistics. PCL's
+ApproximateVoxelGrid has exactly the same failure mode (its fixed-size hash
+has no collision resolution), which is why it is "approximate"; table sizes
+default to ≥4× the expected occupied-voxel count to keep collisions rare.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Large odd constants for the spatial hash (Teschner et al. style).
+_H1 = jnp.uint32(73856093)
+_H2 = jnp.uint32(19349669)
+_H3 = jnp.uint32(83492791)
+
+
+def voxel_coords(points: Array, resolution) -> Array:
+    """Integer voxel coordinates floor(p / resolution), int32 (..., 3)."""
+    return jnp.floor(points / resolution).astype(jnp.int32)
+
+
+def hash_coords(coords: Array, table_size: int) -> Array:
+    """Spatial hash of integer voxel coords into [0, table_size).
+
+    Additive combine + murmur3 finalizer: the classic XOR-of-products hash
+    collides pathologically in the masked low bits for the small coordinate
+    ranges point clouds produce (measured 13% collisions at 393 voxels in a
+    2^15 table; the finalizer brings it to the birthday bound).
+    table_size must be a power of two (masked modulo).
+    """
+    assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * _H1 + c[..., 1] * _H2 + c[..., 2] * _H3
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VoxelGrid:
+    """Per-voxel Gaussian statistics in a fixed-size hash table."""
+
+    count: Array  # (M,) float32 — number of points (or total weight)
+    mean: Array  # (M, 3)
+    cov: Array  # (M, 3, 3) — population covariance (E[ppᵀ] - μμᵀ)
+    coords: Array  # (M, 3) int32 — representative voxel coords (last writer)
+    resolution: Array  # scalar
+
+    @property
+    def table_size(self) -> int:
+        return self.count.shape[0]
+
+    def occupied(self, min_points: float = 1.0) -> Array:
+        return self.count >= min_points
+
+
+def build_voxel_grid(
+    points: Array,
+    valid: Array,
+    resolution,
+    table_size: int = 1 << 15,
+) -> VoxelGrid:
+    """Accumulate per-voxel count/mean/covariance via scatter-add.
+
+    Invalid points are routed to a dump slot (index table_size) and dropped.
+    """
+    pts = points.reshape(-1, 3).astype(jnp.float32)
+    val = valid.reshape(-1)
+    coords = voxel_coords(pts, resolution)
+    idx = jnp.where(val, hash_coords(coords, table_size), table_size)
+
+    w = val.astype(jnp.float32)
+    count = jnp.zeros((table_size + 1,), jnp.float32).at[idx].add(w, mode="drop")
+    psum = (
+        jnp.zeros((table_size + 1, 3), jnp.float32)
+        .at[idx]
+        .add(pts * w[:, None], mode="drop")
+    )
+    outer = pts[:, :, None] * pts[:, None, :]
+    ppsum = (
+        jnp.zeros((table_size + 1, 3, 3), jnp.float32)
+        .at[idx]
+        .add(outer * w[:, None, None], mode="drop")
+    )
+    rep = (
+        jnp.full((table_size + 1, 3), jnp.iinfo(jnp.int32).max, jnp.int32)
+        .at[idx]
+        .min(jnp.where(val[:, None], coords, jnp.iinfo(jnp.int32).max), mode="drop")
+    )
+
+    count = count[:table_size]
+    psum = psum[:table_size]
+    ppsum = ppsum[:table_size]
+    rep = rep[:table_size]
+
+    safe = jnp.maximum(count, 1.0)
+    mean = psum / safe[:, None]
+    cov = ppsum / safe[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    return VoxelGrid(
+        count=count,
+        mean=mean,
+        cov=cov,
+        coords=rep,
+        resolution=jnp.asarray(resolution, jnp.float32),
+    )
+
+
+def voxel_downsample(
+    points: Array,
+    valid: Array,
+    leaf_size,
+    table_size: int = 1 << 15,
+) -> Tuple[Array, Array]:
+    """ApproximateVoxelGrid: one mean point per occupied voxel.
+
+    Returns (points (M, 3), valid (M,)) — the fixed-shape downsampled cloud.
+    """
+    grid = build_voxel_grid(points, valid, leaf_size, table_size)
+    return grid.mean, grid.occupied()
+
+
+def regularize_covariances(
+    cov: Array, mode: str = "plane", eps: float = 1e-3
+) -> Array:
+    """GICP covariance regularization.
+
+    ``plane`` (the GICP/VGICP default): eigenvalues are replaced by
+    (eps, 1, 1) — every distribution becomes a disc, so the cost measures
+    plane-to-plane distance. ``norm``: adds eps·trace/3·I (cheap fallback
+    that avoids the batched eigendecomposition).
+    """
+    if mode == "norm":
+        tr = jnp.trace(cov, axis1=-2, axis2=-1)[..., None, None]
+        return cov + eps * (tr / 3.0 + 1e-9) * jnp.eye(3, dtype=cov.dtype)
+    # Symmetrize for eigh stability.
+    sym = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    # eigh is ascending; replace eigenvalues with (eps, 1, 1).
+    vals, vecs = jnp.linalg.eigh(sym + 1e-9 * jnp.eye(3, dtype=cov.dtype))
+    new_vals = jnp.broadcast_to(
+        jnp.asarray([eps, 1.0, 1.0], cov.dtype), vals.shape
+    )
+    return jnp.einsum("...ij,...j,...kj->...ik", vecs, new_vals, vecs)
+
+
+def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
+    """Aggregate each occupied voxel's 3×3×3 neighborhood statistics.
+
+    Returns (count (M,), mean (M,3), cov (M,3,3)) where the moments pool the
+    voxel and its 26 face/edge/corner neighbors. This is the TPU-shaped
+    stand-in for fast_gicp's kNN-based per-point covariances: at fine
+    resolutions a single voxel holds too few points for a stable covariance
+    (degenerate distributions starve the solver of correspondences), while
+    the pooled neighborhood recovers the local surface orientation.
+
+    Neighbor lookups are hash gathers, collision-checked against the stored
+    representative coords.
+    """
+    m = grid.table_size
+    count_n = jnp.zeros_like(grid.count)
+    psum_n = jnp.zeros_like(grid.mean)
+    ppsum_n = jnp.zeros_like(grid.cov)
+
+    # Reconstruct raw sums from the stored moments.
+    psum = grid.mean * grid.count[:, None]
+    ppsum = (
+        grid.cov + grid.mean[:, :, None] * grid.mean[:, None, :]
+    ) * grid.count[:, None, None]
+
+    own_occ = grid.count > 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = jnp.asarray([dx, dy, dz], jnp.int32)
+                ncoords = grid.coords + off
+                idx = hash_coords(ncoords, m)
+                hit = (
+                    own_occ
+                    & (grid.count[idx] > 0)
+                    & jnp.all(grid.coords[idx] == ncoords, axis=-1)
+                )
+                w = hit.astype(jnp.float32)
+                count_n = count_n + w * grid.count[idx]
+                psum_n = psum_n + w[:, None] * psum[idx]
+                ppsum_n = ppsum_n + w[:, None, None] * ppsum[idx]
+
+    safe = jnp.maximum(count_n, 1.0)
+    mean_n = psum_n / safe[:, None]
+    cov_n = ppsum_n / safe[:, None, None] - mean_n[:, :, None] * mean_n[:, None, :]
+    return count_n, mean_n, cov_n
+
+
+def lookup_voxels(
+    grid: VoxelGrid, points: Array, min_points: float = 6.0
+) -> Tuple[Array, Array, Array]:
+    """Gather each query point's voxel statistics (VGICP DIRECT1 mode).
+
+    Returns (mean (N,3), cov (N,3,3), found (N,)) where ``found`` also
+    verifies the stored representative coords to reject hash collisions
+    with empty slots.
+    """
+    coords = voxel_coords(points, grid.resolution)
+    idx = hash_coords(coords, grid.table_size)
+    mean = grid.mean[idx]
+    cov = grid.cov[idx]
+    cnt = grid.count[idx]
+    rep = grid.coords[idx]
+    same_voxel = jnp.all(rep == coords, axis=-1)
+    found = (cnt >= min_points) & same_voxel
+    return mean, cov, found

@@ -1,0 +1,312 @@
+"""Registration service: continuous right→left transform estimation.
+
+Host-side orchestration equivalent of RegistrationNode
+(registration_node/src/registration_node.cpp): consumes synchronized
+depth-frame pairs at a low cadence, runs the VGICP solver with warm starts,
+gates implausible results, anneals resolution during the initial phase, and
+persists the calibration transform.
+
+The per-tick device work (filter → deproject → solve) is one jitted program;
+the gating/annealing state machine stays in Python (it runs at 0.5 Hz and
+mutates configuration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core import geometry as G
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.ops import filters as F
+from pointcloud_depthfusion_tpu.registration.gicp import (
+    GICPConfig,
+    GICPResult,
+    gicp_register,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class RegistrationSettings:
+    """registration_node/config/config_default.yaml equivalents."""
+
+    min_depth: float = 0.5
+    max_depth: float = 3.0
+    depth_scale_left: float = 0.001
+    depth_scale_right: float = 0.001
+    roi_left: Optional[Tuple[int, int, int, int]] = None
+    roi_right: Optional[Tuple[int, int, int, int]] = None
+
+    # Solver (config_default.yaml:15-29)
+    resolution: float = 0.01
+    voxelsize: float = 0.01
+    kernel_width: float = 0.005
+    kernel_max_dist: float = 0.025
+    max_iterations: int = 64  # scan length per tick; 1000 in the reference
+    rotation_epsilon: float = 2e-3
+    translation_epsilon: float = 1e-4
+    fitness_epsilon: float = 1e-12
+    table_size: int = 1 << 15
+
+    # Gating / annealing (registration_node.cpp:363-407, :485-530)
+    discard_transform: bool = True
+    reset_initial_guess: bool = True
+    adjust_resolution: bool = True
+    initial_resolution: float = 0.1
+    resolution_step: float = 0.05
+    voxel_resolution_factor: float = 0.1
+    cam_upside_down: bool = False
+
+    # Persistence (registration_node.cpp:96-105, :742-833)
+    transform_path: Optional[str] = None
+    load_transform: bool = False
+    save_transform: bool = False
+
+
+@dataclasses.dataclass
+class RegistrationTelemetry:
+    """Per-tick profiling row (registration profiling CSV schema:
+    euclidean_fitness, icp_duration, points_target, points_source)."""
+
+    fitness: float
+    icp_ms: float
+    target_points: int
+    source_points: int
+    discarded: bool
+    guess_reset: bool
+
+
+class RegistrationPipeline:
+    """Continuous right→left extrinsic calibration."""
+
+    def __init__(
+        self,
+        intrinsics_left: Intrinsics,
+        intrinsics_right: Intrinsics,
+        settings: Optional[RegistrationSettings] = None,
+    ):
+        self.settings = settings or RegistrationSettings()
+        self.intr_left = intrinsics_left
+        self.intr_right = intrinsics_right
+
+        s = self.settings
+        # cam_upside_down → initial guess 180° about Z
+        # (registration_node.cpp:153-160).
+        start = np.eye(4, dtype=np.float32)
+        if s.cam_upside_down:
+            start[:3, :3] = np.asarray(
+                G.euler_to_matrix(jnp.asarray([0.0, 0.0, np.pi]))
+            )
+        self.start_transform = start
+        self.initial_transform = start.copy()
+        self.last_transform = start.copy()
+        self.best_fitness = np.inf
+        self.initial_phase = True
+        self.current_resolution = s.initial_resolution if s.adjust_resolution else s.resolution
+        self.current_voxelsize = (
+            max(s.voxelsize, s.voxel_resolution_factor * self.current_resolution)
+            if s.adjust_resolution
+            else s.voxelsize
+        )
+        self.telemetry: list[RegistrationTelemetry] = []
+
+        if s.load_transform and s.transform_path:
+            loaded = load_transform_file(s.transform_path)
+            if loaded is not None:
+                self.initial_transform = loaded
+                self.last_transform = loaded.copy()
+
+        self._solve_cache: dict = {}
+
+    # -- device programs ---------------------------------------------------
+
+    @functools.lru_cache(maxsize=None)
+    def _cloud_fn(self, which: str):
+        intr = self.intr_left if which == "left" else self.intr_right
+        roi = self.settings.roi_left if which == "left" else self.settings.roi_right
+        s = self.settings
+
+        @jax.jit
+        def to_cloud(depth_u16, depth_scale):
+            d, valid = F.filter_depth(
+                depth_u16, depth_scale, s.min_depth, s.max_depth, roi
+            )
+            pts, valid = G.deproject(
+                d.astype(jnp.float32) * depth_scale, intr, valid
+            )
+            return pts.reshape(-1, 3), valid.reshape(-1)
+
+        return to_cloud
+
+    def _make_config(self) -> GICPConfig:
+        s = self.settings
+        # Kernel parameters follow the active resolution — the reference's
+        # setResolution rule (kernel_width = res/2, max_dist = 2.5·res,
+        # registration_node.cpp:859-865). Keeping a fine kernel_width during
+        # coarse annealing zeroes the long-range correspondence weights and
+        # stalls the solver (measured: stuck at 0.34 m error).
+        kernel_width = self.current_resolution / 2.0
+        kernel_max_dist = 2.5 * self.current_resolution
+        # Damping follows scale like default_multiscale_configs.
+        damping = float(np.clip(0.25 * self.current_resolution / max(s.resolution, 1e-6) * s.resolution, 0.01, 0.1))
+        return GICPConfig.create(
+            resolution=self.current_resolution,
+            voxel_size=self.current_voxelsize,
+            rotation_eps=s.rotation_epsilon,
+            translation_eps=s.translation_epsilon,
+            fitness_eps=s.fitness_epsilon,
+            kernel_width=kernel_width,
+            kernel_max_dist=kernel_max_dist,
+            max_iterations=s.max_iterations,
+            table_size=s.table_size,
+            damping=damping,
+        )
+
+    # -- the per-tick entry point -----------------------------------------
+
+    def tick(
+        self,
+        depth_left_u16,
+        depth_right_u16,
+    ) -> np.ndarray:
+        """One registration tick: returns the current right→left 4×4.
+
+        Left is the target, right the source (the published transform maps
+        right-camera points into the left frame,
+        registration_node.cpp:532-545).
+        """
+        import time
+
+        s = self.settings
+        t0 = time.perf_counter()
+
+        left_cloud, left_valid = self._cloud_fn("left")(
+            jnp.asarray(depth_left_u16, jnp.uint16),
+            jnp.asarray(s.depth_scale_left, jnp.float32),
+        )
+        right_cloud, right_valid = self._cloud_fn("right")(
+            jnp.asarray(depth_right_u16, jnp.uint16),
+            jnp.asarray(s.depth_scale_right, jnp.float32),
+        )
+
+        config = self._make_config()
+        result: GICPResult = gicp_register(
+            right_cloud,
+            right_valid,
+            left_cloud,
+            left_valid,
+            jnp.asarray(self.initial_transform, jnp.float32),
+            config,
+        )
+        final = np.asarray(result.transform, np.float64)
+        fitness = float(result.fitness)
+        icp_ms = (time.perf_counter() - t0) * 1e3
+
+        discarded = False
+        guess_reset = False
+
+        # --- transform gating (registration_node.cpp:363-393) -----------
+        if s.discard_transform:
+            x_lim, y_lim, z_lim = 30.0, 2.0, 2.0
+            if s.cam_upside_down:
+                y_lim = 180.0 - y_lim
+            euler = np.rad2deg(
+                np.asarray(G.extract_euler_angles(jnp.asarray(final[:3, :3])))
+            )
+            angles_fit = (
+                abs(euler[0]) < x_lim
+                and abs(euler[1]) < y_lim
+                and abs(euler[2]) < z_lim
+            )
+            if fitness < self.best_fitness and angles_fit:
+                self.best_fitness = fitness
+            else:
+                final = self.initial_transform.astype(np.float64)
+                self.best_fitness *= 1.5  # decay escape hatch
+                discarded = True
+
+        # --- guess reset (registration_node.cpp:396-407) -----------------
+        if s.reset_initial_guess:
+            if fitness > self.current_resolution * 10.0:
+                final = self.start_transform.astype(np.float64)
+                guess_reset = True
+
+        self.last_transform = final.astype(np.float32)
+        self.initial_transform = final.astype(np.float32)  # warm start
+
+        # --- resolution annealing (registration_node.cpp:485-530) --------
+        if s.adjust_resolution and self.initial_phase:
+            if self.current_resolution - s.resolution_step > s.resolution:
+                self.current_resolution -= s.resolution_step
+            else:
+                self.current_resolution = s.resolution
+            if (
+                self.current_resolution * s.voxel_resolution_factor
+                > s.voxelsize
+            ):
+                self.current_voxelsize = (
+                    s.voxel_resolution_factor * self.current_resolution
+                )
+            else:
+                self.current_voxelsize = s.voxelsize
+            if (
+                self.current_resolution <= s.resolution
+                and self.current_voxelsize <= s.voxelsize
+            ):
+                self.initial_phase = False
+
+        self.telemetry.append(
+            RegistrationTelemetry(
+                fitness=fitness,
+                icp_ms=icp_ms,
+                target_points=int(jnp.sum(left_valid)),
+                source_points=int(jnp.sum(right_valid)),
+                discarded=discarded,
+                guess_reset=guess_reset,
+            )
+        )
+        return self.last_transform
+
+    def close(self) -> None:
+        s = self.settings
+        if s.save_transform and s.transform_path:
+            save_transform_file(s.transform_path, self.last_transform)
+
+    def write_profiling_csv(self, path: str) -> None:
+        """CSV with the reference schema (registration_node.cpp:429-460)."""
+        with open(path, "w") as fh:
+            fh.write("euclidean_fitness,icp_duration,points_target,points_source\n")
+            for row in self.telemetry:
+                fh.write(
+                    f"{row.fitness},{row.icp_ms},{row.target_points},{row.source_points}\n"
+                )
+
+
+# --------------------------------------------------------------------------
+# Transform persistence (whitespace-separated 4×4 text, like
+# registration_node.cpp:742-833)
+# --------------------------------------------------------------------------
+
+
+def save_transform_file(path: str, transform: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savetxt(path, np.asarray(transform, np.float64).reshape(4, 4))
+
+
+def load_transform_file(path: str) -> Optional[np.ndarray]:
+    """Load a 4×4; identity fallback on failure matches the reference."""
+    try:
+        m = np.loadtxt(path).reshape(4, 4).astype(np.float32)
+        if not np.all(np.isfinite(m)):
+            return None
+        return m
+    except Exception:
+        return None

@@ -253,26 +253,44 @@ def voxel_downsample_oracle(points, leaf):
 
 
 def make_bunny_like_cloud(n=4000, seed=0):
-    """Synthetic structured test cloud (sphere + plane + noise) standing in
+    """Synthetic structured, deliberately asymmetric test cloud standing in
     for the reference's Stanford-bunny golden data
-    (registration_node/data/icp_testdata)."""
+    (registration_node/data/icp_testdata). Asymmetry matters: a symmetric
+    object gives rigid registration spurious minima.
+    """
     rng = np.random.default_rng(seed)
-    # Hemisphere shell
-    phi = rng.uniform(0, np.pi / 2, n // 2)
-    theta = rng.uniform(0, 2 * np.pi, n // 2)
-    r = 0.3 + rng.normal(0, 0.003, n // 2)
+    n_s = n // 3
+    n_b = n // 6
+    n_r = n // 6
+    n_p = n - n_s - n_b - n_r
+    # Off-center hemisphere shell
+    phi = rng.uniform(0, np.pi / 2, n_s)
+    theta = rng.uniform(0, 2 * np.pi, n_s)
+    r = 0.3 + rng.normal(0, 0.003, n_s)
     sphere = np.stack(
         [r * np.sin(phi) * np.cos(theta), r * np.sin(phi) * np.sin(theta), r * np.cos(phi)],
         -1,
+    ) + np.array([0.12, -0.05, 0.0])
+    # Small bump near one corner
+    phi2 = rng.uniform(0, np.pi / 2, n_b)
+    th2 = rng.uniform(0, 2 * np.pi, n_b)
+    bump = 0.12 * np.stack(
+        [np.sin(phi2) * np.cos(th2), np.sin(phi2) * np.sin(th2), np.cos(phi2)], -1
+    ) + np.array([-0.35, 0.3, 0.0])
+    # A ridge (half-cylinder) along one edge
+    tx = rng.uniform(-0.45, 0.1, n_r)
+    ang = rng.uniform(0, np.pi, n_r)
+    ridge = np.stack(
+        [tx, -0.38 + 0.07 * np.cos(ang), 0.07 * np.sin(ang)], -1
     )
-    # Ground plane patch
+    # Rectangular ground patch (not square)
     plane = np.stack(
         [
-            rng.uniform(-0.5, 0.5, n - n // 2),
-            rng.uniform(-0.5, 0.5, n - n // 2),
-            rng.normal(0, 0.002, n - n // 2),
+            rng.uniform(-0.5, 0.5, n_p),
+            rng.uniform(-0.42, 0.42, n_p),
+            rng.normal(0, 0.002, n_p),
         ],
         -1,
     )
-    cloud = np.concatenate([sphere, plane]) + np.array([0.0, 0.0, 1.0])
+    cloud = np.concatenate([sphere, bump, ridge, plane]) + np.array([0.0, 0.0, 1.0])
     return cloud.astype(np.float32)

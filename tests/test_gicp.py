@@ -1,0 +1,125 @@
+"""VGICP solver tests: golden bunny-like pair + frame-pair registration.
+
+The reference validates its solver on a Stanford-bunny pair with a known
+15°-about-Y + 0.5 m-in-X offset (registration_node.cpp:285-295, filename
+encodes the answer). We reproduce that exact protocol on a synthetic
+structured cloud.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core import geometry as G
+from pointcloud_depthfusion_tpu.registration.gicp import (
+    GICPConfig,
+    default_multiscale_configs,
+    gicp_register,
+    gicp_register_multiscale,
+)
+
+import oracles
+
+
+def apply(t, pts):
+    return pts @ t[:3, :3].T + t[:3, 3]
+
+
+def known_transform(angle_y_deg=15.0, tx=0.5):
+    a = np.deg2rad(angle_y_deg)
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    t[0, 3] = tx
+    return t
+
+
+def test_bunny_pair_golden():
+    target = oracles.make_bunny_like_cloud(4000)
+    t_true = known_transform(15.0, 0.5)
+    # source = target moved by t_true ⇒ solver must recover inv(t_true)
+    source = apply(t_true, target).astype(np.float32)
+
+    # Half-meter cold start needs the coarse-to-fine ladder, exactly like
+    # the reference's adjust_resolution schedule.
+    cfgs = default_multiscale_configs(
+        resolution=0.05, voxel_size=0.02, coarse_start=0.4, steps=4,
+        max_iterations=32, kernel_width=0.0,
+    )
+    res = gicp_register_multiscale(
+        jnp.asarray(source), jnp.ones(len(source), bool),
+        jnp.asarray(target), jnp.ones(len(target), bool),
+        jnp.eye(4, dtype=jnp.float32), cfgs,
+    )
+    got = np.asarray(res.transform)
+    want = np.linalg.inv(t_true)
+    # rotation error (deg) and translation error (m)
+    dr = got[:3, :3] @ want[:3, :3].T
+    ang = np.rad2deg(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+    terr = np.linalg.norm(got[:3, 3] - want[:3, 3])
+    assert ang < 0.6, (ang, terr)
+    assert terr < 0.01, (ang, terr)
+    assert float(res.fitness) < 1e-3
+
+
+def test_warm_start_converges_faster():
+    target = oracles.make_bunny_like_cloud(3000)
+    t_true = known_transform(10.0, 0.3)
+    source = apply(t_true, target).astype(np.float32)
+    config = GICPConfig.create(resolution=0.1, voxel_size=0.02, max_iterations=40,
+                               kernel_width=0.0)
+    cold = gicp_register(
+        jnp.asarray(source), jnp.ones(len(source), bool),
+        jnp.asarray(target), jnp.ones(len(target), bool),
+        jnp.eye(4, dtype=jnp.float32), config,
+    )
+    warm = gicp_register(
+        jnp.asarray(source), jnp.ones(len(source), bool),
+        jnp.asarray(target), jnp.ones(len(target), bool),
+        jnp.asarray(np.linalg.inv(t_true)), config,
+    )
+    want = np.linalg.inv(t_true)
+    warm_err = np.linalg.norm(np.asarray(warm.transform)[:3, 3] - want[:3, 3])
+    cold_err = np.linalg.norm(np.asarray(cold.transform)[:3, 3] - want[:3, 3])
+    # The warm start must at least not end up worse than the cold start.
+    assert warm_err <= cold_err + 5e-3, (warm_err, cold_err)
+    assert warm_err < 0.02, warm_err
+
+
+def test_identity_registration_stays_near_identity():
+    # VGICP's identity is not an exact stationary point (the rotational
+    # gradient of the voxel-mean residuals is nonzero at finite resolution),
+    # so allow drift of O(resolution/10) like the reference solver exhibits.
+    target = oracles.make_bunny_like_cloud(2000)
+    config = GICPConfig.create(resolution=0.05, voxel_size=0.01, max_iterations=20,
+                               kernel_width=0.0)
+    res = gicp_register(
+        jnp.asarray(target), jnp.ones(len(target), bool),
+        jnp.asarray(target), jnp.ones(len(target), bool),
+        jnp.eye(4, dtype=jnp.float32), config,
+    )
+    got = np.asarray(res.transform)
+    ang = np.rad2deg(np.arccos(np.clip((np.trace(got[:3, :3]) - 1) / 2, -1, 1)))
+    assert ang < 1.0, ang
+    assert np.linalg.norm(got[:3, 3]) < 0.01
+    assert bool(res.converged)
+
+
+def test_masked_points_ignored(rng):
+    target = oracles.make_bunny_like_cloud(2000)
+    t_true = known_transform(8.0, 0.2)
+    source = apply(t_true, target).astype(np.float32)
+    # poison half the source array, mark invalid
+    junk = rng.uniform(-50, 50, source.shape).astype(np.float32)
+    source_all = np.concatenate([source, junk])
+    valid = np.concatenate([np.ones(len(source), bool), np.zeros(len(junk), bool)])
+    cfgs = default_multiscale_configs(
+        resolution=0.05, voxel_size=0.02, coarse_start=0.3, steps=3,
+        max_iterations=32, kernel_width=0.0,
+    )
+    res = gicp_register_multiscale(
+        jnp.asarray(source_all), jnp.asarray(valid),
+        jnp.asarray(target), jnp.ones(len(target), bool),
+        jnp.eye(4, dtype=jnp.float32), cfgs,
+    )
+    got = np.asarray(res.transform)
+    want = np.linalg.inv(t_true)
+    assert np.linalg.norm(got[:3, 3] - want[:3, 3]) < 0.02

@@ -1,0 +1,115 @@
+"""Registration service tests on synthetic depth-frame pairs."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.io.synthetic import (
+    SyntheticScene,
+    right_to_left_transform,
+    two_camera_rig,
+)
+from pointcloud_depthfusion_tpu.registration.pipeline import (
+    RegistrationPipeline,
+    RegistrationSettings,
+    load_transform_file,
+    save_transform_file,
+)
+
+
+W, H = 106, 60
+
+
+def small_intr():
+    return Intrinsics.create(W, H, fx=80.0, fy=80.0, ppx=W / 2, ppy=H / 2)
+
+
+def make_depth_pair(noise=0.002):
+    scene = SyntheticScene()
+    intr = small_intr()
+    wl, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    fl = scene.render(intr, wl, depth_noise_std=noise, seed=3)
+    fr = scene.render(intr, wr, depth_noise_std=noise, seed=4)
+    return fl.depth, fr.depth, right_to_left_transform(wl, wr), intr
+
+
+def test_registration_converges_over_ticks():
+    dl, dr, t_true, intr = make_depth_pair()
+    settings = RegistrationSettings(
+        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+        resolution_step=0.05, max_iterations=48, discard_transform=False,
+        reset_initial_guess=False,
+    )
+    pipe = RegistrationPipeline(intr, intr, settings)
+    for _ in range(5):  # annealing schedule: 0.12 → 0.07 → 0.02
+        t = pipe.tick(dl, dr)
+    err_t = np.linalg.norm(t[:3, 3] - t_true[:3, 3])
+    dr_mat = t[:3, :3] @ t_true[:3, :3].T
+    ang = np.rad2deg(np.arccos(np.clip((np.trace(dr_mat) - 1) / 2, -1, 1)))
+    assert err_t < 0.02, (err_t, ang)
+    assert ang < 1.5, (err_t, ang)
+    assert not pipe.initial_phase
+    assert len(pipe.telemetry) == 5
+    assert pipe.telemetry[-1].fitness < pipe.telemetry[0].fitness * 2
+
+
+def test_gating_discards_implausible(tmp_path):
+    dl, dr, t_true, intr = make_depth_pair()
+    settings = RegistrationSettings(
+        resolution=0.05, voxelsize=0.02, adjust_resolution=False,
+        max_iterations=8, discard_transform=True,
+    )
+    pipe = RegistrationPipeline(intr, intr, settings)
+    pipe.best_fitness = 1e-12  # force every result to be "worse"
+    before = pipe.initial_transform.copy()
+    pipe.tick(dl, dr)
+    # discarded → transform unchanged, best_fitness decayed
+    np.testing.assert_array_equal(pipe.last_transform, before)
+    assert pipe.telemetry[-1].discarded
+    assert pipe.best_fitness > 1e-12
+
+
+def test_guess_reset_on_registration_failure():
+    # An empty source frame yields zero correspondences → fitness is the
+    # failure sentinel (f32 max) → the initial guess resets to start
+    # (registration_node.cpp:396-407 semantics).
+    dl, dr, t_true, intr = make_depth_pair()
+    settings = RegistrationSettings(
+        resolution=0.05, voxelsize=0.02, adjust_resolution=False,
+        max_iterations=2, discard_transform=False, reset_initial_guess=True,
+    )
+    pipe = RegistrationPipeline(intr, intr, settings)
+    pipe.initial_transform = np.diag([1.0, 1, 1, 1]).astype(np.float32)
+    pipe.initial_transform[0, 3] = 0.7  # non-start warm state
+    empty = np.zeros_like(dr)
+    pipe.tick(dl, empty)
+    assert pipe.telemetry[-1].guess_reset
+    np.testing.assert_array_equal(pipe.last_transform, pipe.start_transform)
+
+
+def test_transform_save_load_roundtrip(tmp_path):
+    path = str(tmp_path / "transform.txt")
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [0.1, -0.2, 0.3]
+    save_transform_file(path, t)
+    loaded = load_transform_file(path)
+    np.testing.assert_allclose(loaded, t, atol=1e-7)
+    # corrupt file → None (identity fallback semantics)
+    with open(path, "w") as fh:
+        fh.write("not a matrix")
+    assert load_transform_file(path) is None
+
+
+def test_profiling_csv(tmp_path):
+    dl, dr, _, intr = make_depth_pair()
+    settings = RegistrationSettings(
+        resolution=0.05, voxelsize=0.02, adjust_resolution=False, max_iterations=4,
+        discard_transform=False, reset_initial_guess=False,
+    )
+    pipe = RegistrationPipeline(intr, intr, settings)
+    pipe.tick(dl, dr)
+    path = str(tmp_path / "prof.csv")
+    pipe.write_profiling_csv(path)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "euclidean_fitness,icp_duration,points_target,points_source"
+    assert len(lines) == 2

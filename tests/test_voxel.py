@@ -1,0 +1,67 @@
+"""Voxel grid / downsampling tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.ops import voxel as V
+
+import oracles
+
+
+def test_downsample_matches_oracle(rng):
+    pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    leaf = 0.2
+    mean, mask = V.voxel_downsample(jnp.asarray(pts), jnp.ones(500, bool), leaf)
+    got = np.asarray(mean)[np.asarray(mask)]
+    want = oracles.voxel_downsample_oracle(pts, leaf)
+    # hash collisions merge a couple of voxels at the birthday bound
+    assert want.shape[0] - got.shape[0] <= 4
+    # every non-collided output equals some oracle voxel mean
+    d = np.linalg.norm(got[:, None] - want[None], axis=-1).min(1)
+    assert (np.sort(d)[: len(got) - 4] < 1e-5).all()
+
+
+def test_grid_statistics(rng):
+    # all points in one voxel: mean/cov must match numpy
+    pts = (rng.normal(0, 0.01, (200, 3)) + np.array([0.55, 0.55, 0.55])).astype(
+        np.float32
+    )
+    grid = V.build_voxel_grid(jnp.asarray(pts), jnp.ones(200, bool), 1.0)
+    occ = np.asarray(grid.occupied())
+    assert occ.sum() == 1
+    i = int(np.argmax(occ))
+    np.testing.assert_allclose(np.asarray(grid.mean)[i], pts.mean(0), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grid.cov)[i], np.cov(pts.T, bias=True), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(grid.coords)[i], [0, 0, 0])
+
+
+def test_lookup_hits_and_misses(rng):
+    pts = rng.uniform(0, 1, (300, 3)).astype(np.float32) * 0.09  # single voxel at 0.1
+    grid = V.build_voxel_grid(jnp.asarray(pts), jnp.ones(300, bool), 0.1)
+    q = jnp.asarray([[0.05, 0.05, 0.05], [0.95, 0.5, 0.5]], jnp.float32)
+    mean, cov, found = V.lookup_voxels(grid, q, min_points=10)
+    found = np.asarray(found)
+    assert found[0] and not found[1]
+    np.testing.assert_allclose(np.asarray(mean)[0], pts.mean(0), atol=1e-5)
+
+
+def test_invalid_points_dropped(rng):
+    pts = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    valid = np.zeros(100, bool)
+    grid = V.build_voxel_grid(jnp.asarray(pts), jnp.asarray(valid), 0.2)
+    assert not bool(np.asarray(grid.occupied()).any())
+
+
+def test_regularize_plane():
+    cov = jnp.asarray(np.diag([1e-8, 0.04, 0.09])[None], jnp.float32)
+    reg = np.asarray(V.regularize_covariances(cov, "plane", eps=1e-3))[0]
+    vals = np.linalg.eigvalsh(reg)
+    np.testing.assert_allclose(sorted(vals), [1e-3, 1.0, 1.0], atol=1e-4)
+
+
+def test_regularize_norm():
+    cov = jnp.asarray(np.diag([0.0, 0.0, 3.0])[None], jnp.float32)
+    reg = np.asarray(V.regularize_covariances(cov, "norm", eps=1e-3))[0]
+    assert reg[0, 0] > 0 and reg[1, 1] > 0

@@ -1,0 +1,133 @@
+"""Debug artifact dumps: PNG images and PLY point clouds.
+
+The reference's `save_data`/`save_pointclouds` debug paths write every
+intermediate as PNG (pcl::io::saveShortPNGFile, depth_frame.cpp:201-228) and
+PLY (registration_node.cpp:344-350). Equivalents here via PIL and a small
+PLY writer (binary_little_endian or ascii).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+
+def save_png(path: str, image: np.ndarray) -> None:
+    """Save uint8 RGB/L or uint16 L images (PNG 16-bit for depth)."""
+    from PIL import Image  # noqa: PLC0415
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.asarray(image)
+    if arr.dtype == np.uint16:
+        Image.fromarray(arr, mode="I;16").save(path)
+    else:
+        Image.fromarray(arr).save(path)
+
+
+def load_png(path: str) -> np.ndarray:
+    from PIL import Image  # noqa: PLC0415
+
+    img = Image.open(path)
+    arr = np.asarray(img)
+    if arr.dtype == np.int32:  # PIL loads 16-bit as I (int32)
+        arr = arr.astype(np.uint16)
+    return arr
+
+
+def save_ply(
+    path: str,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    binary: bool = True,
+) -> None:
+    """Write an (N, 3) float cloud (+optional uint8 colors) as PLY."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    n = pts.shape[0]
+    has_color = colors is not None
+    if has_color:
+        cols = np.asarray(colors, np.uint8).reshape(-1, 3)
+        assert cols.shape[0] == n
+
+    fmt = "binary_little_endian" if binary else "ascii"
+    header = [
+        "ply",
+        f"format {fmt} 1.0",
+        f"element vertex {n}",
+        "property float x",
+        "property float y",
+        "property float z",
+    ]
+    if has_color:
+        header += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+        ]
+    header.append("end_header")
+
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(header) + "\n").encode())
+        if binary:
+            if has_color:
+                rec = np.zeros(
+                    n,
+                    dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)],
+                )
+                rec["xyz"] = pts
+                rec["rgb"] = cols
+                fh.write(rec.tobytes())
+            else:
+                fh.write(pts.astype("<f4").tobytes())
+        else:
+            for i in range(n):
+                line = f"{pts[i,0]} {pts[i,1]} {pts[i,2]}"
+                if has_color:
+                    line += f" {cols[i,0]} {cols[i,1]} {cols[i,2]}"
+                fh.write((line + "\n").encode())
+
+
+def load_ply(path: str) -> np.ndarray:
+    """Minimal PLY reader for x/y/z (float32) vertices, ascii or binary."""
+    with open(path, "rb") as fh:
+        header = []
+        while True:
+            line = fh.readline().decode("ascii", errors="replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = 0
+        fmt = "ascii"
+        props = []
+        for line in header:
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            elif line.startswith("property") and "vertex" in "".join(header[: header.index(line)]):
+                props.append(line.split())
+        if fmt == "ascii":
+            pts = []
+            for _ in range(n):
+                vals = fh.readline().split()
+                pts.append([float(v) for v in vals[:3]])
+            return np.asarray(pts, np.float32)
+        # binary little endian: parse property list sizes
+        type_sizes = {
+            "float": 4, "float32": 4, "double": 8, "float64": 8,
+            "uchar": 1, "uint8": 1, "char": 1, "int8": 1,
+            "short": 2, "ushort": 2, "int": 4, "uint": 4,
+        }
+        prop_types = [p[1] for p in props if len(p) == 3]
+        if not prop_types:
+            prop_types = ["float", "float", "float"]
+        rec_size = sum(type_sizes[t] for t in prop_types)
+        raw = fh.read(n * rec_size)
+        out = np.zeros((n, 3), np.float32)
+        for i in range(n):
+            off = i * rec_size
+            out[i] = struct.unpack_from("<3f", raw, off)
+        return out

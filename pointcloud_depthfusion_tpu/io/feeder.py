@@ -1,0 +1,273 @@
+"""Host-side streaming fabric: sources, temporal pairing, async device feed.
+
+This is the TPU-native replacement for the reference's ROS2/DDS transport
+(SURVEY.md §2.8): typed topics become Python callbacks/queues, the
+ApproximateTime message filter becomes :class:`ApproximateTimePairer`, and
+the double-buffered capture loop (camera_node.cpp:315-333) becomes
+:class:`DeviceFeeder`, a background thread that uploads the next host frame
+pair while the device computes on the current one.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Deque, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.core.frameset import Frameset, HostFrameset
+from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+class FramesetSource:
+    """A stream of HostFramesets (the capture-device abstraction).
+
+    Implementations: SyntheticSource (parametric scene), RecordedSource
+    (npz dataset, io/recorded.py). A real-sensor backend would slot in here;
+    live USB capture is out of scope on TPU hosts (SURVEY.md §2.7 item 6).
+    """
+
+    def next_frame(self) -> Optional[HostFrameset]:
+        raise NotImplementedError
+
+    @property
+    def intrinsics(self) -> Intrinsics:
+        raise NotImplementedError
+
+
+class SyntheticSource(FramesetSource):
+    """Deterministic synthetic stream with optional per-frame camera motion
+    and timestamp jitter (models real sensors' non-ideal cadence)."""
+
+    def __init__(
+        self,
+        scene: SyntheticScene,
+        intr: Intrinsics,
+        world_from_cam: np.ndarray,
+        fps: float = 30.0,
+        depth_noise_std: float = 0.002,
+        hole_fraction: float = 0.01,
+        timestamp_jitter_s: float = 0.0,
+        motion: Optional[Callable[[int], np.ndarray]] = None,
+        seed: int = 0,
+        start_time: float = 0.0,
+    ):
+        self.scene = scene
+        self._intr = intr
+        self.pose = np.asarray(world_from_cam)
+        self.fps = fps
+        self.depth_noise_std = depth_noise_std
+        self.hole_fraction = hole_fraction
+        self.jitter = timestamp_jitter_s
+        self.motion = motion
+        self.rng = np.random.default_rng(seed)
+        self.frame_idx = 0
+        self.start_time = start_time
+
+    @property
+    def intrinsics(self) -> Intrinsics:
+        return self._intr
+
+    def next_frame(self) -> HostFrameset:
+        t = self.start_time + self.frame_idx / self.fps
+        if self.jitter > 0:
+            t += float(self.rng.normal(0, self.jitter))
+        pose = self.motion(self.frame_idx) if self.motion else self.pose
+        fs = self.scene.render(
+            self._intr,
+            pose,
+            timestamp=t,
+            depth_noise_std=self.depth_noise_std,
+            hole_fraction=self.hole_fraction,
+            seed=int(self.rng.integers(0, 2**31)),
+        )
+        self.frame_idx += 1
+        return fs
+
+
+# ---------------------------------------------------------------------------
+# ApproximateTime pairing
+# ---------------------------------------------------------------------------
+
+
+class ApproximateTimePairer:
+    """Pair two timestamped streams, emitting the closest-stamp pairs.
+
+    Semantics follow message_filters ApproximateTime as configured by the
+    reference (queue 10, max interval 17 ms, fusion_node.cpp:221-228):
+    bounded per-stream queues drop the oldest entry; a pair is emitted when
+    the best available match is within ``max_interval_s``, consuming both
+    entries and everything older.
+    """
+
+    def __init__(self, max_interval_s: float = 0.017, queue_size: int = 10):
+        self.max_interval_s = max_interval_s
+        self.queue_size = queue_size
+        self.queues: Tuple[Deque[HostFrameset], Deque[HostFrameset]] = (
+            collections.deque(),
+            collections.deque(),
+        )
+        self.dropped = 0
+        self.emitted = 0
+
+    def push(self, stream: int, frame: HostFrameset) -> List[Tuple[HostFrameset, HostFrameset]]:
+        """Add a frame; returns zero or more matched pairs."""
+        q = self.queues[stream]
+        q.append(frame)
+        if len(q) > self.queue_size:
+            q.popleft()
+            self.dropped += 1
+        return self._drain()
+
+    def _drain(self) -> List[Tuple[HostFrameset, HostFrameset]]:
+        out = []
+        qa, qb = self.queues
+        while qa and qb:
+            # Best match for the head of the older queue.
+            best = None
+            best_dt = None
+            for i, fa in enumerate(qa):
+                for j, fb in enumerate(qb):
+                    dt = abs(fa.timestamp - fb.timestamp)
+                    if best_dt is None or dt < best_dt:
+                        best_dt = dt
+                        best = (i, j)
+            if best is None or best_dt is None or best_dt > self.max_interval_s:
+                # If queues are saturated with unmatchable data, drop the
+                # oldest overall to make progress.
+                if len(qa) >= self.queue_size or len(qb) >= self.queue_size:
+                    (qa if qa[0].timestamp <= qb[0].timestamp else qb).popleft()
+                    self.dropped += 1
+                    continue
+                break
+            i, j = best
+            fa, fb = qa[i], qb[j]
+            for _ in range(i + 1):
+                qa.popleft()
+            for _ in range(j + 1):
+                qb.popleft()
+            self.dropped += i + j
+            self.emitted += 1
+            out.append((fa, fb))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Async device feeder (double buffering)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DevicePair:
+    left: Frameset
+    right: Frameset
+    host_left: HostFrameset
+    host_right: HostFrameset
+
+
+class DeviceFeeder:
+    """Background thread: capture → pair → device_put, one pair ahead.
+
+    The capture/upload of frame N+1 overlaps the device compute of frame N —
+    the async analogue of the reference's double-buffered std::async fan-out
+    (camera_node.cpp:315-343). ``get()`` blocks for the next ready pair.
+    """
+
+    def __init__(
+        self,
+        source_left: FramesetSource,
+        source_right: FramesetSource,
+        pairer: Optional[ApproximateTimePairer] = None,
+        depth: int = 2,
+        device: Optional[jax.Device] = None,
+    ):
+        self.source_left = source_left
+        self.source_right = source_right
+        self.pairer = pairer or ApproximateTimePairer()
+        self.device = device
+        self._q: "queue.Queue[Optional[DevicePair]]" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+
+    def _upload(self, host: HostFrameset, intr: Intrinsics) -> Frameset:
+        fs = Frameset.create(
+            host.depth,
+            host.color,
+            intr,
+            depth_scale=host.depth_scale,
+            timestamp=host.timestamp,
+        )
+        if self.device is not None:
+            fs = jax.device_put(fs, self.device)
+        return fs
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            fl = self.source_left.next_frame()
+            fr = self.source_right.next_frame()
+            if fl is None or fr is None:
+                self._q.put(None)
+                return
+            pairs = []
+            pairs += self.pairer.push(0, fl)
+            pairs += self.pairer.push(1, fr)
+            for hl, hr in pairs:
+                pair = DevicePair(
+                    left=self._upload(hl, self.source_left.intrinsics),
+                    right=self._upload(hr, self.source_right.intrinsics),
+                    host_left=hl,
+                    host_right=hr,
+                )
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(pair, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+    def start(self) -> "DeviceFeeder":
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        return self
+
+    def get(self, timeout: Optional[float] = None) -> Optional[DevicePair]:
+        """Next synchronized device-resident pair (None = end of stream)."""
+        if not self._started:
+            self.start()
+        return self._q.get(timeout=timeout)
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        if self._started:
+            self._thread.join(timeout=2.0)
+
+    def __enter__(self) -> "DeviceFeeder":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def __iter__(self) -> Iterator[DevicePair]:
+        while True:
+            pair = self.get()
+            if pair is None:
+                return
+            yield pair

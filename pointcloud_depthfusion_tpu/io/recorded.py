@@ -1,0 +1,87 @@
+"""Recorded frameset datasets: capture-to-disk and playback.
+
+The reference streams live cameras only; for reproducible benchmarks and
+offline runs this module records synchronized frameset streams into a single
+``.npz`` (depth uint16, color uint8, timestamps, intrinsics) and plays them
+back as a :class:`FramesetSource`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+from pointcloud_depthfusion_tpu.io.feeder import FramesetSource
+
+
+def record_dataset(path: str, frames: List[HostFrameset], intr: Intrinsics) -> None:
+    np.savez_compressed(
+        path,
+        depth=np.stack([f.depth for f in frames]),
+        color=np.stack([f.color for f in frames]),
+        timestamps=np.asarray([f.timestamp for f in frames], np.float64),
+        depth_scale=np.asarray([frames[0].depth_scale], np.float64),
+        intrinsics=np.asarray(
+            [
+                intr.width,
+                intr.height,
+                float(intr.fx),
+                float(intr.fy),
+                float(intr.ppx),
+                float(intr.ppy),
+            ],
+            np.float64,
+        ),
+        coeffs=np.asarray(intr.coeffs, np.float64),
+        model=np.asarray([int(intr.model)], np.int64),
+    )
+
+
+class RecordedSource(FramesetSource):
+    """Plays back a recorded .npz dataset, optionally looping."""
+
+    def __init__(self, path: str, loop: bool = False):
+        data = np.load(path)
+        self.depth = data["depth"]
+        self.color = data["color"]
+        self.timestamps = data["timestamps"]
+        self.depth_scale = float(data["depth_scale"][0])
+        w, h, fx, fy, ppx, ppy = data["intrinsics"]
+        self._intr = Intrinsics.create(
+            int(w), int(h), fx=fx, fy=fy, ppx=ppx, ppy=ppy,
+            model=int(data["model"][0]), coeffs=tuple(data["coeffs"]),
+        )
+        self.loop = loop
+        self.idx = 0
+        self._loop_offset = 0.0
+        if len(self.timestamps) > 1:
+            self._period = float(np.median(np.diff(self.timestamps)))
+        else:
+            self._period = 1.0 / 30.0
+
+    @property
+    def intrinsics(self) -> Intrinsics:
+        return self._intr
+
+    def __len__(self) -> int:
+        return len(self.timestamps)
+
+    def next_frame(self) -> Optional[HostFrameset]:
+        if self.idx >= len(self.timestamps):
+            if not self.loop:
+                return None
+            self._loop_offset += (
+                self.timestamps[-1] - self.timestamps[0] + self._period
+            )
+            self.idx = 0
+        i = self.idx
+        self.idx += 1
+        return HostFrameset(
+            depth=self.depth[i],
+            color=self.color[i],
+            timestamp=float(self.timestamps[i]) + self._loop_offset,
+            depth_scale=self.depth_scale,
+        )

@@ -1,0 +1,154 @@
+"""Camera node: frameset acquisition + calibration service.
+
+Equivalent of the reference camera_node (camera_node/src/camera_node.cpp):
+wraps a FramesetSource (synthetic/recorded; live capture out of scope on TPU
+hosts), serves camera parameters (the GetCameraParameters service,
+camera_node.cpp:377-386), publishes framesets and depth images to
+subscribers, and reports FPS. Runs pull-based inside a DeviceFeeder or
+push-based via :meth:`spin` on a thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import (
+    CameraInfo,
+    Extrinsics,
+    Intrinsics,
+)
+from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+from pointcloud_depthfusion_tpu.io.feeder import FramesetSource
+from pointcloud_depthfusion_tpu.ops import filters as F
+from pointcloud_depthfusion_tpu.utils.profiling import FpsCounter
+
+
+@dataclasses.dataclass
+class CameraParameters:
+    """GetCameraParameters response (GetCameraParameters.srv:1-10)."""
+
+    depth_info: CameraInfo
+    color_info: CameraInfo
+    extrinsic_rotation: np.ndarray  # (9,) column-major
+    extrinsic_translation: np.ndarray  # (3,)
+
+
+class CameraNode:
+    """One camera's acquisition pipeline."""
+
+    def __init__(
+        self,
+        name: str,
+        source: FramesetSource,
+        depth_to_color: Optional[Extrinsics] = None,
+        fps: float = 30.0,
+        temporal_filter: bool = True,
+        temporal_alpha: float = 0.4,
+        temporal_delta: float = 20.0,
+    ):
+        self.name = name
+        self.source = source
+        self.fps = fps
+        self.depth_to_color = depth_to_color or Extrinsics.identity()
+        self.temporal_filter = temporal_filter
+        self.temporal_alpha = temporal_alpha
+        self.temporal_delta = temporal_delta
+        self._prev_depth: Optional[np.ndarray] = None
+        self._frameset_subs: List[Callable[[HostFrameset], None]] = []
+        self._depth_subs: List[Callable[[np.ndarray, float], None]] = []
+        self.fps_counter = FpsCounter(name=f"{name}/fps")
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- service -----------------------------------------------------------
+
+    def get_camera_parameters(self) -> CameraParameters:
+        intr = self.source.intrinsics
+        info = CameraInfo.from_intrinsics(intr)
+        rot = np.asarray(self.depth_to_color.rotation)
+        return CameraParameters(
+            depth_info=info,  # aligned: depth shares the color profile
+            color_info=info,
+            extrinsic_rotation=rot.flatten(order="F"),
+            extrinsic_translation=np.asarray(self.depth_to_color.translation),
+        )
+
+    # -- topics ------------------------------------------------------------
+
+    def subscribe_frameset(self, cb: Callable[[HostFrameset], None]) -> None:
+        self._frameset_subs.append(cb)
+
+    def subscribe_depth(self, cb: Callable[[np.ndarray, float], None]) -> None:
+        self._depth_subs.append(cb)
+
+    # -- acquisition --------------------------------------------------------
+
+    def capture(self) -> Optional[HostFrameset]:
+        """Grab one frame, apply the temporal filter (the only active rs2
+        post-processing filter, realsense.cpp:398-404), publish."""
+        fs = self.source.next_frame()
+        if fs is None:
+            return None
+        if self.temporal_filter:
+            fs = self._apply_temporal(fs)
+        for cb in self._frameset_subs:
+            cb(fs)
+        for cb in self._depth_subs:
+            cb(fs.depth, fs.timestamp)
+        self.fps_counter.tick()
+        return fs
+
+    def _apply_temporal(self, fs: HostFrameset) -> HostFrameset:
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        if self._prev_depth is None:
+            self._prev_depth = fs.depth
+            return fs
+        filtered, hist = F.temporal_filter(
+            jnp.asarray(fs.depth),
+            jnp.asarray(self._prev_depth),
+            alpha=self.temporal_alpha,
+            delta=self.temporal_delta,
+        )
+        out = np.asarray(filtered)
+        self._prev_depth = out
+        return HostFrameset(
+            depth=out,
+            color=fs.color,
+            timestamp=fs.timestamp,
+            depth_scale=fs.depth_scale,
+        )
+
+    # -- push-mode loop ------------------------------------------------------
+
+    def spin(self, realtime: bool = True, max_frames: Optional[int] = None) -> None:
+        period = 1.0 / self.fps
+        count = 0
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            if self.capture() is None:
+                return
+            count += 1
+            if max_frames is not None and count >= max_frames:
+                return
+            if realtime:
+                dt = time.perf_counter() - t0
+                if dt < period:
+                    time.sleep(period - dt)
+
+    def start(self, **spin_kw) -> "CameraNode":
+        self._thread = threading.Thread(
+            target=self.spin, kwargs=spin_kw, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2.0)

@@ -1,0 +1,117 @@
+"""Fusion node application: wires cameras → feeder → pipeline → sinks.
+
+The application-level equivalent of the reference FusionNode + its DDS
+plumbing: fetches calibration via the camera nodes' parameter service,
+builds the jitted FusionPipeline, consumes synchronized device pairs from
+the DeviceFeeder, listens for registration-transform updates, and publishes
+fused frames to subscriber callbacks with FPS/stage telemetry.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import (
+    camera_info_to_intrinsics,
+)
+from pointcloud_depthfusion_tpu.fusion.pipeline import (
+    FusionConfig,
+    FusionPipeline,
+    FusionResult,
+)
+from pointcloud_depthfusion_tpu.io.feeder import (
+    ApproximateTimePairer,
+    DeviceFeeder,
+    DevicePair,
+)
+from pointcloud_depthfusion_tpu.nodes.camera_node import CameraNode
+from pointcloud_depthfusion_tpu.utils.profiling import (
+    FpsCounter,
+    StageLog,
+    StageTimer,
+)
+
+
+class FusionNodeApp:
+    def __init__(
+        self,
+        camera_left: CameraNode,
+        camera_right: CameraNode,
+        config: Optional[FusionConfig] = None,
+        legacy_int_truncation: bool = True,
+        max_sync_interval_s: float = 0.017,
+        profiling_path: Optional[str] = None,
+        device: Optional[jax.Device] = None,
+    ):
+        self.camera_left = camera_left
+        self.camera_right = camera_right
+        self.config = config or FusionConfig.create()
+
+        # Startup handshake (fusion_node.cpp:92-148): fetch calibration.
+        params_left = camera_left.get_camera_parameters()
+        self.intr_left = camera_info_to_intrinsics(
+            params_left.color_info, legacy_int_truncation=legacy_int_truncation
+        )
+        params_right = camera_right.get_camera_parameters()
+        self.intr_right = camera_info_to_intrinsics(
+            params_right.color_info, legacy_int_truncation=legacy_int_truncation
+        )
+
+        self.pipeline = FusionPipeline(self.intr_left, self.config, donate=False)
+        self.feeder = DeviceFeeder(
+            camera_left.source,
+            camera_right.source,
+            pairer=ApproximateTimePairer(max_interval_s=max_sync_interval_s),
+            device=device,
+        )
+        self._fused_subs: List[Callable[[np.ndarray, float], None]] = []
+        self.fps_counter = FpsCounter(name="fusion/fps")
+        self.stage_log = StageLog(profiling_path) if profiling_path else None
+        self._transform_lock = threading.Lock()
+        self.frames_processed = 0
+
+    # -- topic-equivalents -------------------------------------------------
+
+    def subscribe_fused(self, cb: Callable[[np.ndarray, float], None]) -> None:
+        """Subscribe to /fused_image-equivalent output (rgb8 ndarray + stamp)."""
+        self._fused_subs.append(cb)
+
+    def on_transform(self, transform: np.ndarray) -> None:
+        """/registration/transform update (transformCallback)."""
+        with self._transform_lock:
+            self.pipeline.set_right_transform(np.asarray(transform, np.float32))
+
+    # -- steady state ------------------------------------------------------
+
+    def process_pair(self, pair: DevicePair) -> FusionResult:
+        timer = StageTimer(enabled=self.stage_log is not None)
+        with self._transform_lock:
+            result = self.pipeline.process(pair.left, pair.right)
+        image = np.asarray(result.image)  # D2H fence
+        if timer.enabled:
+            timer.lap("project", result.image)
+            timer.lap("copy_from_gpu")
+        stamp = float(pair.host_left.timestamp)
+        for cb in self._fused_subs:
+            cb(image, stamp)
+        self.fps_counter.tick()
+        if self.stage_log:
+            timer.laps["loop"] = sum(timer.laps.values())
+            self.stage_log.add(timer.laps)
+        self.frames_processed += 1
+        return result
+
+    def run(self, max_frames: Optional[int] = None) -> int:
+        """Consume the feeder until end-of-stream (or max_frames)."""
+        with self.feeder as feeder:
+            for pair in feeder:
+                self.process_pair(pair)
+                if max_frames is not None and self.frames_processed >= max_frames:
+                    break
+        if self.stage_log:
+            self.stage_log.flush()
+        return self.frames_processed

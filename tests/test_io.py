@@ -1,0 +1,176 @@
+"""Feeder, pairing, recorded datasets, artifacts, config, profiling tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+from pointcloud_depthfusion_tpu.io.artifacts import (
+    load_ply,
+    load_png,
+    save_ply,
+    save_png,
+)
+from pointcloud_depthfusion_tpu.io.feeder import (
+    ApproximateTimePairer,
+    DeviceFeeder,
+    SyntheticSource,
+)
+from pointcloud_depthfusion_tpu.io.recorded import RecordedSource, record_dataset
+from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene, two_camera_rig
+from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+from pointcloud_depthfusion_tpu.utils.profiling import FpsCounter, StageLog, StageTimer
+
+
+def hf(ts):
+    return HostFrameset(
+        depth=np.zeros((4, 4), np.uint16), color=np.zeros((4, 4, 3), np.uint8),
+        timestamp=ts,
+    )
+
+
+class TestPairer:
+    def test_pairs_close_stamps(self):
+        p = ApproximateTimePairer(max_interval_s=0.017)
+        assert p.push(0, hf(0.000)) == []
+        pairs = p.push(1, hf(0.005))
+        assert len(pairs) == 1
+        assert pairs[0][0].timestamp == 0.000 and pairs[0][1].timestamp == 0.005
+
+    def test_rejects_distant_stamps(self):
+        p = ApproximateTimePairer(max_interval_s=0.017)
+        p.push(0, hf(0.0))
+        assert p.push(1, hf(0.1)) == []
+
+    def test_skips_to_best_match(self):
+        p = ApproximateTimePairer(max_interval_s=0.017)
+        p.push(0, hf(0.000))
+        p.push(0, hf(0.033))
+        pairs = p.push(1, hf(0.034))
+        assert len(pairs) == 1
+        assert pairs[0][0].timestamp == 0.033
+        assert p.dropped >= 1  # the 0.000 frame was skipped
+
+    def test_queue_bound(self):
+        p = ApproximateTimePairer(max_interval_s=0.001, queue_size=3)
+        for i in range(10):
+            p.push(0, hf(i * 1.0))
+        assert len(p.queues[0]) <= 3
+
+
+def small_intr():
+    return Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+
+
+def test_synthetic_source_stream():
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    src = SyntheticSource(scene, small_intr(), wl, fps=30.0)
+    f0 = src.next_frame()
+    f1 = src.next_frame()
+    assert f0.depth.shape == (48, 64)
+    assert abs((f1.timestamp - f0.timestamp) - 1 / 30.0) < 1e-6
+    assert (f0.depth > 0).mean() > 0.8
+
+
+def test_device_feeder_round_trip():
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig()
+    left = SyntheticSource(scene, small_intr(), wl, seed=1)
+    right = SyntheticSource(scene, small_intr(), wr, seed=2)
+    with DeviceFeeder(left, right) as feeder:
+        seen = 0
+        for pair in feeder:
+            assert pair.left.depth.shape == (48, 64)
+            # device timestamp is f32; compare approximately
+            assert abs(float(pair.left.timestamp) - pair.host_left.timestamp) < 1e-4
+            seen += 1
+            if seen >= 5:
+                break
+    assert seen == 5
+
+
+def test_recorded_round_trip(tmp_path):
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    src = SyntheticSource(scene, small_intr(), wl, fps=30.0)
+    frames = [src.next_frame() for _ in range(5)]
+    path = str(tmp_path / "rec.npz")
+    record_dataset(path, frames, small_intr())
+    rec = RecordedSource(path)
+    assert len(rec) == 5
+    f0 = rec.next_frame()
+    np.testing.assert_array_equal(f0.depth, frames[0].depth)
+    np.testing.assert_array_equal(f0.color, frames[0].color)
+    assert rec.intrinsics.width == 64
+    for _ in range(4):
+        rec.next_frame()
+    assert rec.next_frame() is None
+    # loop mode keeps timestamps monotonic
+    rec2 = RecordedSource(path, loop=True)
+    stamps = [rec2.next_frame().timestamp for _ in range(12)]
+    assert all(b > a for a, b in zip(stamps, stamps[1:]))
+
+
+def test_png_round_trip(tmp_path, rng):
+    rgb = rng.integers(0, 255, (8, 10, 3)).astype(np.uint8)
+    p = str(tmp_path / "a.png")
+    save_png(p, rgb)
+    np.testing.assert_array_equal(load_png(p), rgb)
+    d16 = rng.integers(0, 65535, (8, 10)).astype(np.uint16)
+    p2 = str(tmp_path / "d.png")
+    save_png(p2, d16)
+    np.testing.assert_array_equal(load_png(p2), d16)
+
+
+def test_ply_round_trip(tmp_path, rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (50, 3)).astype(np.uint8)
+    for binary in (True, False):
+        p = str(tmp_path / f"c_{binary}.ply")
+        save_ply(p, pts, cols, binary=binary)
+        got = load_ply(p)
+        np.testing.assert_allclose(got, pts, atol=1e-6)
+
+
+def test_config_tree(tmp_path):
+    default = tmp_path / "config_default.yaml"
+    default.write_text(
+        "fusion_node:\n  ros__parameters:\n    min_depth: 0.5\n    max_depth: 2.0\n"
+        "    profiling:\n      enable_profiling: false\n"
+    )
+    override = tmp_path / "config.yaml"
+    override.write_text("fusion_node:\n  ros__parameters:\n    max_depth: 3.0\n")
+    cfg = ConfigTree.load(str(default), str(override), node_key="fusion_node")
+    assert cfg.get("min_depth") == 0.5
+    assert cfg.get("max_depth") == 3.0  # override wins
+    assert cfg.get("profiling.enable_profiling") is False
+    changes = []
+    cfg.on_change(lambda k, v: changes.append((k, v)))
+    cfg.set("profiling.enable_profiling", True)
+    assert cfg.get("profiling.enable_profiling") is True
+    assert changes == [("profiling.enable_profiling", True)]
+    assert cfg.declare("new.param", 7) == 7
+    assert cfg.get("new.param") == 7
+
+
+def test_stage_timer_and_log(tmp_path):
+    t = StageTimer()
+    x = jnp.arange(10.0)
+    t.lap("filter", x)
+    t.lap("project")
+    assert set(t.laps) == {"filter", "project"}
+    log = StageLog(str(tmp_path / "prof.csv"), log_size=2)
+    log.add(t.laps)
+    log.add(t.laps)  # triggers flush
+    lines = open(tmp_path / "prof.csv").read().strip().split("\n")
+    assert lines[0].startswith("loop,callback,filter")
+    assert len(lines) == 3
+
+
+def test_fps_counter():
+    c = FpsCounter(report_every_s=0.0)
+    msg = c.tick()
+    assert msg is not None and "FPS" in msg

@@ -1,0 +1,190 @@
+"""ctypes bindings for the native host runtime (runtime/pdf_runtime.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_LIB_PATH = os.path.join(_REPO_ROOT, "runtime", "libpdf_runtime.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_lock = threading.Lock()
+
+
+def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    """Load (building on first use) the native runtime library."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and build_if_missing:
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.join(_REPO_ROOT, "runtime")],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        lib.pdf_render_scene.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.pdf_render_scene.restype = None
+
+        lib.pdf_pairer_create.argtypes = [ctypes.c_double, ctypes.c_int]
+        lib.pdf_pairer_create.restype = ctypes.c_void_p
+        lib.pdf_pairer_destroy.argtypes = [ctypes.c_void_p]
+        lib.pdf_pairer_push.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib.pdf_pairer_push.restype = ctypes.c_int
+        lib.pdf_pairer_dropped.argtypes = [ctypes.c_void_p]
+        lib.pdf_pairer_dropped.restype = ctypes.c_int64
+        lib.pdf_pairer_emitted.argtypes = [ctypes.c_void_p]
+        lib.pdf_pairer_emitted.restype = ctypes.c_int64
+
+        lib.pdf_ring_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.pdf_ring_create.restype = ctypes.c_void_p
+        lib.pdf_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.pdf_ring_acquire_write.argtypes = [ctypes.c_void_p]
+        lib.pdf_ring_acquire_write.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.pdf_ring_commit_write.argtypes = [ctypes.c_void_p]
+        lib.pdf_ring_acquire_read.argtypes = [ctypes.c_void_p]
+        lib.pdf_ring_acquire_read.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.pdf_ring_commit_read.argtypes = [ctypes.c_void_p]
+        lib.pdf_ring_size.argtypes = [ctypes.c_void_p]
+        lib.pdf_ring_size.restype = ctypes.c_size_t
+
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return load_library() is not None
+
+
+def render_scene_native(
+    width: int,
+    height: int,
+    fx: float,
+    fy: float,
+    ppx: float,
+    ppy: float,
+    world_from_cam: np.ndarray,
+    plane_z: float,
+    spheres: np.ndarray,  # (N, 7): cx cy cz r  cr cg cb
+    checker_period: float,
+    max_depth: float,
+    depth_scale: float,
+    noise_std: float = 0.0,
+    hole_fraction: float = 0.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenMP-parallel scene render; returns (depth u16 (H,W), color u8 (H,W,3))."""
+    lib = load_library()
+    assert lib is not None, "native runtime not available"
+    depth = np.empty((height, width), np.uint16)
+    color = np.empty((height, width, 3), np.uint8)
+    wfc = np.ascontiguousarray(world_from_cam, np.float64).reshape(16)
+    sph = np.ascontiguousarray(spheres, np.float64).reshape(-1)
+    n_spheres = len(sph) // 7
+    lib.pdf_render_scene(
+        width, height, fx, fy, ppx, ppy,
+        wfc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        plane_z, n_spheres,
+        sph.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        checker_period, max_depth, depth_scale,
+        noise_std, hole_fraction, seed,
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        color.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return depth, color
+
+
+class NativePairer:
+    """C++ ApproximateTime pairer (same semantics as io.feeder's Python one)."""
+
+    def __init__(self, max_interval_s: float = 0.017, queue_size: int = 10):
+        lib = load_library()
+        assert lib is not None, "native runtime not available"
+        self._lib = lib
+        self._h = lib.pdf_pairer_create(max_interval_s, queue_size)
+        self._out = (ctypes.c_int64 * 64)()
+
+    def push(self, stream: int, timestamp: float, frame_id: int) -> List[Tuple[int, int]]:
+        n = self._lib.pdf_pairer_push(
+            self._h, stream, timestamp, frame_id, self._out, 32
+        )
+        return [(self._out[i * 2], self._out[i * 2 + 1]) for i in range(n)]
+
+    @property
+    def dropped(self) -> int:
+        return self._lib.pdf_pairer_dropped(self._h)
+
+    @property
+    def emitted(self) -> int:
+        return self._lib.pdf_pairer_emitted(self._h)
+
+    def __del__(self):
+        try:
+            self._lib.pdf_pairer_destroy(self._h)
+        except Exception:
+            pass
+
+
+class NativeRing:
+    """SPSC byte ring with numpy views over the slots (zero-copy hand-off)."""
+
+    def __init__(self, slot_size: int, n_slots: int):
+        lib = load_library()
+        assert lib is not None, "native runtime not available"
+        self._lib = lib
+        self.slot_size = slot_size
+        self._h = lib.pdf_ring_create(slot_size, n_slots)
+
+    def try_write(self, data: np.ndarray) -> bool:
+        ptr = self._lib.pdf_ring_acquire_write(self._h)
+        if not ptr:
+            return False
+        buf = np.ctypeslib.as_array(ptr, shape=(self.slot_size,))
+        flat = np.asarray(data).reshape(-1).view(np.uint8)
+        buf[: flat.size] = flat
+        self._lib.pdf_ring_commit_write(self._h)
+        return True
+
+    def try_read(self) -> Optional[np.ndarray]:
+        ptr = self._lib.pdf_ring_acquire_read(self._h)
+        if not ptr:
+            return None
+        buf = np.ctypeslib.as_array(ptr, shape=(self.slot_size,)).copy()
+        self._lib.pdf_ring_commit_read(self._h)
+        return buf
+
+    def __len__(self) -> int:
+        return self._lib.pdf_ring_size(self._h)
+
+    def __del__(self):
+        try:
+            self._lib.pdf_ring_destroy(self._h)
+        except Exception:
+            pass

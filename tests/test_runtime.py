@@ -1,0 +1,95 @@
+"""Native C++ runtime tests (skipped if the toolchain/library is absent)."""
+
+import numpy as np
+import pytest
+
+from pointcloud_depthfusion_tpu.runtime import (
+    NativePairer,
+    NativeRing,
+    is_available,
+    render_scene_native,
+)
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.io.feeder import (
+    ApproximateTimePairer,
+    NativeSyntheticSource,
+    SyntheticSource,
+)
+from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene, two_camera_rig
+from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+
+pytestmark = pytest.mark.skipif(
+    not is_available(), reason="native runtime not built"
+)
+
+
+def test_native_render_matches_numpy():
+    scene = SyntheticScene()
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    wl, _ = two_camera_rig()
+    fs = scene.render(intr, wl)
+    sph = np.asarray(
+        [[s.center[0], s.center[1], s.center[2], s.radius, *s.base_color]
+         for s in scene.spheres]
+    )
+    d, c = render_scene_native(
+        64, 48, 50.0, 50.0, 32.0, 24.0, wl,
+        scene.plane_z, sph, scene.checker_period, scene.max_depth, 0.001,
+    )
+    np.testing.assert_array_equal(d, fs.depth)
+    np.testing.assert_array_equal(c, fs.color)
+
+
+def test_native_source_stream():
+    scene = SyntheticScene()
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    wl, _ = two_camera_rig()
+    src = NativeSyntheticSource(scene, intr, wl, depth_noise_std=0.002,
+                                hole_fraction=0.02, seed=5)
+    f0 = src.next_frame()
+    f1 = src.next_frame()
+    assert f0.depth.shape == (48, 64)
+    assert (f0.depth == 0).mean() > 0.005  # holes present
+    assert f1.timestamp > f0.timestamp
+    # noise-free native == numpy source output
+    src_n = NativeSyntheticSource(scene, intr, wl, depth_noise_std=0.0,
+                                  hole_fraction=0.0, seed=5)
+    src_p = SyntheticSource(scene, intr, wl, depth_noise_std=0.0,
+                            hole_fraction=0.0, seed=5)
+    np.testing.assert_array_equal(src_n.next_frame().depth, src_p.next_frame().depth)
+
+
+def test_native_pairer_matches_python():
+    rng = np.random.default_rng(7)
+    native = NativePairer(0.017, 10)
+    python = ApproximateTimePairer(0.017, 10)
+
+    def hf(ts):
+        return HostFrameset(
+            depth=np.zeros((2, 2), np.uint16),
+            color=np.zeros((2, 2, 3), np.uint8), timestamp=ts,
+        )
+
+    fid = 0
+    stamps = {0: 0.0, 1: 0.004}
+    for _ in range(60):
+        stream = int(rng.integers(0, 2))
+        stamps[stream] += 1 / 30.0 + float(rng.normal(0, 0.002))
+        ts = stamps[stream]
+        got_n = native.push(stream, ts, fid)
+        got_p = python.push(stream, hf(ts))
+        assert len(got_n) == len(got_p), (fid, got_n, got_p)
+        fid += 1
+    assert native.emitted == python.emitted
+    assert native.emitted > 10
+
+
+def test_native_ring_order_and_capacity():
+    ring = NativeRing(8, 3)
+    for i in range(3):
+        assert ring.try_write(np.full(8, i, np.uint8))
+    assert not ring.try_write(np.zeros(8, np.uint8))  # full
+    for i in range(3):
+        got = ring.try_read()
+        assert got is not None and got[0] == i
+    assert ring.try_read() is None

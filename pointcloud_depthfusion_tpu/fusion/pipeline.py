@@ -79,6 +79,10 @@ class FusionConfig:
     roi_right: Optional[Tuple[int, int, int, int]] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # "exact": two-pass u32 scatter render — bit-exact f32 depth + RGB888.
+    # "packed": single-scatter (zq14|RGB666) render — ~2× faster end-to-end
+    # on v5e (see ops/render.py docstrings for the precision envelope).
+    render_mode: str = dataclasses.field(default="exact", metadata=dict(static=True))
 
     @staticmethod
     def create(
@@ -197,9 +201,17 @@ def fuse(
     # Virtual-camera transform + render.
     fused_t = fused_camera_transform(config, right_transform)
     pts = G.transform_points(pts, fused_t)
-    image, zbuf = R.project_zbuffer(
-        pts, cols, vals, fused_intrinsics, mirror=config.mirror_image
-    )
+    if config.render_mode == "packed":
+        # Quantization range: the virtual camera sits between the two
+        # physical ones, so transformed depths stay within ~[min/2, max+1].
+        image, zbuf = R.project_zbuffer_packed(
+            pts, cols, vals, fused_intrinsics, mirror=config.mirror_image,
+            z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
+        )
+    else:
+        image, zbuf = R.project_zbuffer(
+            pts, cols, vals, fused_intrinsics, mirror=config.mirror_image
+        )
 
     if config.filter_fused_color:
         image = F.filter_color(image, config.use_median_filter)

@@ -233,10 +233,17 @@ def gauss_filter(
 def filter_color(color: Array, use_median: bool) -> Array:
     """Fused-image color filter: 3×3 median or 3×3 Gauss, selected like the
     reference's ``use_median_filter`` switch (frameset.cpp filterColor →
-    kernels.cu:594-653)."""
+    kernels.cu:594-653).
+
+    Runs channel-planar ((3, H, W) via vmap) so the TPU lane dimension is
+    the image width rather than the 3-channel axis.
+    """
+    planar = jnp.moveaxis(color, -1, 0)
     if use_median:
-        return median_filter(color, 1)
-    return gauss_filter(color, 3)
+        out = jax.vmap(lambda c: median_filter(c, 1))(planar)
+    else:
+        out = jax.vmap(lambda c: gauss_filter(c, 3))(planar)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def bilateral_filter_depth(

@@ -106,6 +106,39 @@ def deproject(
     return points, valid
 
 
+def deproject_planar(
+    depth_m: Array,
+    intrinsics: Intrinsics,
+    mask: Optional[Array] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Structure-of-arrays deprojection: returns (x, y, z, valid) planes.
+
+    Identical math to :func:`deproject` but keeps the lane dimension = image
+    width (no trailing xyz axis), which the TPU VPU vectorizes fully. Hot
+    paths (fusion/pipeline.py) use this; the (H, W, 3) variant remains for
+    API convenience.
+    """
+    h, w = depth_m.shape
+    u, v = pixel_grid(h, w, depth_m.dtype)
+    valid = depth_m > 0 if mask is None else mask & (depth_m > 0)
+    nx = (u - intrinsics.ppx) / intrinsics.fx
+    ny = (v - intrinsics.ppy) / intrinsics.fy
+    if intrinsics.model == Distortion.INVERSE_BROWN_CONRADY:
+        nx, ny = _undistort_inverse_brown_conrady(nx, ny, intrinsics.coeffs)
+    return depth_m * nx, depth_m * ny, depth_m, valid
+
+
+def transform_planar(
+    x: Array, y: Array, z: Array, transform: Array
+) -> Tuple[Array, Array, Array]:
+    """Rigid transform on coordinate planes (kernel_transform equivalent)."""
+    t = transform.astype(x.dtype)
+    xo = t[0, 0] * x + t[0, 1] * y + t[0, 2] * z + t[0, 3]
+    yo = t[1, 0] * x + t[1, 1] * y + t[1, 2] * z + t[1, 3]
+    zo = t[2, 0] * x + t[2, 1] * y + t[2, 2] * z + t[2, 3]
+    return xo, yo, zo
+
+
 # ---------------------------------------------------------------------------
 # Projection (3D point -> pixel)
 # ---------------------------------------------------------------------------

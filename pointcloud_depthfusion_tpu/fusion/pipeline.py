@@ -148,10 +148,12 @@ def _prepare_camera(
     fs: Frameset,
     roi,
     config: FusionConfig,
-) -> Tuple[Array, Array, Array]:
-    """Per-camera stage: [align] → filter → deproject.
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Per-camera stage: [align] → filter → deproject (planar SoA).
 
-    Returns (points (H,W,3), colors (H,W,3) u8, valid (H,W)).
+    Returns (x, y, z, color (H,W,3) u8, valid (H,W)) — coordinate planes
+    keep the TPU lane dimension = image width (see
+    geometry.deproject_planar).
     """
     depth = fs.depth
     if config.align_frames:
@@ -166,8 +168,8 @@ def _prepare_camera(
         depth, fs.depth_scale, config.min_depth, config.max_depth, roi
     )
     depth_m = depth.astype(jnp.float32) * fs.depth_scale
-    points, valid = G.deproject(depth_m, fs.color_intrinsics, valid)
-    return points, fs.color, valid
+    x, y, z, valid = G.deproject_planar(depth_m, fs.color_intrinsics, valid)
+    return x, y, z, fs.color, valid
 
 
 def fuse(
@@ -185,32 +187,38 @@ def fuse(
       fused_intrinsics: virtual-camera intrinsics
         (core.camera.fused_virtual_intrinsics).
     """
-    pts_l, col_l, val_l = _prepare_camera(left, config.roi_left, config)
-    pts_r, col_r, val_r = _prepare_camera(right, config.roi_right, config)
+    xl, yl, zl, col_l, val_l = _prepare_camera(left, config.roi_left, config)
+    xr, yr, zr, col_r, val_r = _prepare_camera(right, config.roi_right, config)
 
-    # Move the right cloud into the left camera frame.
-    pts_r_t = G.transform_points(pts_r.reshape(-1, 3), right_transform).reshape(
-        pts_r.shape
-    )
-
-    # Merge (reference: Pointcloud::append D2D memcpy; here a free concat).
-    pts = jnp.concatenate([pts_l.reshape(-1, 3), pts_r_t.reshape(-1, 3)])
-    cols = jnp.concatenate([col_l.reshape(-1, 3), col_r.reshape(-1, 3)])
-    vals = jnp.concatenate([val_l.reshape(-1), val_r.reshape(-1)])
-
-    # Virtual-camera transform + render.
+    # Move the right cloud into the left camera frame, then both into the
+    # virtual-camera frame; composing the matrices first saves one full
+    # 9-mul pass over the right cloud.
     fused_t = fused_camera_transform(config, right_transform)
-    pts = G.transform_points(pts, fused_t)
+    right_total = fused_t @ right_transform.astype(fused_t.dtype)
+    xl, yl, zl = G.transform_planar(xl, yl, zl, fused_t)
+    xr, yr, zr = G.transform_planar(xr, yr, zr, right_total)
+
+    # Merge (reference: Pointcloud::append D2D memcpy; here a free stack).
+    x = jnp.stack([xl, xr])
+    y = jnp.stack([yl, yr])
+    z = jnp.stack([zl, zr])
+    val = jnp.stack([val_l, val_r])
+    col = jnp.stack([col_l, col_r])  # (2, H, W, 3)
+    r = col[..., 0]
+    g = col[..., 1]
+    b = col[..., 2]
+
     if config.render_mode == "packed":
         # Quantization range: the virtual camera sits between the two
         # physical ones, so transformed depths stay within ~[min/2, max+1].
-        image, zbuf = R.project_zbuffer_packed(
-            pts, cols, vals, fused_intrinsics, mirror=config.mirror_image,
+        image, zbuf = R.project_zbuffer_packed_planar(
+            x, y, z, r, g, b, val, fused_intrinsics,
+            mirror=config.mirror_image,
             z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
         )
     else:
-        image, zbuf = R.project_zbuffer(
-            pts, cols, vals, fused_intrinsics, mirror=config.mirror_image
+        image, zbuf = R.project_zbuffer_planar(
+            x, y, z, r, g, b, val, fused_intrinsics, mirror=config.mirror_image
         )
 
     if config.filter_fused_color:

@@ -70,13 +70,16 @@ def rig_fuse_sharded(
             d, valid = F.filter_depth(
                 depth1, scale1, config.min_depth, config.max_depth
             )
-            pts, valid = G.deproject(
+            x, y, z, valid = G.deproject_planar(
                 d.astype(jnp.float32) * scale1, intrinsics, valid
             )
-            pts = G.transform_points(pts.reshape(-1, 3), t1)
-            idx, z, ok = R.compute_pixel_indices(
-                pts, valid.reshape(-1), fused_intrinsics, config.mirror_image
+            x, y, z = G.transform_planar(x, y, z, t1)
+            idx, z, ok = R.compute_pixel_indices_planar(
+                x, y, z, valid, fused_intrinsics, config.mirror_image
             )
+            idx = idx.reshape(-1)
+            z = z.reshape(-1)
+            ok = ok.reshape(-1)
             zbuf = jnp.full((n_px + 1,), zmax, jnp.float32)
             zbuf = zbuf.at[idx].min(jnp.where(ok, z, zmax), mode="drop")
             return zbuf[:n_px], idx, z, ok, color1

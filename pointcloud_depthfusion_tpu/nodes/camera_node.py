@@ -65,6 +65,42 @@ class CameraNode:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
+    # -- dynamic reconfiguration ------------------------------------------
+
+    def attach_config(self, cfg) -> None:
+        """Wire a ConfigTree for dynamic reconfiguration.
+
+        Mirrors the reference's dotted-namespace parameter dispatcher
+        (config.cpp:53-169): ``sensor.depth.*`` parameters retune the
+        temporal filter, ``fps`` the loop rate, ``debug.*`` the debug flags.
+        Call ``cfg.set("sensor.depth.temporal_alpha", 0.5)`` at runtime and
+        the node picks it up immediately.
+        """
+        self.config = cfg
+        self.fps = float(cfg.get("fps", self.fps))
+        sensor = "sensor.depth."
+        self.temporal_filter = bool(
+            cfg.get(sensor + "temporal_filter", self.temporal_filter)
+        )
+        self.temporal_alpha = float(
+            cfg.get(sensor + "temporal_alpha", self.temporal_alpha)
+        )
+        self.temporal_delta = float(
+            cfg.get(sensor + "temporal_delta", self.temporal_delta)
+        )
+
+        def on_change(key: str, value) -> None:
+            if key == "fps":
+                self.fps = float(value)
+            elif key == sensor + "temporal_filter":
+                self.temporal_filter = bool(value)
+            elif key == sensor + "temporal_alpha":
+                self.temporal_alpha = float(value)
+            elif key == sensor + "temporal_delta":
+                self.temporal_delta = float(value)
+
+        cfg.on_change(on_change)
+
     # -- service -----------------------------------------------------------
 
     def get_camera_parameters(self) -> CameraParameters:

@@ -36,9 +36,13 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import dataclasses
+
     from pointcloud_depthfusion_tpu.core.camera import Intrinsics
-    from pointcloud_depthfusion_tpu.fusion.pipeline import FusionConfig
-    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.feeder import (
+        NativeSyntheticSource,
+        SyntheticSource,
+    )
     from pointcloud_depthfusion_tpu.io.synthetic import (
         SyntheticScene,
         two_camera_rig,
@@ -49,9 +53,8 @@ def main() -> None:
     from pointcloud_depthfusion_tpu.nodes.registration_node import (
         RegistrationNodeApp,
     )
-    from pointcloud_depthfusion_tpu.registration.pipeline import (
-        RegistrationSettings,
-    )
+    from pointcloud_depthfusion_tpu.runtime import is_available as native_ok
+    from pointcloud_depthfusion_tpu.utils import factory
 
     w, h = args.width, args.height
     fx = 631.0 * w / 848.0
@@ -59,30 +62,29 @@ def main() -> None:
     scene = SyntheticScene()
     wl, wr = two_camera_rig(baseline=0.6, toe_in_deg=10.0)
 
+    source_cls = NativeSyntheticSource if native_ok() else SyntheticSource
     cam_left = CameraNode(
         "camera_left",
-        SyntheticSource(scene, intr, wl, depth_noise_std=0.002, seed=10),
+        source_cls(scene, intr, wl, depth_noise_std=0.002, seed=10),
     )
     cam_right = CameraNode(
         "camera_right",
-        SyntheticSource(scene, intr, wr, depth_noise_std=0.002, seed=20),
+        source_cls(scene, intr, wr, depth_noise_std=0.002, seed=20),
     )
+    cam_left.attach_config(factory.camera_config("camera_left"))
+    cam_right.attach_config(factory.camera_config("camera_right"))
 
-    fusion = FusionNodeApp(
-        cam_left,
-        cam_right,
-        config=FusionConfig.create(
-            vertical_image=args.vertical, mirror_image=True
-        ),
+    fusion_cfg, _ = factory.fusion_config()
+    fusion_cfg = dataclasses.replace(fusion_cfg, vertical_image=args.vertical)
+    fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg)
+
+    reg_settings, _ = factory.registration_settings()
+    reg_settings = dataclasses.replace(
+        reg_settings,
+        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+        resolution_step=0.05, max_iterations=48,
     )
-    registration = RegistrationNodeApp(
-        cam_left,
-        cam_right,
-        settings=RegistrationSettings(
-            resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
-            resolution_step=0.05, max_iterations=48,
-        ),
-    )
+    registration = RegistrationNodeApp(cam_left, cam_right, settings=reg_settings)
     registration.subscribe_transform(fusion.on_transform)
 
     sink = ImageNode(out_dir=args.out, every_n=max(1, args.frames // 8))

@@ -1,0 +1,90 @@
+"""Config factories, encoded framesets, camera dynamic reconfiguration."""
+
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+from pointcloud_depthfusion_tpu.io.encoded import (
+    EncodedFrameset,
+    read_encoded_stream,
+    write_encoded_stream,
+)
+from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene, two_camera_rig
+from pointcloud_depthfusion_tpu.nodes.camera_node import CameraNode
+from pointcloud_depthfusion_tpu.utils import factory
+from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+
+def test_default_fusion_config_loads():
+    config, tree = factory.fusion_config()
+    assert float(config.min_depth) == 0.5
+    assert float(config.max_depth) == 3.0
+    assert config.vertical_image and config.mirror_image
+    assert config.render_mode == "packed"
+    assert tree.get("sync.max_interval_ms") == 17.0
+
+
+def test_default_registration_settings_load():
+    settings, tree = factory.registration_settings()
+    assert settings.resolution == 0.01
+    assert settings.max_iterations == 64
+    assert settings.adjust_resolution
+    assert tree.get("spin_rate") == 0.5
+
+
+def test_fusion_config_override(tmp_path):
+    p = tmp_path / "override.yaml"
+    p.write_text("fusion_node:\n  max_depth: 2.0\n  render_mode: exact\n")
+    config, _ = factory.fusion_config(str(p))
+    assert float(config.max_depth) == 2.0
+    assert config.render_mode == "exact"
+
+
+def test_camera_config_and_dynamic_params():
+    cfg = factory.camera_config("camera_left")
+    assert cfg.get("sensor.depth.temporal_alpha") == 0.4
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    intr = Intrinsics.create(32, 24, fx=30.0, fy=30.0, ppx=16.0, ppy=12.0)
+    node = CameraNode("camera_left", SyntheticSource(scene, intr, wl))
+    node.attach_config(cfg)
+    assert node.temporal_alpha == 0.4
+    cfg.set("sensor.depth.temporal_alpha", 0.6)
+    assert node.temporal_alpha == 0.6
+    cfg.set("fps", 15.0)
+    assert node.fps == 15.0
+
+
+def test_encoded_frameset_round_trip(rng):
+    fs = HostFrameset(
+        depth=rng.integers(0, 4000, (24, 32)).astype(np.uint16),
+        color=rng.integers(0, 255, (24, 32, 3)).astype(np.uint8),
+        timestamp=12.345,
+        depth_scale=0.001,
+    )
+    enc = EncodedFrameset.encode(fs)
+    assert len(enc.to_bytes()) < fs.depth.nbytes + fs.color.nbytes + 4096
+    back = EncodedFrameset.from_bytes(enc.to_bytes()).decode()
+    np.testing.assert_array_equal(back.depth, fs.depth)
+    np.testing.assert_array_equal(back.color, fs.color)
+    assert abs(back.timestamp - fs.timestamp) < 1e-9
+    assert back.depth_scale == fs.depth_scale
+
+
+def test_encoded_stream_file(tmp_path, rng):
+    frames = [
+        HostFrameset(
+            depth=rng.integers(0, 4000, (16, 16)).astype(np.uint16),
+            color=rng.integers(0, 255, (16, 16, 3)).astype(np.uint8),
+            timestamp=float(i),
+        )
+        for i in range(3)
+    ]
+    path = str(tmp_path / "stream.pdfe")
+    write_encoded_stream(path, frames)
+    back = read_encoded_stream(path)
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a.depth, b.depth)
+        np.testing.assert_array_equal(a.color, b.color)

@@ -178,15 +178,36 @@ def _interior_only(filtered: Array, original: Array, border: int) -> Array:
     return jnp.where(interior, filtered, original)
 
 
+def _median9_network(p):
+    """Median of 9 arrays via the classic 19-exchange min/max network —
+    far cheaper on the VPU than a general sort of the stacked axis."""
+    def s(a, b):
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    p = list(p)
+    p[1], p[2] = s(p[1], p[2]); p[4], p[5] = s(p[4], p[5]); p[7], p[8] = s(p[7], p[8])
+    p[0], p[1] = s(p[0], p[1]); p[3], p[4] = s(p[3], p[4]); p[6], p[7] = s(p[6], p[7])
+    p[1], p[2] = s(p[1], p[2]); p[4], p[5] = s(p[4], p[5]); p[7], p[8] = s(p[7], p[8])
+    p[0], p[3] = s(p[0], p[3]); p[5], p[8] = s(p[5], p[8]); p[4], p[7] = s(p[4], p[7])
+    p[3], p[6] = s(p[3], p[6]); p[1], p[4] = s(p[1], p[4]); p[2], p[5] = s(p[2], p[5])
+    p[4], p[7] = s(p[4], p[7]); p[4], p[2] = s(p[4], p[2]); p[6], p[4] = s(p[6], p[4])
+    p[4], p[2] = s(p[4], p[2])
+    return p[4]
+
+
 def median_filter(img: Array, radius: int = 1, interior_roi: bool = True) -> Array:
     """Per-channel square median filter.
 
     ``interior_roi=True`` reproduces the NPP call pattern: the border keeps
-    its input value. Median of the sorted 9-stack = element 4.
+    its input value. radius=1 uses a 19-exchange median-of-9 network;
+    larger radii fall back to a stacked sort.
     """
     stack = _shifted_stack(img, radius)
-    k2 = stack.shape[0]
-    med = jnp.sort(stack, axis=0)[k2 // 2]
+    if radius == 1:
+        med = _median9_network([stack[i] for i in range(9)])
+    else:
+        k2 = stack.shape[0]
+        med = jnp.sort(stack, axis=0)[k2 // 2]
     return _interior_only(med, img, radius) if interior_roi else med
 
 

@@ -91,6 +91,25 @@ def test_empty_pixels_black_and_fltmax(rng):
     assert np.all(np.asarray(zbuf) > 1e37)
 
 
+def test_planar_exact_matches_aos(rng):
+    """Sort-based planar exact render == scatter-based AoS render, bit for
+    bit (same winners, same tie-break)."""
+    from pointcloud_depthfusion_tpu.ops.render import project_zbuffer_planar
+
+    intr = make_intr()
+    pts, cols, valid = random_cloud(rng, 5000, intr)
+    img_a, zb_a = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    img_p, zb_p = project_zbuffer_planar(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(cols[:, 0]), jnp.asarray(cols[:, 1]), jnp.asarray(cols[:, 2]),
+        jnp.asarray(valid), intr,
+    )
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_p))
+    np.testing.assert_array_equal(np.asarray(zb_a), np.asarray(zb_p))
+
+
 def test_packed_variant_close_to_exact(rng):
     intr = make_intr()
     pts, cols, valid = random_cloud(rng, 4000, intr)

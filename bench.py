@@ -58,8 +58,11 @@ def main() -> None:
         t0 = time.perf_counter()
         jax.block_until_ready(one(jnp.float32(0.0)))
         print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        # LONG chained warmup: the first ~10 post-compile executions over
+        # the relay absorb remote warm-up (measured 175 ms/frame for the
+        # first segment vs 11 ms steady-state).
         carry = jnp.float32(0.0)
-        for _ in range(args.warmup):
+        for _ in range(max(args.warmup, 10)):
             carry = one(carry)
         jax.block_until_ready(carry)
         # several chain segments → per-frame percentiles over segments

@@ -47,72 +47,135 @@ def make_camera_mesh(n_cameras: Optional[int] = None, axis: str = "cam") -> Mesh
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
 
 
+def _packed_rig_body(
+    intrinsics: Intrinsics,
+    fused_intrinsics: Intrinsics,
+    config: FusionConfig,
+    z_near: float,
+    z_far: float,
+):
+    """Shared per-device rig projection body: all local cameras fold into
+    one flat packed-key scatter; returns the local packed buffer plus an
+    unpack helper."""
+    n_px = fused_intrinsics.width * fused_intrinsics.height
+    z_bits = 14
+    z_levels = jnp.float32((1 << z_bits) - 1)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    def project_one(depth1, color1, scale1, t1):
+        d, valid = F.filter_depth(
+            depth1, scale1, config.min_depth, config.max_depth
+        )
+        x, y, z, valid = G.deproject_planar(
+            d.astype(jnp.float32) * scale1, intrinsics, valid
+        )
+        x, y, z = G.transform_planar(x, y, z, t1)
+        idx, zc, ok = R.compute_pixel_indices_planar(
+            x, y, z, valid, fused_intrinsics, config.mirror_image
+        )
+        zq = jnp.clip(
+            (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
+        ).astype(jnp.uint32)
+        c = color1.astype(jnp.uint32)
+        rgb666 = (
+            ((c[..., 0] >> 2) << 12) | ((c[..., 1] >> 2) << 6) | (c[..., 2] >> 2)
+        )
+        key = jnp.where(ok, (zq << 18) | rgb666, sentinel)
+        return idx, key
+
+    def local_buffer(depth, color, depth_scale, cam_to_virtual):
+        # Unroll the local-camera loop: vmap of this (purely elementwise)
+        # math measured 10× slower than the unrolled form on v5e (188 ms vs
+        # 19 ms at 4 cameras) — batched iota/transcendental lowering is
+        # poor. Camera count per device is small and static.
+        n_local = depth.shape[0]
+        idxs, keys = [], []
+        for i in range(n_local):
+            a, k = project_one(
+                depth[i], color[i], depth_scale[i], cam_to_virtual[i]
+            )
+            idxs.append(a.reshape(-1))
+            keys.append(k.reshape(-1))
+        idx = jnp.concatenate(idxs)
+        key = jnp.concatenate(keys)
+        buf = jnp.full((n_px + 1,), sentinel, jnp.uint32)
+        buf = buf.at[idx].min(key, mode="drop")
+        return buf[:n_px]
+
+    def unpack(merged):
+        covered = merged != sentinel
+        r6 = (merged >> 12) & 0x3F
+        g6 = (merged >> 6) & 0x3F
+        b6 = merged & 0x3F
+        img = jnp.stack(
+            [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
+            -1,
+        ).astype(jnp.uint8)
+        img = jnp.where(covered[:, None], img, 0)
+        return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
+
+    return local_buffer, unpack
+
+
+def rig_fuse(
+    intrinsics: Intrinsics,
+    fused_intrinsics: Intrinsics,
+    config: FusionConfig,
+    z_near: float = 0.25,
+    z_far: float = 4.5,
+):
+    """Single-device N-camera rig fusion (no mesh/collectives).
+
+    Same math as :func:`rig_fuse_sharded` on one device, but compiled as a
+    plain jit — the SPMD-partitioned executable carries heavy overhead on
+    single-device backends (measured 300+ ms vs 19 ms for the identical
+    computation). Use this for 1-chip rigs; the sharded variant when the
+    camera axis actually spans devices.
+    """
+    local_buffer, unpack = _packed_rig_body(
+        intrinsics, fused_intrinsics, config, z_near, z_far
+    )
+
+    @jax.jit
+    def fn(depth, color, depth_scale, cam_to_virtual):
+        return unpack(local_buffer(depth, color, depth_scale, cam_to_virtual))
+
+    return fn
+
+
 def rig_fuse_sharded(
     mesh: Mesh,
     intrinsics: Intrinsics,
     fused_intrinsics: Intrinsics,
     config: FusionConfig,
     axis: str = "cam",
+    z_near: float = 0.25,
+    z_far: float = 4.5,
 ):
     """Build the jitted camera-sharded rig fusion step.
 
     Returns ``fn(depth (N,H,W) u16, color (N,H,W,3) u8, depth_scale (N,),
     cam_to_virtual (N,4,4)) -> fused image (Hf, Wf, 3) u8`` with the camera
     axis sharded over ``mesh``; the result is replicated.
+
+    Design: each device folds ALL its local cameras into one flat packed-key
+    scatter (vmapping the scatter per camera lowers catastrophically —
+    measured 20× slower), then a single ``pmin`` of the packed uint32 buffer
+    merges depth AND color across devices in one ICI collective.
     """
-    n_px = fused_intrinsics.width * fused_intrinsics.height
-    zmax = jnp.float32(jnp.finfo(jnp.float32).max)
+    local_buffer, unpack = _packed_rig_body(
+        intrinsics, fused_intrinsics, config, z_near, z_far
+    )
 
-    def per_camera(depth, color, depth_scale, cam_to_virtual):
-        # shard_map gives local shards with a leading axis of size
-        # N/num_devices (usually 1).
-        def one(depth1, color1, scale1, t1):
-            d, valid = F.filter_depth(
-                depth1, scale1, config.min_depth, config.max_depth
-            )
-            x, y, z, valid = G.deproject_planar(
-                d.astype(jnp.float32) * scale1, intrinsics, valid
-            )
-            x, y, z = G.transform_planar(x, y, z, t1)
-            idx, z, ok = R.compute_pixel_indices_planar(
-                x, y, z, valid, fused_intrinsics, config.mirror_image
-            )
-            idx = idx.reshape(-1)
-            z = z.reshape(-1)
-            ok = ok.reshape(-1)
-            zbuf = jnp.full((n_px + 1,), zmax, jnp.float32)
-            zbuf = zbuf.at[idx].min(jnp.where(ok, z, zmax), mode="drop")
-            return zbuf[:n_px], idx, z, ok, color1
-
-        zbufs, idxs, zs, oks, colors = jax.vmap(one)(
-            depth, color, depth_scale, cam_to_virtual
-        )
-        # Merge the local cameras' z-buffers, then the global min over ICI.
-        local_z = jnp.min(zbufs, axis=0)
-        global_z = jax.lax.pmin(local_z, axis)
-
-        # Winners scatter their packed color; min-reduce resolves ties.
-        def one_color(idx, z, ok, color1):
-            zwin = jnp.concatenate([global_z, jnp.asarray([zmax])])[idx]
-            winner = ok & (z <= zwin)
-            packed = jnp.where(
-                winner, R.pack_rgb(color1.reshape(-1, 3)), R._INVALID_PACKED
-            )
-            cbuf = jnp.full((n_px + 1,), R._INVALID_PACKED, jnp.int32)
-            cbuf = cbuf.at[idx].min(packed, mode="drop")
-            return cbuf[:n_px]
-
-        cbufs = jax.vmap(one_color)(idxs, zs, oks, colors)
-        local_c = jnp.min(cbufs, axis=0)
-        global_c = jax.lax.pmin(local_c, axis)
-
-        covered = global_c < R._INVALID_PACKED
-        img = R.unpack_rgb(jnp.where(covered, global_c, 0))
-        img = jnp.where(covered[:, None], img, 0)
-        return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
+    def per_device(depth, color, depth_scale, cam_to_virtual):
+        # Local shard shapes: (C, H, W), (C, H, W, 3), (C,), (C, 4, 4).
+        local = local_buffer(depth, color, depth_scale, cam_to_virtual)
+        # One collective merges depth + color (key order = z-major).
+        merged = jax.lax.pmin(local, axis)
+        return unpack(merged)
 
     fn = shard_map(
-        per_camera,
+        per_device,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),  # replicated fused image

@@ -27,6 +27,10 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--width", type=int, default=848)
     parser.add_argument("--height", type=int, default=480)
+    parser.add_argument(
+        "--rig", type=int, default=0,
+        help="also measure N-camera single-chip rig fusion (stretch config)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -88,6 +92,58 @@ def main() -> None:
         f"{worst_exact:.3f})",
         file=sys.stderr,
     )
+
+    if args.rig:
+        from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+        from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene
+        from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+        n = args.rig
+        scene = SyntheticScene()
+        intr = Intrinsics.create(
+            args.width, args.height, fx=631.0, fy=631.0,
+            ppx=args.width / 2, ppy=args.height / 2,
+        )
+        cfg = dataclasses.replace(
+            config_packed, vertical_image=False, filter_fused_color=False
+        )
+        poses, depths, colors = [], [], []
+        for i in range(n):
+            yaw = np.deg2rad(-15 + 30 * i / max(n - 1, 1))
+            rot = np.array(
+                [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                 [-np.sin(yaw), 0, np.cos(yaw)]]
+            )
+            m = np.eye(4)
+            m[:3, :3] = rot
+            m[:3, 3] = [0.8 * (i / max(n - 1, 1) - 0.5), 0, 0]
+            poses.append(m)
+            fs = scene.render(intr, m)
+            depths.append(fs.depth)
+            colors.append(fs.color)
+        fn = rig_fuse(intr, intr, cfg)
+        rig_args = [
+            jnp.asarray(np.stack(depths)),
+            jnp.asarray(np.stack(colors)),
+            jnp.full((n,), 0.001, jnp.float32),
+            jnp.asarray(np.stack(poses), jnp.float32),
+        ]
+        jax.block_until_ready(fn(*rig_args))
+        out = None
+        for _ in range(10):
+            out = fn(*rig_args)
+            rig_args[2] = rig_args[2] + out[0, 0, 0].astype(jnp.float32) * 0.0
+        jax.block_until_ready(out)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = fn(*rig_args)
+                rig_args[2] = rig_args[2] + out[0, 0, 0].astype(jnp.float32) * 0.0
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) * 1e3 / 10
+            best = ms if best is None else min(best, ms)
+        print(f"rig {n} cameras: {best:.3f} ms/frame", file=sys.stderr)
 
     print(
         json.dumps(

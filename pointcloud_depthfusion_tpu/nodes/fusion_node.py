@@ -46,6 +46,7 @@ class FusionNodeApp:
         max_sync_interval_s: float = 0.017,
         profiling_path: Optional[str] = None,
         device: Optional[jax.Device] = None,
+        save_data_dir: Optional[str] = None,
     ):
         self.camera_left = camera_left
         self.camera_right = camera_right
@@ -69,10 +70,13 @@ class FusionNodeApp:
             device=device,
         )
         self._fused_subs: List[Callable[[np.ndarray, float], None]] = []
+        self._sync_debug_subs: List[Callable[[str], None]] = []
         self.fps_counter = FpsCounter(name="fusion/fps")
         self.stage_log = StageLog(profiling_path) if profiling_path else None
         self._transform_lock = threading.Lock()
         self.frames_processed = 0
+        self.save_data_dir = save_data_dir
+        self._last_sync_time: Optional[float] = None
 
     # -- topic-equivalents -------------------------------------------------
 
@@ -85,9 +89,48 @@ class FusionNodeApp:
         with self._transform_lock:
             self.pipeline.set_right_transform(np.asarray(transform, np.float32))
 
+    def subscribe_sync_debug(self, cb: Callable[[str], None]) -> None:
+        """Subscribe to /fusion_sync_debug-style strings
+        (fusion_node.cpp:674-698: sync cadence, stamp skew, latency)."""
+        self._sync_debug_subs.append(cb)
+
+    def _publish_sync_debug(self, pair: DevicePair) -> None:
+        if not self._sync_debug_subs:
+            return
+        import time as _time
+
+        now = _time.perf_counter()
+        sync_ms = (
+            (now - self._last_sync_time) * 1e3 if self._last_sync_time else 0.0
+        )
+        self._last_sync_time = now
+        diff_ms = (pair.host_left.timestamp - pair.host_right.timestamp) * 1e3
+        fps = 1000.0 / sync_ms if sync_ms > 0 else 0.0
+        msg = (
+            f"sync callback: {sync_ms:.2f} ms, {fps:.2f} fps, "
+            f"diff: {diff_ms:.2f}, dropped: {self.feeder.pairer.dropped}"
+        )
+        for cb in self._sync_debug_subs:
+            cb(msg)
+
+    def _save_data(self, pair: DevicePair, image: np.ndarray) -> None:
+        """save_data artifact dumps (depth/color inputs + fused output),
+        like the reference's debug PNG path (depth_frame.cpp:201-228)."""
+        from pointcloud_depthfusion_tpu.io.artifacts import save_png  # noqa: PLC0415
+        import os  # noqa: PLC0415
+
+        i = self.frames_processed
+        d = self.save_data_dir
+        save_png(os.path.join(d, f"{i:06d}_left_depth.png"), pair.host_left.depth)
+        save_png(os.path.join(d, f"{i:06d}_left_color.png"), pair.host_left.color)
+        save_png(os.path.join(d, f"{i:06d}_right_depth.png"), pair.host_right.depth)
+        save_png(os.path.join(d, f"{i:06d}_right_color.png"), pair.host_right.color)
+        save_png(os.path.join(d, f"{i:06d}_fused.png"), image)
+
     # -- steady state ------------------------------------------------------
 
     def process_pair(self, pair: DevicePair) -> FusionResult:
+        self._publish_sync_debug(pair)
         timer = StageTimer(enabled=self.stage_log is not None)
         with self._transform_lock:
             result = self.pipeline.process(pair.left, pair.right)
@@ -98,6 +141,8 @@ class FusionNodeApp:
         stamp = float(pair.host_left.timestamp)
         for cb in self._fused_subs:
             cb(image, stamp)
+        if self.save_data_dir:
+            self._save_data(pair, image)
         self.fps_counter.tick()
         if self.stage_log:
             timer.laps["loop"] = sum(timer.laps.values())

@@ -1,0 +1,101 @@
+"""Node-app integration tests: the full 5-node deployment in-process."""
+
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+from pointcloud_depthfusion_tpu.fusion.pipeline import FusionConfig
+from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+from pointcloud_depthfusion_tpu.io.synthetic import (
+    SyntheticScene,
+    right_to_left_transform,
+    two_camera_rig,
+)
+from pointcloud_depthfusion_tpu.nodes.camera_node import CameraNode
+from pointcloud_depthfusion_tpu.nodes.fusion_node import FusionNodeApp
+from pointcloud_depthfusion_tpu.nodes.image_node import ImageNode
+from pointcloud_depthfusion_tpu.nodes.registration_node import RegistrationNodeApp
+from pointcloud_depthfusion_tpu.registration.pipeline import RegistrationSettings
+
+
+W, H = 64, 48
+
+
+def make_rig():
+    intr = Intrinsics.create(W, H, fx=50.0, fy=50.0, ppx=W / 2, ppy=H / 2)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    cam_l = CameraNode("camera_left", SyntheticSource(scene, intr, wl, seed=1),
+                       temporal_filter=False)
+    cam_r = CameraNode("camera_right", SyntheticSource(scene, intr, wr, seed=2),
+                       temporal_filter=False)
+    return cam_l, cam_r, right_to_left_transform(wl, wr)
+
+
+def test_camera_node_capture_and_service():
+    cam_l, _, _ = make_rig()
+    frames = []
+    depths = []
+    cam_l.subscribe_frameset(frames.append)
+    cam_l.subscribe_depth(lambda d, t: depths.append((d, t)))
+    fs = cam_l.capture()
+    assert fs is not None and len(frames) == 1 and len(depths) == 1
+    params = cam_l.get_camera_parameters()
+    assert params.color_info.width == W
+    assert params.extrinsic_rotation.shape == (9,)
+
+
+def test_camera_node_temporal_filter_applies():
+    intr = Intrinsics.create(W, H, fx=50.0, fy=50.0, ppx=W / 2, ppy=H / 2)
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    cam = CameraNode("c", SyntheticSource(scene, intr, wl, depth_noise_std=0.005,
+                                          seed=3), temporal_filter=True)
+    f1 = cam.capture()
+    f2 = cam.capture()
+    # second frame is blended with history → different from a raw capture
+    raw = SyntheticSource(scene, intr, wl, depth_noise_std=0.005, seed=3)
+    raw.next_frame()
+    r2 = raw.next_frame()
+    assert not np.array_equal(f2.depth, r2.depth)
+
+
+def test_full_deployment_end_to_end(tmp_path):
+    cam_l, cam_r, t_true = make_rig()
+    fusion = FusionNodeApp(
+        cam_l, cam_r,
+        config=FusionConfig.create(vertical_image=False, mirror_image=False,
+                                   filter_fused_color=False),
+        save_data_dir=str(tmp_path / "dumps"),
+    )
+    registration = RegistrationNodeApp(
+        cam_l, cam_r,
+        settings=RegistrationSettings(
+            resolution=0.03, voxelsize=0.015, initial_resolution=0.12,
+            resolution_step=0.05, max_iterations=32,
+            discard_transform=False, reset_initial_guess=False,
+        ),
+    )
+    registration.subscribe_transform(fusion.on_transform)
+    sink = ImageNode(out_dir=str(tmp_path / "imgs"))
+    fusion.subscribe_fused(sink)
+    sync_msgs = []
+    fusion.subscribe_sync_debug(sync_msgs.append)
+
+    # Drive: capture frames (pushes depth to registration), tick
+    # registration a few times, then run fused frames through the feeder.
+    for _ in range(3):
+        cam_l.capture()
+        cam_r.capture()
+        registration.tick()
+
+    n = fusion.run(max_frames=4)
+    assert n == 4
+    assert sink.received == 4 and sink.saved == 4
+    assert len(sync_msgs) == 4 and "sync callback" in sync_msgs[0]
+    # save_data dumps exist (5 PNGs per frame)
+    dumps = list((tmp_path / "dumps").glob("*.png"))
+    assert len(dumps) == 20
+    # registration moved toward truth
+    t = registration.pipeline.last_transform
+    assert np.linalg.norm(t[:3, 3] - t_true[:3, 3]) < 0.1
+    registration.stop()

@@ -96,10 +96,67 @@ class GICPResult:
     num_correspondences: Array  # int32 (final iteration)
 
 
+def _inv3x3(m: Array) -> Array:
+    """Closed-form batched 3×3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv on (M, 3, 3) lowers to a general LU path that is
+    catastrophically slow on TPU inside a scan; the cofactor form is pure
+    vector math.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([co_c, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _cholesky_solve_6x6(h: Array, g: Array) -> Array:
+    """Unrolled 6×6 SPD Cholesky solve (static scalar ops, no LAPACK)."""
+    n = 6
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = h[j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        l[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i in range(j + 1, n):
+            s = h[i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s / l[j][j]
+    # forward substitution L y = g
+    y = [None] * n
+    for i in range(n):
+        s = g[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # back substitution Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x)
+
+
 def _solve_6x6(h: Array, g: Array, damping: float) -> Array:
-    """Damped Gauss-Newton step: (H + λ·diag(H))⁻¹ g via Cholesky-ish solve."""
+    """Damped Gauss-Newton step: (H + λ·diag(H))⁻¹ g."""
     lm = damping * jnp.diag(jnp.diagonal(h)) + 1e-12 * jnp.eye(6, dtype=h.dtype)
-    return jnp.linalg.solve(h + lm, g)
+    return _cholesky_solve_6x6(h + lm, g)
 
 
 def gicp_register(
@@ -177,11 +234,10 @@ def gicp_register(
         dist2 = jnp.sum(resid * resid, axis=-1)
         corr = src_mask & found & (dist2 <= max_dist * max_dist)
 
-        # Combined covariance C = C_t + R C_s Rᵀ; weight W = C⁻¹.
+        # Combined covariance C = C_t + R C_s Rᵀ; weight W = C⁻¹
+        # (closed-form — jnp.linalg.inv lowers to a slow LU on TPU).
         cov_c = cov_t + r_mat @ src_cov @ r_mat.T  # batched (M,3,3)
-        w_mat = jnp.linalg.inv(
-            cov_c + 1e-6 * jnp.eye(3, dtype=f)
-        )
+        w_mat = _inv3x3(cov_c + 1e-6 * jnp.eye(3, dtype=f))
 
         # Optional RBF correspondence weighting (GPU_RBF_KERNEL analogue).
         rbf = jnp.where(

@@ -222,7 +222,7 @@ def gicp_register(
     )
 
     def step(carry, _):
-        transform, prev_fitness, done, it_count = carry
+        transform, prev_fitness, done, it_count, _ = carry
         r_mat = transform[:3, :3]
         t_vec = transform[:3, 3]
         moved = src_ds @ r_mat.T + t_vec  # (M, 3)
@@ -272,7 +272,7 @@ def gicp_register(
 
         new_transform = G.se3_exp(delta) @ transform
 
-        n_corr = jnp.sum(corr.astype(jnp.int32))
+        n_corr = jnp.sum(corr, dtype=jnp.int32)
         # No correspondences is a FAILURE state, not zero error.
         fitness = jnp.where(
             n_corr > 0,
@@ -289,23 +289,31 @@ def gicp_register(
         it_count = jnp.where(done, it_count, it_count + 1)
         done = done | newly_done
 
-        return (new_transform, fitness, done, it_count), (fitness, n_corr)
+        return (new_transform, fitness, done, it_count, n_corr), None
 
     init = (
         initial_transform.astype(f),
         jnp.asarray(jnp.inf, f),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    (transform, fitness, done, iters), (fit_hist, corr_hist) = jax.lax.scan(
-        step, init, None, length=config.max_iterations
+    # while_loop instead of a fixed-length scan: converged solves stop
+    # paying for the remaining iterations (the convergence epsilons are the
+    # loop predicate — jit-safe dynamic trip count, no dynamic shapes).
+    def cond(carry):
+        _, _, done, it_count, _ = carry
+        return (~done) & (it_count < config.max_iterations)
+
+    transform, fitness, done, iters, n_corr = jax.lax.while_loop(
+        cond, lambda c: step(c, None)[0], init
     )
     return GICPResult(
         transform=transform,
         fitness=fitness,
         converged=done,
         iterations=iters,
-        num_correspondences=corr_hist[-1],
+        num_correspondences=n_corr,
     )
 
 

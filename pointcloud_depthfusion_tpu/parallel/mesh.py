@@ -183,11 +183,84 @@ def rig_fuse_sharded(
     return jax.jit(fn)
 
 
-def batched_pair_fuse(fuse_fn, batch_axis_size: int):
-    """Data-parallel batched fusion: vmap a frame-pair fuse over a batch.
+def batched_rig_fuse(
+    intrinsics: Intrinsics,
+    fused_intrinsics: Intrinsics,
+    config: FusionConfig,
+    batch: int,
+    cameras: int,
+    z_near: float = 0.25,
+    z_far: float = 4.5,
+):
+    """Throughput mode: fuse B independent rigs (streams) in one program.
 
-    For throughput benchmarking of many rigs/streams per step (BASELINE
-    stretch config 5). Compose with `jax.jit` (and optionally a mesh
-    sharding on the batch axis).
+    vmapping the renderer would batch the scatter (slow); instead every
+    stream scatters into its own slice of ONE flat (B·H·W,) buffer by
+    offsetting pixel indices with ``b·H·W`` — a single scatter for the
+    whole batch, same trick as the camera fold.
+
+    Returns ``fn(depth (B,C,H,W) u16, color (B,C,H,W,3) u8,
+    depth_scale (B,C), cam_to_virtual (B,C,4,4)) -> (B, Hf, Wf, 3) u8``.
     """
-    return jax.jit(jax.vmap(fuse_fn))
+    n_px = fused_intrinsics.width * fused_intrinsics.height
+    z_bits = 14
+    z_levels = jnp.float32((1 << z_bits) - 1)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    def project_one(depth1, color1, scale1, t1):
+        d, valid = F.filter_depth(
+            depth1, scale1, config.min_depth, config.max_depth
+        )
+        x, y, z, valid = G.deproject_planar(
+            d.astype(jnp.float32) * scale1, intrinsics, valid
+        )
+        x, y, z = G.transform_planar(x, y, z, t1)
+        idx, zc, ok = R.compute_pixel_indices_planar(
+            x, y, z, valid, fused_intrinsics, config.mirror_image
+        )
+        zq = jnp.clip(
+            (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
+        ).astype(jnp.uint32)
+        c = color1.astype(jnp.uint32)
+        rgb666 = (
+            ((c[..., 0] >> 2) << 12) | ((c[..., 1] >> 2) << 6) | (c[..., 2] >> 2)
+        )
+        key = jnp.where(ok, (zq << 18) | rgb666, sentinel)
+        return idx, key, ok
+
+    @jax.jit
+    def fn(depth, color, depth_scale, cam_to_virtual):
+        idxs, keys = [], []
+        for b in range(batch):
+            for ci in range(cameras):
+                idx, key, ok = project_one(
+                    depth[b, ci], color[b, ci], depth_scale[b, ci],
+                    cam_to_virtual[b, ci],
+                )
+                # Offset each stream into its own buffer slice; the dump
+                # slot stays the shared final element.
+                flat = jnp.where(
+                    ok.reshape(-1), idx.reshape(-1) + b * n_px, batch * n_px
+                )
+                idxs.append(flat)
+                keys.append(key.reshape(-1))
+        idx = jnp.concatenate(idxs)
+        key = jnp.concatenate(keys)
+        buf = jnp.full((batch * n_px + 1,), sentinel, jnp.uint32)
+        buf = buf.at[idx].min(key, mode="drop")
+        merged = buf[: batch * n_px]
+
+        covered = merged != sentinel
+        r6 = (merged >> 12) & 0x3F
+        g6 = (merged >> 6) & 0x3F
+        b6 = merged & 0x3F
+        img = jnp.stack(
+            [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
+            -1,
+        ).astype(jnp.uint8)
+        img = jnp.where(covered[:, None], img, 0)
+        return img.reshape(
+            batch, fused_intrinsics.height, fused_intrinsics.width, 3
+        )
+
+    return fn

@@ -107,3 +107,36 @@ def test_sharded_matches_single_device_two_cameras():
         )
     )
     np.testing.assert_array_equal(img_sharded, img_single)
+
+
+def test_batched_rig_fuse_matches_per_stream():
+    from pointcloud_depthfusion_tpu.parallel.mesh import batched_rig_fuse, rig_fuse
+    import jax
+
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="packed")
+    rng = np.random.default_rng(0)
+    B, C = 3, 2
+    poses = np.stack([np.stack(rig_poses(C, radius=0.2 + 0.1 * b)) for b in range(B)])
+    depth = np.zeros((B, C, h, w), np.uint16)
+    color = np.zeros((B, C, h, w, 3), np.uint8)
+    for b in range(B):
+        for c in range(C):
+            fs = scene.render(intr, poses[b, c])
+            depth[b, c] = fs.depth
+            color[b, c] = fs.color
+    scale = np.full((B, C), 0.001, np.float32)
+
+    fn = batched_rig_fuse(intr, intr, config, batch=B, cameras=C)
+    out = np.asarray(fn(jnp.asarray(depth), jnp.asarray(color),
+                        jnp.asarray(scale), jnp.asarray(poses, np.float32)))
+    assert out.shape == (B, h, w, 3)
+
+    single = rig_fuse(intr, intr, config)
+    for b in range(B):
+        want = np.asarray(single(jnp.asarray(depth[b]), jnp.asarray(color[b]),
+                                 jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
+        np.testing.assert_array_equal(out[b], want)

@@ -222,6 +222,32 @@ def fused_virtual_intrinsics(
     return intr.with_centered_pp()
 
 
+#: Per-model stream presets (resolution, fps, depth scale) mirroring the
+#: reference's camera configuration (realsense.cpp:226-236: D455/D435/D415 →
+#: 1280×720 Z16+RGB8 @30; L515 → 1024×768 depth + 1280×720 color; depth
+#: scales from the config files).
+CAMERA_MODEL_PRESETS = {
+    "D455": dict(depth_size=(1280, 720), color_size=(1280, 720), fps=30.0,
+                 depth_scale=0.001),
+    "D435": dict(depth_size=(1280, 720), color_size=(1280, 720), fps=30.0,
+                 depth_scale=0.001),
+    "D415": dict(depth_size=(1280, 720), color_size=(1280, 720), fps=30.0,
+                 depth_scale=0.001),
+    "L515": dict(depth_size=(1024, 768), color_size=(1280, 720), fps=30.0,
+                 depth_scale=0.00025),
+}
+
+
+def model_preset(model: str) -> dict:
+    """Stream preset for a camera model name (case-insensitive)."""
+    key = model.upper().replace("INTEL REALSENSE ", "")
+    if key not in CAMERA_MODEL_PRESETS:
+        raise KeyError(
+            f"unknown camera model {model!r}; known: {sorted(CAMERA_MODEL_PRESETS)}"
+        )
+    return dict(CAMERA_MODEL_PRESETS[key])
+
+
 def d455_default_intrinsics(
     width: int = 848, height: int = 480, dtype=jnp.float32
 ) -> Intrinsics:

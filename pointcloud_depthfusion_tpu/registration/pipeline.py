@@ -70,6 +70,10 @@ class RegistrationSettings:
     load_transform: bool = False
     save_transform: bool = False
 
+    # Debug cloud publication (registration_node.cpp:410-427: the
+    # /registration/target_points + /registration/aligned_points taps)
+    publish_clouds: bool = False
+
 
 @dataclasses.dataclass
 class RegistrationTelemetry:
@@ -117,6 +121,7 @@ class RegistrationPipeline:
             else s.voxelsize
         )
         self.telemetry: list[RegistrationTelemetry] = []
+        self.debug_clouds: Optional[dict] = None
 
         if s.load_transform and s.transform_path:
             loaded = load_transform_file(s.transform_path)
@@ -241,6 +246,16 @@ class RegistrationPipeline:
 
         self.last_transform = final.astype(np.float32)
         self.initial_transform = final.astype(np.float32)  # warm start
+
+        # Debug cloud taps: target + aligned source, compacted to valid
+        # points on host (registration_node.cpp:410-427 equivalents).
+        if s.publish_clouds:
+            tgt = np.asarray(left_cloud)[np.asarray(left_valid)]
+            src = np.asarray(right_cloud)[np.asarray(right_valid)]
+            aligned = src @ final[:3, :3].T.astype(src.dtype) + final[:3, 3].astype(
+                src.dtype
+            )
+            self.debug_clouds = dict(target=tgt, aligned=aligned)
 
         # --- resolution annealing (registration_node.cpp:485-530) --------
         if s.adjust_resolution and self.initial_phase:

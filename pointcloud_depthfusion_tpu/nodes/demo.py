@@ -29,6 +29,8 @@ def main() -> None:
                         help="run a registration tick every N frames")
     parser.add_argument("--vertical", action="store_true", default=True)
     parser.add_argument("--no-vertical", dest="vertical", action="store_false")
+    parser.add_argument("--sway", type=float, default=0.0,
+                        help="camera sway amplitude in meters (animates the rig)")
     args = parser.parse_args()
 
     import jax
@@ -63,13 +65,30 @@ def main() -> None:
     wl, wr = two_camera_rig(baseline=0.6, toe_in_deg=10.0)
 
     source_cls = NativeSyntheticSource if native_ok() else SyntheticSource
+
+    def sway(base, phase):
+        if args.sway <= 0:
+            return None
+        import numpy as _np
+
+        def motion(frame_idx):
+            m = base.copy()
+            t = frame_idx / 30.0
+            m[0, 3] += args.sway * _np.sin(0.8 * t + phase)
+            m[1, 3] += 0.3 * args.sway * _np.sin(1.3 * t + phase)
+            return m
+
+        return motion
+
     cam_left = CameraNode(
         "camera_left",
-        source_cls(scene, intr, wl, depth_noise_std=0.002, seed=10),
+        source_cls(scene, intr, wl, depth_noise_std=0.002, seed=10,
+                   motion=sway(wl, 0.0)),
     )
     cam_right = CameraNode(
         "camera_right",
-        source_cls(scene, intr, wr, depth_noise_std=0.002, seed=20),
+        source_cls(scene, intr, wr, depth_noise_std=0.002, seed=20,
+                   motion=sway(wr, 1.1)),
     )
     cam_left.attach_config(factory.camera_config("camera_left"))
     cam_right.attach_config(factory.camera_config("camera_right"))

@@ -246,6 +246,7 @@ class DeviceFeeder:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
+        self.error: Optional[BaseException] = None
 
     def _upload(self, host: HostFrameset, intr: Intrinsics) -> Frameset:
         fs = Frameset.create(
@@ -260,28 +261,35 @@ class DeviceFeeder:
         return fs
 
     def _run(self) -> None:
-        while not self._stop.is_set():
-            fl = self.source_left.next_frame()
-            fr = self.source_right.next_frame()
-            if fl is None or fr is None:
-                self._q.put(None)
-                return
-            pairs = []
-            pairs += self.pairer.push(0, fl)
-            pairs += self.pairer.push(1, fr)
-            for hl, hr in pairs:
-                pair = DevicePair(
-                    left=self._upload(hl, self.source_left.intrinsics),
-                    right=self._upload(hr, self.source_right.intrinsics),
-                    host_left=hl,
-                    host_right=hr,
-                )
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(pair, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+        try:
+            while not self._stop.is_set():
+                fl = self.source_left.next_frame()
+                fr = self.source_right.next_frame()
+                if fl is None or fr is None:
+                    self._q.put(None)
+                    return
+                pairs = []
+                pairs += self.pairer.push(0, fl)
+                pairs += self.pairer.push(1, fr)
+                for hl, hr in pairs:
+                    pair = DevicePair(
+                        left=self._upload(hl, self.source_left.intrinsics),
+                        right=self._upload(hr, self.source_right.intrinsics),
+                        host_left=hl,
+                        host_right=hr,
+                    )
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(pair, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+        except Exception:  # propagate end-of-stream instead of hanging get()
+            self.error = __import__("sys").exc_info()[1]
+            try:
+                self._q.put(None, timeout=1.0)
+            except queue.Full:
+                pass
 
     def start(self) -> "DeviceFeeder":
         if not self._started:

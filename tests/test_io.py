@@ -174,3 +174,20 @@ def test_fps_counter():
     c = FpsCounter(report_every_s=0.0)
     msg = c.tick()
     assert msg is not None and "FPS" in msg
+
+
+def test_device_feeder_source_error_ends_stream():
+    class BoomSource(SyntheticSource):
+        def next_frame(self):
+            if self.frame_idx >= 2:
+                raise RuntimeError("camera unplugged")
+            return super().next_frame()
+
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig()
+    left = BoomSource(scene, small_intr(), wl, seed=1)
+    right = SyntheticSource(scene, small_intr(), wr, seed=2)
+    with DeviceFeeder(left, right) as feeder:
+        seen = sum(1 for _ in feeder)
+    assert seen <= 2
+    assert feeder.error is not None and "unplugged" in str(feeder.error)

@@ -246,16 +246,29 @@ class FusionPipeline:
         self,
         color_intrinsics_left: Intrinsics,
         config: FusionConfig,
-        donate: bool = True,
+        donate: bool = False,
     ):
+        """``donate=True`` donates the per-frame depth/color device buffers
+        to the fused program (the streaming feeder produces fresh buffers
+        every frame, so donation recycles them). Only the image buffers are
+        donated — calibration leaves are shared between the two framesets
+        and must not be (XLA rejects `f(donate(a), a)`). Leave False when
+        re-processing the same Frameset objects.
+        """
         self.config = config
         self.fused_intrinsics = fused_virtual_intrinsics(
             color_intrinsics_left, config.vertical_image
         )
-        self._fuse = jax.jit(
-            functools.partial(fuse, fused_intrinsics=self.fused_intrinsics),
-            static_argnames=(),
-            donate_argnums=(0, 1) if donate else (),
+        fused_intr = self.fused_intrinsics
+
+        def fuse_buffers(ld, lc, rd, rc, left_rest, right_rest, t, cfg):
+            left = dataclasses.replace(left_rest, depth=ld, color=lc)
+            right = dataclasses.replace(right_rest, depth=rd, color=rc)
+            return fuse(left, right, t, cfg, fused_intr)
+
+        self._fuse_impl = jax.jit(
+            fuse_buffers,
+            donate_argnums=(0, 1, 2, 3) if donate else (),
         )
         self.right_transform = jnp.eye(4, dtype=jnp.float32)
 
@@ -264,4 +277,12 @@ class FusionPipeline:
         self.right_transform = jnp.asarray(transform, jnp.float32)
 
     def process(self, left: Frameset, right: Frameset) -> FusionResult:
-        return self._fuse(left, right, self.right_transform, self.config)
+        # Strip the image buffers out of the "rest" pytrees so the donated
+        # arrays appear exactly once in the argument list.
+        zero = jnp.zeros((), jnp.uint8)
+        left_rest = dataclasses.replace(left, depth=zero, color=zero)
+        right_rest = dataclasses.replace(right, depth=zero, color=zero)
+        return self._fuse_impl(
+            left.depth, left.color, right.depth, right.color,
+            left_rest, right_rest, self.right_transform, self.config,
+        )

@@ -154,3 +154,22 @@ def test_depth_window_filters_points():
     zb = np.asarray(res.zbuf)
     # plane at ~2.2-2.5 m excluded; only near sphere parts remain
     assert (zb < 1e37).mean() < 0.4
+
+
+def test_donate_mode_streams():
+    left, right, t_rl, intr, _, _ = make_pair()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False)
+    pipe = FusionPipeline(intr, config, donate=True)
+    pipe.set_right_transform(t_rl)
+    # fresh framesets per call, like the feeder produces
+    import numpy as np
+    d = np.asarray(left.depth); c = np.asarray(left.color)
+    dr = np.asarray(right.depth); cr = np.asarray(right.color)
+    imgs = []
+    for _ in range(3):
+        l = Frameset.create(d, c, intr)
+        r = Frameset.create(dr, cr, intr)
+        imgs.append(np.asarray(pipe.process(l, r).image))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[1], imgs[2])

@@ -79,9 +79,12 @@ class FusionConfig:
     roi_right: Optional[Tuple[int, int, int, int]] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
-    # "exact": two-pass u32 scatter render — bit-exact f32 depth + RGB888.
+    # "exact": sort-based u32 render — bit-exact f32 depth + RGB888.
     # "packed": single-scatter (zq14|RGB666) render — ~2× faster end-to-end
     # on v5e (see ops/render.py docstrings for the precision envelope).
+    # "pallas": packed semantics with the per-pixel math as one hand-tiled
+    # Pallas kernel (ops/pallas/fuse_prep_pallas.py); only the scatter stays
+    # an XLA op. Performance ≈ packed (XLA fuses the elementwise chain well).
     render_mode: str = dataclasses.field(default="exact", metadata=dict(static=True))
 
     @staticmethod
@@ -187,6 +190,9 @@ def fuse(
       fused_intrinsics: virtual-camera intrinsics
         (core.camera.fused_virtual_intrinsics).
     """
+    if config.render_mode == "pallas":
+        return _fuse_pallas(left, right, right_transform, config, fused_intrinsics)
+
     xl, yl, zl, col_l, val_l = _prepare_camera(left, config.roi_left, config)
     xr, yr, zr, col_r, val_r = _prepare_camera(right, config.roi_right, config)
 
@@ -229,6 +235,66 @@ def fuse(
         zbuf=zbuf,
         valid_left=val_l,
         valid_right=val_r,
+        timestamp=left.timestamp,
+    )
+
+
+def _largest_tile_rows(h: int, cap: int = 64) -> int:
+    """Largest multiple-of-8 divisor of h, capped (Mosaic tiling rule)."""
+    for cand in range(min(cap, h), 7, -1):
+        if cand % 8 == 0 and h % cand == 0:
+            return cand
+    return h  # fall back to one whole-plane tile
+
+
+def _fuse_pallas(
+    left: Frameset,
+    right: Frameset,
+    right_transform: Array,
+    config: FusionConfig,
+    fused_intrinsics: Intrinsics,
+) -> FusionResult:
+    """Packed-mode fusion with the per-pixel math in the Pallas prep kernel."""
+    from pointcloud_depthfusion_tpu.ops.pallas.fuse_prep_pallas import (  # noqa: PLC0415
+        fuse_prep_pallas,
+    )
+
+    assert not config.align_frames, "pallas mode expects pre-aligned depth"
+    interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only
+    fused_t = fused_camera_transform(config, right_transform)
+    right_total = fused_t @ right_transform.astype(fused_t.dtype)
+    z_near = 0.5 * config.min_depth
+    z_far = config.max_depth + 1.0
+    tiles = _largest_tile_rows(left.height)
+
+    i1, k1 = fuse_prep_pallas(
+        left.depth, left.color, left.depth_scale, config.min_depth,
+        config.max_depth, left.color_intrinsics, fused_t, fused_intrinsics,
+        config.mirror_image, z_near, z_far, tile_rows=tiles,
+        interpret=interpret,
+    )
+    i2, k2 = fuse_prep_pallas(
+        right.depth, right.color, right.depth_scale, config.min_depth,
+        config.max_depth, right.color_intrinsics, right_total,
+        fused_intrinsics, config.mirror_image, z_near, z_far, tile_rows=tiles,
+        interpret=interpret,
+    )
+    idx = jnp.concatenate([i1.reshape(-1), i2.reshape(-1)])
+    key = jnp.concatenate([k1.reshape(-1), k2.reshape(-1)])
+    n_px = fused_intrinsics.width * fused_intrinsics.height
+    buf = jnp.full((n_px + 1,), jnp.uint32(0xFFFFFFFF), jnp.uint32)
+    buf = buf.at[idx].min(key, mode="drop")
+    image, zbuf = R.unpack_packed_buffer(
+        buf[:n_px], fused_intrinsics, z_near, z_far
+    )
+    if config.filter_fused_color:
+        image = F.filter_color(image, config.use_median_filter)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    return FusionResult(
+        image=image,
+        zbuf=zbuf,
+        valid_left=k1 != sentinel,
+        valid_right=k2 != sentinel,
         timestamp=left.timestamp,
     )
 

@@ -103,6 +103,29 @@ def compute_pixel_indices_planar(
     return flat, z, in_bounds
 
 
+def unpack_packed_buffer(
+    buf: Array, intrinsics: Intrinsics, z_near, z_far
+) -> Tuple[Array, Array]:
+    """Decode a (H·W,) packed (zq14|RGB666) min-buffer into image + zbuf."""
+    h, w = intrinsics.height, intrinsics.width
+    z_levels = jnp.float32((1 << 14) - 1)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    covered = buf != sentinel
+    r6 = (buf >> 12) & 0x3F
+    g6 = (buf >> 6) & 0x3F
+    b6 = buf & 0x3F
+    img = jnp.stack(
+        [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
+        -1,
+    ).astype(jnp.uint8).reshape(h, w, 3)
+    img = jnp.where(covered.reshape(h, w, 1), img, 0)
+    z_near = jnp.asarray(z_near, jnp.float32)
+    z_far = jnp.asarray(z_far, jnp.float32)
+    zq = (buf >> 18).astype(jnp.float32) / z_levels * (z_far - z_near) + z_near
+    zbuf = jnp.where(covered, zq, jnp.float32(jnp.finfo(jnp.float32).max))
+    return img, zbuf.reshape(h, w)
+
+
 def project_zbuffer_packed_planar(
     x: Array,
     y: Array,

@@ -26,7 +26,7 @@ Deliberate behavior decisions vs the reference (SURVEY.md §7 "quirks"):
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 from typing import Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ coordinate (not ray length), quantized by ``depth_scale`` into uint16.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ Filter inventory (reference parity):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -19,7 +19,7 @@ default to ≥4× the expected occupied-voxel count to keep collisions rare.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

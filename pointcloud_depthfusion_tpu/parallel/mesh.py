@@ -18,7 +18,7 @@ per step, composable with the camera axis.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -27,7 +27,7 @@ try:
     from jax import shard_map  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pointcloud_depthfusion_tpu.core import geometry as G
 from pointcloud_depthfusion_tpu.core.camera import Intrinsics

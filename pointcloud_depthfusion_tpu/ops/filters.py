@@ -335,6 +335,47 @@ def temporal_filter(
 
 
 # ---------------------------------------------------------------------------
+# Hole filling (rs2::hole_filling_filter equivalent)
+# ---------------------------------------------------------------------------
+
+
+def hole_fill(depth_u16: Array, mode: str = "farthest") -> Array:
+    """Fill zero-depth holes, matching the rs2 hole-filling filter modes
+    (configured by the reference with HOLES_FILL=1, realsense.cpp:250,
+    though inactive in its default pipeline):
+
+      * ``left``     — fill from the previous valid pixel in the row
+        (rs2 mode 0); an O(log W) associative scan.
+      * ``farthest`` — the farthest valid value in the 3×3 neighborhood
+        (rs2 mode 1).
+      * ``nearest``  — the nearest valid value in the 3×3 neighborhood
+        (rs2 mode 2).
+    """
+    d = depth_u16.astype(jnp.int32)
+    hole = d == 0
+    if mode == "left":
+        # Forward-fill along rows: carry the last valid value.
+        def combine(a, b):
+            return jnp.where(b > 0, b, a)
+
+        filled = jax.lax.associative_scan(combine, d, axis=1)
+        out = jnp.where(hole, filled, d)
+        return out.astype(jnp.uint16)
+
+    stack = _shifted_stack(d, 1)  # (9, H, W)
+    if mode == "farthest":
+        nb = jnp.max(stack, axis=0)
+    elif mode == "nearest":
+        big = jnp.where(stack > 0, stack, jnp.int32(1 << 30))
+        nb = jnp.min(big, axis=0)
+        nb = jnp.where(nb == (1 << 30), 0, nb)
+    else:
+        raise ValueError(f"unknown hole_fill mode {mode!r}")
+    out = jnp.where(hole, nb, d)
+    return out.astype(jnp.uint16)
+
+
+# ---------------------------------------------------------------------------
 # The composed depth filter stage (reference DepthFrame::filter pipeline)
 # ---------------------------------------------------------------------------
 

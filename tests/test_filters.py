@@ -96,3 +96,24 @@ def test_bilateral_smoke(rng):
     assert out.shape == d.shape and out.dtype == np.uint16
     # smoothing should not move values outside the input range
     assert out.min() >= d.min() - 1 and out.max() <= d.max() + 1
+
+
+def test_hole_fill_modes(rng):
+    d = rng.integers(500, 3000, (10, 12)).astype(np.uint16)
+    d[3, 4] = 0
+    d[0, 0] = 0
+    # left fill
+    got = np.asarray(F.hole_fill(jnp.asarray(d), "left"))
+    assert got[3, 4] == d[3, 3]
+    assert got[0, 0] == 0  # no valid pixel to the left
+    # farthest: max of 3x3 neighborhood
+    got_f = np.asarray(F.hole_fill(jnp.asarray(d), "farthest"))
+    assert got_f[3, 4] == d[2:5, 3:6].max()
+    # nearest: min positive of 3x3 neighborhood
+    got_n = np.asarray(F.hole_fill(jnp.asarray(d), "nearest"))
+    nb = d[2:5, 3:6].astype(int)
+    assert got_n[3, 4] == nb[nb > 0].min()
+    # valid pixels untouched in all modes
+    keep = d > 0
+    for g in (got, got_f, got_n):
+        np.testing.assert_array_equal(g[keep], d[keep])

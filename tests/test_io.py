@@ -191,3 +191,21 @@ def test_device_feeder_source_error_ends_stream():
         seen = sum(1 for _ in feeder)
     assert seen <= 2
     assert feeder.error is not None and "unplugged" in str(feeder.error)
+
+
+def test_feeder_with_jittered_streams():
+    """Jittered/unsynchronized sources still pair within the 17 ms gate."""
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig()
+    left = SyntheticSource(scene, small_intr(), wl, seed=1,
+                           timestamp_jitter_s=0.004)
+    right = SyntheticSource(scene, small_intr(), wr, seed=2,
+                            timestamp_jitter_s=0.004, start_time=0.008)
+    with DeviceFeeder(left, right) as feeder:
+        pairs = []
+        for pair in feeder:
+            pairs.append(abs(pair.host_left.timestamp - pair.host_right.timestamp))
+            if len(pairs) >= 10:
+                break
+    assert len(pairs) == 10
+    assert max(pairs) <= 0.017 + 1e-9

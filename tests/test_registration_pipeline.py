@@ -113,3 +113,16 @@ def test_profiling_csv(tmp_path):
     lines = open(path).read().strip().split("\n")
     assert lines[0] == "euclidean_fitness,icp_duration,points_target,points_source"
     assert len(lines) == 2
+
+
+def test_cam_upside_down_initial_guess():
+    intr = small_intr()
+    settings = RegistrationSettings(cam_upside_down=True, adjust_resolution=False)
+    pipe = RegistrationPipeline(intr, intr, settings)
+    # 180° about Z: x/y axes negated
+    np.testing.assert_allclose(
+        pipe.start_transform[:3, :3],
+        np.diag([-1.0, -1.0, 1.0]),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(pipe.initial_transform, pipe.start_transform)

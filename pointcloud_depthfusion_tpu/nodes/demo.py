@@ -31,6 +31,8 @@ def main() -> None:
     parser.add_argument("--no-vertical", dest="vertical", action="store_false")
     parser.add_argument("--sway", type=float, default=0.0,
                         help="camera sway amplitude in meters (animates the rig)")
+    parser.add_argument("--gif", type=str, default="",
+                        help="write an animated GIF of the fused stream")
     args = parser.parse_args()
 
     import jax
@@ -108,6 +110,9 @@ def main() -> None:
 
     sink = ImageNode(out_dir=args.out, every_n=max(1, args.frames // 8))
     fusion.subscribe_fused(sink)
+    gif_frames = []
+    if args.gif:
+        fusion.subscribe_fused(lambda img, ts: gif_frames.append(img.copy()))
     fusion.fps_counter.sink = print
 
     print(f"devices: {jax.devices()}  output: {args.out}")
@@ -127,6 +132,16 @@ def main() -> None:
             if i + 1 >= args.frames:
                 break
     wall = time.perf_counter() - t0
+
+    if args.gif and gif_frames:
+        from PIL import Image  # noqa: PLC0415
+
+        imgs = [Image.fromarray(f) for f in gif_frames]
+        imgs[0].save(
+            args.gif, save_all=True, append_images=imgs[1:],
+            duration=33, loop=0,
+        )
+        print(f"wrote {args.gif} ({len(imgs)} frames)")
 
     ms = np.asarray(frame_times[2:]) * 1e3  # skip compile frames
     print(json.dumps({

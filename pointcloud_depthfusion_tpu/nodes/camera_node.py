@@ -140,18 +140,23 @@ class CameraNode:
         return fs
 
     def _apply_temporal(self, fs: HostFrameset) -> HostFrameset:
-        import jax.numpy as jnp  # noqa: PLC0415
-
+        # Pure numpy on the capture thread: the device round-trip per frame
+        # (H2D+D2H over the relay) costs far more than the EMA itself. Same
+        # semantics as ops.filters.temporal_filter (tested equivalent).
         if self._prev_depth is None:
             self._prev_depth = fs.depth
             return fs
-        filtered, hist = F.temporal_filter(
-            jnp.asarray(fs.depth),
-            jnp.asarray(self._prev_depth),
-            alpha=self.temporal_alpha,
-            delta=self.temporal_delta,
+        cur = fs.depth.astype(np.float32)
+        prev = self._prev_depth.astype(np.float32)
+        have_both = (cur > 0) & (prev > 0)
+        close = np.abs(cur - prev) <= self.temporal_delta
+        out = np.where(
+            have_both & close,
+            self.temporal_alpha * cur + (1.0 - self.temporal_alpha) * prev,
+            cur,
         )
-        out = np.asarray(filtered)
+        out = np.where((cur == 0) & (prev > 0), prev, out)
+        out = np.clip(np.rint(out), 0, 65535).astype(np.uint16)
         self._prev_depth = out
         return HostFrameset(
             depth=out,

@@ -99,3 +99,24 @@ def test_full_deployment_end_to_end(tmp_path):
     t = registration.pipeline.last_transform
     assert np.linalg.norm(t[:3, 3] - t_true[:3, 3]) < 0.1
     registration.stop()
+
+
+def test_host_temporal_filter_matches_device_op():
+    """CameraNode's numpy temporal filter == ops.filters.temporal_filter."""
+    import jax.numpy as jnp
+    from pointcloud_depthfusion_tpu.ops import filters as F
+    from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+
+    rng = np.random.default_rng(5)
+    cam_l, _, _ = make_rig()
+    cam_l.temporal_filter = True
+    prev = rng.integers(0, 1200, (H, W)).astype(np.uint16)
+    cur = (prev.astype(np.int32) + rng.integers(-30, 30, prev.shape)).clip(0, 65535).astype(np.uint16)
+    cur[0, :5] = 0
+    cam_l._prev_depth = prev
+    got = cam_l._apply_temporal(
+        HostFrameset(depth=cur, color=np.zeros((H, W, 3), np.uint8), timestamp=0.0)
+    ).depth
+    want, _ = F.temporal_filter(jnp.asarray(cur), jnp.asarray(prev),
+                                alpha=cam_l.temporal_alpha, delta=cam_l.temporal_delta)
+    np.testing.assert_array_equal(got, np.asarray(want))

@@ -33,6 +33,9 @@ def main() -> None:
                         help="camera sway amplitude in meters (animates the rig)")
     parser.add_argument("--gif", type=str, default="",
                         help="write an animated GIF of the fused stream")
+    parser.add_argument("--render-mode", default="",
+                        choices=["", "exact", "packed", "pallas"],
+                        help="override the configured render mode")
     args = parser.parse_args()
 
     import jax
@@ -97,6 +100,8 @@ def main() -> None:
 
     fusion_cfg, _ = factory.fusion_config()
     fusion_cfg = dataclasses.replace(fusion_cfg, vertical_image=args.vertical)
+    if args.render_mode:
+        fusion_cfg = dataclasses.replace(fusion_cfg, render_mode=args.render_mode)
     fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg)
 
     reg_settings, _ = factory.registration_settings()

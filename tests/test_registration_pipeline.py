@@ -126,3 +126,32 @@ def test_cam_upside_down_initial_guess():
         atol=1e-6,
     )
     np.testing.assert_array_equal(pipe.initial_transform, pipe.start_transform)
+
+
+def test_registration_from_recorded_dataset(tmp_path):
+    """BASELINE config 3: register a recorded frame pair from disk."""
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.recorded import RecordedSource, record_dataset
+    from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene, two_camera_rig
+
+    intr = small_intr()
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    t_true = right_to_left_transform(wl, wr)
+    for name, pose, seed in (("left", wl, 3), ("right", wr, 4)):
+        src = SyntheticSource(scene, intr, pose, depth_noise_std=0.002, seed=seed)
+        record_dataset(str(tmp_path / f"{name}.npz"),
+                       [src.next_frame() for _ in range(2)], intr)
+
+    left = RecordedSource(str(tmp_path / "left.npz"))
+    right = RecordedSource(str(tmp_path / "right.npz"))
+    settings = RegistrationSettings(
+        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+        resolution_step=0.05, max_iterations=48,
+        discard_transform=False, reset_initial_guess=False,
+    )
+    pipe = RegistrationPipeline(left.intrinsics, right.intrinsics, settings)
+    fl, fr = left.next_frame(), right.next_frame()
+    for _ in range(4):
+        t = pipe.tick(fl.depth, fr.depth)
+    assert np.linalg.norm(t[:3, 3] - t_true[:3, 3]) < 0.02

@@ -80,12 +80,18 @@ class FusionConfig:
         default=None, metadata=dict(static=True)
     )
     # "exact": sort-based u32 render — bit-exact f32 depth + RGB888.
+    # "indexed": single-scatter (zq12|point-index) winner selection + exact
+    # RGB888/f32-depth winner gathers — packed-render speed with ≤1e-3
+    # output fidelity (winner within one 0.92 mm quantization step). The
+    # recommended default.
     # "packed": single-scatter (zq14|RGB666) render — ~2× faster end-to-end
-    # on v5e (see ops/render.py docstrings for the precision envelope).
+    # on v5e than exact, but lossy color (see ops/render.py for envelopes).
     # "pallas": packed semantics with the per-pixel math as one hand-tiled
     # Pallas kernel (ops/pallas/fuse_prep_pallas.py); only the scatter stays
     # an XLA op. Performance ≈ packed (XLA fuses the elementwise chain well).
-    render_mode: str = dataclasses.field(default="exact", metadata=dict(static=True))
+    render_mode: str = dataclasses.field(
+        default="indexed", metadata=dict(static=True)
+    )
 
     @staticmethod
     def create(
@@ -214,21 +220,43 @@ def fuse(
     g = col[..., 1]
     b = col[..., 2]
 
+    # The packed/indexed tails stay channel-planar through the color filter
+    # and stack to HWC exactly once (the (H, W, 3) relayout + vmapped filter
+    # costs ~1.5 ms/frame on v5e — see F.filter_color_planar).
+    w_f, h_f = fused_intrinsics.width, fused_intrinsics.height
     if config.render_mode == "packed":
         # Quantization range: the virtual camera sits between the two
         # physical ones, so transformed depths stay within ~[min/2, max+1].
-        image, zbuf = R.project_zbuffer_packed_planar(
+        (rp, gp, bp), zbuf = R.project_zbuffer_packed_planar(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image,
             z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
+            return_planes=True,
         )
+        if config.filter_fused_color:
+            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
+        else:
+            image = jnp.stack([rp, gp, bp], axis=-1)
+    elif config.render_mode == "indexed":
+        covered, widx = R.indexed_winner_planar(
+            x, y, z, val, fused_intrinsics, mirror=config.mirror_image,
+            z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
+        )
+        rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b)
+        rp = rp.reshape(h_f, w_f)
+        gp = gp.reshape(h_f, w_f)
+        bp = bp.reshape(h_f, w_f)
+        zbuf = zb.reshape(h_f, w_f)
+        if config.filter_fused_color:
+            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
+        else:
+            image = jnp.stack([rp, gp, bp], axis=-1)
     else:
         image, zbuf = R.project_zbuffer_planar(
             x, y, z, r, g, b, val, fused_intrinsics, mirror=config.mirror_image
         )
-
-    if config.filter_fused_color:
-        image = F.filter_color(image, config.use_median_filter)
+        if config.filter_fused_color:
+            image = F.filter_color(image, config.use_median_filter)
 
     return FusionResult(
         image=image,

@@ -16,6 +16,15 @@ There is also a single-scatter fast path (`packed_single_scatter=True`) that
 quantizes depth to 16 bits and packs depth+RGB565 into one uint32 key — one
 scatter instead of two plus a gather — for latency-critical paths that can
 tolerate 5/6/5 color.
+
+The *indexed* variant (`project_zbuffer_indexed*`) is the ≤1e-3-fidelity
+fast path: ONE scatter of a (quantized-z | point-index) key selects the
+winner, then two gathers recover the winner's EXACT uint8 RGB888 and EXACT
+float32 depth. The only approximation is winner *selection*: a point whose
+true depth is within one quantization step (< (z_far-z_near)/2^zq_bits,
+0.92 mm for the default 0.25–4.0 m window with 20-bit indices) of the true
+minimum may win instead. Reported color/depth are always exact values of
+that near-minimal point, so output error is bounded by one step.
 """
 
 from __future__ import annotations
@@ -138,11 +147,16 @@ def project_zbuffer_packed_planar(
     mirror: bool = False,
     z_near=0.25,
     z_far=4.5,
+    return_planes: bool = False,
 ) -> Tuple[Array, Array]:
     """Planar-input single-scatter packed render (see
     :func:`project_zbuffer_packed` for the precision envelope).
 
-    r/g/b are uint8 planes matching x/y/z's shape.
+    r/g/b are uint8 planes matching x/y/z's shape. With
+    ``return_planes=True`` the image comes back as three (H, W) uint8
+    channel planes instead of (H, W, 3) — callers that filter the fused
+    color should stay planar and stack once at the end (the HWC relayout
+    costs real time on TPU).
     """
     w, h = intrinsics.width, intrinsics.height
     n_px = w * h
@@ -166,17 +180,167 @@ def project_zbuffer_packed_planar(
     buf = buf[:n_px]
 
     covered = buf != jnp.uint32(0xFFFFFFFF)
+    buf = jnp.where(covered, buf, 0)  # uncovered pixels decode to black
     r6o = (buf >> 12) & 0x3F
     g6o = (buf >> 6) & 0x3F
     b6o = buf & 0x3F
-    ro = (r6o << 2) | (r6o >> 4)
-    go = (g6o << 2) | (g6o >> 4)
-    bo = (b6o << 2) | (b6o >> 4)
-    img = jnp.stack([ro, go, bo], -1).astype(jnp.uint8).reshape(h, w, 3)
-    img = jnp.where(covered.reshape(h, w, 1), img, 0)
+    ro = ((r6o << 2) | (r6o >> 4)).astype(jnp.uint8).reshape(h, w)
+    go = ((g6o << 2) | (g6o >> 4)).astype(jnp.uint8).reshape(h, w)
+    bo = ((b6o << 2) | (b6o >> 4)).astype(jnp.uint8).reshape(h, w)
     zq_out = (buf >> 18).astype(jnp.float32) / z_levels * (z_far - z_near) + z_near
     zbuf = jnp.where(covered, zq_out, jnp.float32(jnp.finfo(jnp.float32).max))
+    if return_planes:
+        return (ro, go, bo), zbuf.reshape(h, w)
+    return jnp.stack([ro, go, bo], -1), zbuf.reshape(h, w)
+
+
+def _index_bits_for(n_pts: int) -> int:
+    """Bits needed to address point indices 0..n_pts-1 while keeping the
+    all-ones uint32 sentinel unreachable (index space of size n_pts+1)."""
+    return max(1, n_pts.bit_length())
+
+
+def indexed_winner_planar(
+    x: Array,
+    y: Array,
+    z: Array,
+    valid: Array,
+    intrinsics: Intrinsics,
+    mirror: bool = False,
+    z_near=0.25,
+    z_far=4.5,
+) -> Tuple[Array, Array]:
+    """Winner selection for the indexed render: ONE uint32 scatter-min of
+    ``zq << idx_bits | point_index`` keys.
+
+    Returns (covered (n_px,) bool, widx (n_px,) int32 winner point index,
+    0 where uncovered). idx_bits is the smallest width covering all point
+    indices (20 for the dual-848×480 hot path, leaving 12 depth bits →
+    step (z_far-z_near)/4095 ≈ 0.92 mm at the default window). Ties within
+    a depth bin resolve to the lowest point index (deterministic). The
+    fidelity bound assumes points lie within [z_near, z_far]; out-of-range
+    depths clip into the boundary bins.
+    """
+    w, h = intrinsics.width, intrinsics.height
+    n_px = w * h
+    n_pts = x.size
+    idx_bits = _index_bits_for(n_pts)
+    zq_bits = 32 - idx_bits
+    if zq_bits < 8:
+        raise ValueError(
+            f"{n_pts} points leave only {zq_bits} depth bits; "
+            "split the scatter per camera group"
+        )
+    z_levels = jnp.float32((1 << zq_bits) - 1)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    idx, zc, ok = compute_pixel_indices_planar(x, y, z, valid, intrinsics, mirror)
+    z_near = jnp.asarray(z_near, jnp.float32)
+    z_far = jnp.asarray(z_far, jnp.float32)
+    zq = jnp.clip(
+        (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
+    ).astype(jnp.uint32)
+    point_id = jnp.arange(n_pts, dtype=jnp.uint32).reshape(zq.shape)
+    key = (zq << idx_bits) | point_id
+    key = jnp.where(ok, key, sentinel)
+
+    buf = jnp.full((n_px + 1,), sentinel, jnp.uint32)
+    buf = buf.at[idx.reshape(-1)].min(key.reshape(-1), mode="drop")
+    buf = buf[:n_px]
+
+    covered = buf != sentinel
+    widx = jnp.where(covered, buf & jnp.uint32((1 << idx_bits) - 1), 0).astype(
+        jnp.int32
+    )
+    return covered, widx
+
+
+def indexed_winner_gather(
+    covered: Array,
+    widx: Array,
+    z: Array,
+    r: Array,
+    g: Array,
+    b: Array,
+) -> Tuple[Array, Array, Array, Array]:
+    """Recover the winners' exact RGB888 + exact f32 depth with ONE slice-2
+    row gather from an (n_pts, 2) table of (packed RGB, z bit pattern).
+
+    A single 2-wide row gather measures ≈ the cost of one element gather on
+    v5e (~2.3 ms at 407k rows) while two separate gathers pay twice.
+    Returns flat (r_u8, g_u8, b_u8, zbuf_f32) over the n_px pixels.
+    """
+    packed_rgb = (
+        (r.astype(jnp.uint32) << 16)
+        | (g.astype(jnp.uint32) << 8)
+        | b.astype(jnp.uint32)
+    ).reshape(-1)
+    z_bits = jax.lax.bitcast_convert_type(
+        z.astype(jnp.float32), jnp.uint32
+    ).reshape(-1)
+    table = jnp.stack([packed_rgb, z_bits], axis=-1)
+    rows = table[widx]  # (n_px, 2): one gather op
+    win_rgb = jnp.where(covered, rows[:, 0], 0)
+    zmax_bits = jax.lax.bitcast_convert_type(
+        jnp.float32(jnp.finfo(jnp.float32).max), jnp.uint32
+    )
+    win_z = jnp.where(covered, rows[:, 1], zmax_bits)
+    rp = (win_rgb >> 16).astype(jnp.uint8)
+    gp = (win_rgb >> 8).astype(jnp.uint8)
+    bp = win_rgb.astype(jnp.uint8)
+    zbuf = jax.lax.bitcast_convert_type(win_z, jnp.float32)
+    return rp, gp, bp, zbuf
+
+
+def project_zbuffer_indexed_planar(
+    x: Array,
+    y: Array,
+    z: Array,
+    r: Array,
+    g: Array,
+    b: Array,
+    valid: Array,
+    intrinsics: Intrinsics,
+    mirror: bool = False,
+    z_near=0.25,
+    z_far=4.5,
+) -> Tuple[Array, Array]:
+    """Single-scatter render with EXACT winner color + depth (≤1e-3 mode).
+
+    One uint32 scatter-min selects, per target pixel, the point with
+    minimal quantized depth (see :func:`indexed_winner_planar`); one slice-2
+    row gather then reads that point's exact RGB888 and exact f32 depth.
+    Replaces kernel_project_pointcloud + atomicMinFloat (kernels.cu:239-274)
+    within a one-quantization-step winner-selection envelope — unlike the
+    packed RGB666 mode, the *values* written are bit-exact fields of the
+    selected point.
+    """
+    w, h = intrinsics.width, intrinsics.height
+    covered, widx = indexed_winner_planar(
+        x, y, z, valid, intrinsics, mirror, z_near, z_far
+    )
+    rp, gp, bp, zbuf = indexed_winner_gather(covered, widx, z, r, g, b)
+    img = jnp.stack([rp, gp, bp], axis=-1).reshape(h, w, 3)
     return img, zbuf.reshape(h, w)
+
+
+def project_zbuffer_indexed(
+    points: Array,
+    colors: Array,
+    valid: Array,
+    intrinsics: Intrinsics,
+    mirror: bool = False,
+    z_near: float = 0.25,
+    z_far: float = 4.5,
+) -> Tuple[Array, Array]:
+    """(N, 3)-input convenience wrapper over the indexed planar render."""
+    flat = points.reshape(-1, 3).astype(jnp.float32)
+    col = colors.reshape(-1, 3)
+    return project_zbuffer_indexed_planar(
+        flat[:, 0], flat[:, 1], flat[:, 2],
+        col[:, 0], col[:, 1], col[:, 2],
+        valid.reshape(-1), intrinsics, mirror, z_near, z_far,
+    )
 
 
 def project_zbuffer_planar(

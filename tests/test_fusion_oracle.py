@@ -116,3 +116,43 @@ def test_fused_output_matches_scalar_oracle():
     agree = np.zeros_like(both)
     agree[both] = close
     np.testing.assert_array_equal(got_img[agree], want_img[agree])
+
+
+def test_indexed_mode_within_fidelity_envelope():
+    """The indexed (fast) render mode stays inside the BASELINE ≤1e-3
+    envelope end-to-end: same coverage as exact, fused z within one
+    quantization step (0.92 mm at the default 0.25–4.0 m window), colors
+    exact except at sub-step near-ties."""
+    import dataclasses
+
+    W, H = 40, 30
+    intr = Intrinsics.create(W, H, fx=33.0, fy=34.0, ppx=W / 2, ppy=H / 2)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    fl = scene.render(intr, wl)
+    fr = scene.render(intr, wr)
+    t_rl = jnp.asarray(right_to_left_transform(wl, wr), jnp.float32)
+
+    config = FusionConfig.create(
+        min_depth=0.5, max_depth=3.0,
+        vertical_image=False, mirror_image=True,
+        filter_fused_color=False, render_mode="exact",
+    )
+    fused_intr = fused_virtual_intrinsics(intr, False)
+    left = Frameset.create(fl.depth, fl.color, intr)
+    right = Frameset.create(fr.depth, fr.color, intr)
+    res_e = fuse(left, right, t_rl, config, fused_intr)
+    res_i = fuse(left, right, t_rl,
+                 dataclasses.replace(config, render_mode="indexed"),
+                 fused_intr)
+
+    # Window used by the pipeline: [0.5*min_depth, max_depth+1]. At this
+    # tiny point count the index field is small, so the step is far below
+    # the 1e-3 bound that holds at the full 2^20-point hot path.
+    step = 1e-3
+    ze, zi = np.asarray(res_e.zbuf), np.asarray(res_i.zbuf)
+    cov = ze < 1e37
+    np.testing.assert_array_equal(cov, zi < 1e37)
+    assert np.max(np.abs(ze[cov] - zi[cov])) <= step
+    differs = (np.asarray(res_e.image) != np.asarray(res_i.image)).any(-1)
+    assert np.all(np.abs(ze[differs] - zi[differs]) <= step)

@@ -110,6 +110,77 @@ def test_planar_exact_matches_aos(rng):
     np.testing.assert_array_equal(np.asarray(zb_a), np.asarray(zb_p))
 
 
+def test_indexed_fidelity_vs_exact(rng):
+    """Indexed mode: zbuf within one quantization step of exact; color
+    differences only at near-tie pixels (exact winner within one step)."""
+    intr = make_intr()
+    pts, cols, valid = random_cloud(rng, 5000, intr)
+    z_near, z_far = 0.4, 3.5
+    img_e, zb_e = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    img_i, zb_i = R.project_zbuffer_indexed(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr,
+        z_near=z_near, z_far=z_far,
+    )
+    idx_bits = R._index_bits_for(5000)
+    step = (z_far - z_near) / (2 ** (32 - idx_bits) - 1)
+    e, i = np.asarray(zb_e), np.asarray(zb_i)
+    cov_e, cov_i = e < 1e37, i < 1e37
+    np.testing.assert_array_equal(cov_e, cov_i)  # identical coverage
+    assert np.all(np.abs(e[cov_e] - i[cov_e]) <= step + 1e-7)
+    # color: exact winner unless a competing point sits within one z step
+    differs = (np.asarray(img_e) != np.asarray(img_i)).any(-1)
+    assert np.all(np.abs(e[differs] - i[differs]) <= step + 1e-7)
+
+
+def test_indexed_realistic_scale_12bit_z(rng):
+    """At hot-path point counts (>2^19) the key leaves 12 z bits; the
+    fidelity bound (one step ≈ (far-near)/4095) must still hold."""
+    intr = make_intr(64, 48)
+    n = (1 << 19) + 7  # forces idx_bits=20 like the dual-848×480 path
+    pts, cols, valid = random_cloud(rng, n, intr)
+    z_near, z_far = 0.25, 4.0
+    step = (z_far - z_near) / ((1 << 12) - 1)
+    assert step <= 1e-3  # the BASELINE fidelity envelope at default window
+    img_e, zb_e = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    img_i, zb_i = R.project_zbuffer_indexed(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr,
+        z_near=z_near, z_far=z_far,
+    )
+    e, i = np.asarray(zb_e), np.asarray(zb_i)
+    cov = e < 1e37
+    np.testing.assert_array_equal(cov, i < 1e37)
+    assert np.max(np.abs(e[cov] - i[cov])) <= step + 1e-7
+    differs = (np.asarray(img_e) != np.asarray(img_i)).any(-1)
+    assert np.all(np.abs(e[differs] - i[differs]) <= step + 1e-7)
+
+
+def test_indexed_tie_break_lowest_index():
+    intr = make_intr()
+    pts = np.array([[0, 0, 1.0], [0, 0, 1.0]], np.float32)
+    cols = np.array([[200, 5, 0], [100, 0, 7]], np.uint8)
+    valid = np.array([True, True])
+    img, zbuf = R.project_zbuffer_indexed(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    px, py = int(intr.ppx), int(intr.ppy)
+    np.testing.assert_array_equal(np.asarray(img)[py, px], [200, 5, 0])
+    assert abs(float(zbuf[py, px]) - 1.0) < 1e-7  # exact winner depth
+
+
+def test_indexed_empty(rng):
+    intr = make_intr()
+    img, zbuf = R.project_zbuffer_indexed(
+        jnp.zeros((10, 3)), jnp.zeros((10, 3), jnp.uint8), jnp.zeros(10, bool),
+        intr,
+    )
+    assert np.asarray(img).sum() == 0
+    assert np.all(np.asarray(zbuf) > 1e37)
+
+
 def test_packed_variant_close_to_exact(rng):
     intr = make_intr()
     pts, cols, valid = random_cloud(rng, 4000, intr)

@@ -288,6 +288,9 @@ def _fuse_pallas(
     )
 
     assert not config.align_frames, "pallas mode expects pre-aligned depth"
+    assert config.roi_left is None and config.roi_right is None, (
+        "pallas mode does not implement ROI masking; use packed/indexed/exact"
+    )
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only
     fused_t = fused_camera_transform(config, right_transform)
     right_total = fused_t @ right_transform.astype(fused_t.dtype)
@@ -317,12 +320,19 @@ def _fuse_pallas(
     )
     if config.filter_fused_color:
         image = F.filter_color(image, config.use_median_filter)
-    sentinel = jnp.uint32(0xFFFFFFFF)
+    # valid_* carry the depth-window validity like the jnp paths (the keys'
+    # sentinel marks post-projection in-bounds, a different set).
+    _, val_l = F.filter_depth(
+        left.depth, left.depth_scale, config.min_depth, config.max_depth, None
+    )
+    _, val_r = F.filter_depth(
+        right.depth, right.depth_scale, config.min_depth, config.max_depth, None
+    )
     return FusionResult(
         image=image,
         zbuf=zbuf,
-        valid_left=k1 != sentinel,
-        valid_right=k2 != sentinel,
+        valid_left=val_l,
+        valid_right=val_r,
         timestamp=left.timestamp,
     )
 

@@ -284,12 +284,20 @@ class DeviceFeeder:
                             break
                         except queue.Full:
                             continue
-        except Exception:  # propagate end-of-stream instead of hanging get()
-            self.error = __import__("sys").exc_info()[1]
-            try:
-                self._q.put(None, timeout=1.0)
-            except queue.Full:
-                pass
+        except Exception as exc:  # propagate end-of-stream instead of hanging get()
+            self.error = exc
+            # The None sentinel MUST reach the consumer or a later get()
+            # with no timeout blocks forever. If the queue stays full, drop
+            # a pending pair to make room (we are aborting anyway).
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.5)
+                    return
+                except queue.Full:
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     def start(self) -> "DeviceFeeder":
         if not self._started:

@@ -38,8 +38,15 @@ class CameraParameters:
     extrinsic_translation: np.ndarray  # (3,)
 
 
-class CameraNode:
-    """One camera's acquisition pipeline."""
+class CameraNode(FramesetSource):
+    """One camera's acquisition pipeline.
+
+    Also a :class:`FramesetSource` itself (``next_frame`` → :meth:`capture`)
+    so composed applications (FusionNodeApp's DeviceFeeder) pull through the
+    node and get its rs2-equivalent post-processing — the reference always
+    runs the temporal filter inside getFrames (realsense.cpp:398-404), so
+    feeding from the raw source would silently skip it.
+    """
 
     def __init__(
         self,
@@ -123,6 +130,14 @@ class CameraNode:
         self._depth_subs.append(cb)
 
     # -- acquisition --------------------------------------------------------
+
+    @property
+    def intrinsics(self) -> Intrinsics:
+        return self.source.intrinsics
+
+    def next_frame(self) -> Optional[HostFrameset]:
+        """FramesetSource face: one filtered frame (see class docstring)."""
+        return self.capture()
 
     def capture(self) -> Optional[HostFrameset]:
         """Grab one frame, apply the temporal filter (the only active rs2

@@ -125,8 +125,9 @@ def main() -> None:
     frame_times = []
     with fusion.feeder as feeder:
         for i, pair in enumerate(feeder):
-            # Camera-node side channels (temporal filter already applied by
-            # the source path; here we just forward depth to registration).
+            # Camera-node side channel: the fusion feeder pulls through the
+            # CameraNodes (temporal filter applied in capture()); forward the
+            # filtered depth frames to the registration service here.
             registration._on_depth(0, pair.host_left.depth, pair.host_left.timestamp)
             registration._on_depth(1, pair.host_right.depth, pair.host_right.timestamp)
             if i % args.registration_every == 0:

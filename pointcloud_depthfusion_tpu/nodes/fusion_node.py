@@ -63,9 +63,12 @@ class FusionNodeApp:
         )
 
         self.pipeline = FusionPipeline(self.intr_left, self.config, donate=False)
+        # Feed THROUGH the camera nodes (they are FramesetSources), not their
+        # raw sources: capture() applies the rs2-equivalent temporal filter,
+        # which the reference always runs in getFrames (realsense.cpp:398-404).
         self.feeder = DeviceFeeder(
-            camera_left.source,
-            camera_right.source,
+            camera_left,
+            camera_right,
             pairer=ApproximateTimePairer(max_interval_s=max_sync_interval_s),
             device=device,
         )

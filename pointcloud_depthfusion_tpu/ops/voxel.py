@@ -65,7 +65,11 @@ class VoxelGrid:
     count: Array  # (M,) float32 — number of points (or total weight)
     mean: Array  # (M, 3)
     cov: Array  # (M, 3, 3) — population covariance (E[ppᵀ] - μμᵀ)
-    coords: Array  # (M, 3) int32 — representative voxel coords (last writer)
+    # (M, 3) int32 — representative voxel coords: the voxel of the
+    # lowest-index point that hashed into the slot (a REAL member triple, so
+    # when two voxels collide one of them stays matchable; INT32_MAX where
+    # empty). Consumers collision-check lookups against these coords.
+    coords: Array
     resolution: Array  # scalar
 
     @property
@@ -104,16 +108,29 @@ def build_voxel_grid(
         .at[idx]
         .add(outer * w[:, None, None], mode="drop")
     )
-    rep = (
-        jnp.full((table_size + 1, 3), jnp.iinfo(jnp.int32).max, jnp.int32)
+    # Representative coords via min point index + gather: a componentwise
+    # coordinate min would mix components of different colliding voxels into
+    # a triple belonging to neither (dropping BOTH voxels at lookup); the
+    # lowest-index member's coords keep one of them alive.
+    n_pts = pts.shape[0]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    rep_idx = (
+        jnp.full((table_size + 1,), sentinel, jnp.uint32)
         .at[idx]
-        .min(jnp.where(val[:, None], coords, jnp.iinfo(jnp.int32).max), mode="drop")
+        .min(
+            jnp.where(val, jnp.arange(n_pts, dtype=jnp.uint32), sentinel),
+            mode="drop",
+        )
+    )[:table_size]
+    has_rep = rep_idx != sentinel
+    safe_idx = jnp.where(has_rep, rep_idx, 0).astype(jnp.int32)
+    rep = jnp.where(
+        has_rep[:, None], coords[safe_idx], jnp.iinfo(jnp.int32).max
     )
 
     count = count[:table_size]
     psum = psum[:table_size]
     ppsum = ppsum[:table_size]
-    rep = rep[:table_size]
 
     safe = jnp.maximum(count, 1.0)
     mean = psum / safe[:, None]

@@ -159,6 +159,43 @@ def _solve_6x6(h: Array, g: Array, damping: float) -> Array:
     return _cholesky_solve_6x6(h + lm, g)
 
 
+def prepare_target(
+    target_points: Array,
+    target_valid: Array,
+    config: GICPConfig,
+) -> V.VoxelGrid:
+    """Build the regularized target distribution grid (the solve's
+    scene-dependent state).
+
+    Split out from :func:`gicp_register` so callers can CACHE it across
+    solver ticks while the target scene is static — the reference re-runs
+    its per-solve target filtering every tick (registration.cpp:67-71);
+    skipping the rebuild halves the warm-tick cost here.
+
+    Means come from the voxel's own members; covariance ORIENTATION pools
+    the 3×3×3 voxel neighborhood (fast_gicp computes kNN covariances per
+    point — a lone point per fine voxel would otherwise yield degenerate
+    distributions and starve the solver of correspondences).
+    """
+    f = jnp.float32
+    tgt = target_points.reshape(-1, 3).astype(f)
+    tval = target_valid.reshape(-1)
+    tgt_ds, tgt_mask = V.voxel_downsample(
+        tgt, tval, config.voxel_size, config.table_size
+    )
+    eye3 = jnp.eye(3, dtype=f)
+    tgt_grid = V.build_voxel_grid(
+        tgt_ds, tgt_mask, config.resolution, config.table_size
+    )
+    tn_count, _, tn_cov = V.neighborhood_moments(tgt_grid)
+    tgt_cov_reg = jnp.where(
+        (tn_count >= config.min_cov_points)[:, None, None],
+        V.regularize_covariances(tn_cov, config.cov_regularization),
+        eye3,
+    )
+    return dataclasses.replace(tgt_grid, cov=tgt_cov_reg)
+
+
 def gicp_register(
     source_points: Array,
     source_valid: Array,
@@ -179,30 +216,29 @@ def gicp_register(
     the target frame (same convention as vgicp_cuda.align's final
     transformation).
     """
+    tgt_grid = prepare_target(target_points, target_valid, config)
+    return gicp_register_prepared(
+        source_points, source_valid, tgt_grid, initial_transform, config
+    )
+
+
+def gicp_register_prepared(
+    source_points: Array,
+    source_valid: Array,
+    tgt_grid: V.VoxelGrid,
+    initial_transform: Array,
+    config: GICPConfig,
+) -> GICPResult:
+    """:func:`gicp_register` against a pre-built target grid
+    (:func:`prepare_target`) — the cache-friendly entry point.
+    """
     f = jnp.float32
+    eye3 = jnp.eye(3, dtype=f)
     src = source_points.reshape(-1, 3).astype(f)
     sval = source_valid.reshape(-1)
-    tgt = target_points.reshape(-1, 3).astype(f)
-    tval = target_valid.reshape(-1)
 
-    # --- downsample both clouds (ApproximateVoxelGrid) -------------------
+    # --- downsample the source (ApproximateVoxelGrid) ---------------------
     src_ds, src_mask = V.voxel_downsample(src, sval, config.voxel_size, config.table_size)
-    tgt_ds, tgt_mask = V.voxel_downsample(tgt, tval, config.voxel_size, config.table_size)
-
-    # --- target distributions at `resolution` ----------------------------
-    # Means come from the voxel's own members; covariance ORIENTATION pools
-    # the 3×3×3 voxel neighborhood (fast_gicp computes kNN covariances per
-    # point — a lone point per fine voxel would otherwise yield degenerate
-    # distributions and starve the solver of correspondences).
-    eye3 = jnp.eye(3, dtype=f)
-    tgt_grid = V.build_voxel_grid(tgt_ds, tgt_mask, config.resolution, config.table_size)
-    tn_count, _, tn_cov = V.neighborhood_moments(tgt_grid)
-    tgt_cov_reg = jnp.where(
-        (tn_count >= config.min_cov_points)[:, None, None],
-        V.regularize_covariances(tn_cov, config.cov_regularization),
-        eye3,
-    )
-    tgt_grid = dataclasses.replace(tgt_grid, cov=tgt_cov_reg)
 
     # --- source per-point covariances from their voxel neighborhoods ------
     src_grid = V.build_voxel_grid(src_ds, src_mask, config.resolution, config.table_size)

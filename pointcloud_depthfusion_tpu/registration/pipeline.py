@@ -14,7 +14,6 @@ mutates configuration).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Optional, Sequence, Tuple
 
@@ -29,6 +28,8 @@ from pointcloud_depthfusion_tpu.registration.gicp import (
     GICPConfig,
     GICPResult,
     gicp_register,
+    gicp_register_prepared,
+    prepare_target,
 )
 
 Array = jax.Array
@@ -74,6 +75,13 @@ class RegistrationSettings:
     # /registration/target_points + /registration/aligned_points taps)
     publish_clouds: bool = False
 
+    # Target-grid caching: rebuild the target distribution grid every N
+    # ticks instead of every tick (the scene is mostly static at the 0.5 Hz
+    # cadence; re-voxelizing both clouds dominated the warm solve). 1 =
+    # rebuild always (reference behavior, registration.cpp:67-71). The grid
+    # is also rebuilt whenever resolution/voxel size change (annealing).
+    target_grid_cache_ticks: int = 4
+
 
 @dataclasses.dataclass
 class RegistrationTelemetry:
@@ -86,6 +94,8 @@ class RegistrationTelemetry:
     source_points: int
     discarded: bool
     guess_reset: bool
+    target_grid_rebuilt: bool = True
+    iterations: int = 0  # Gauss-Newton iterations until convergence/cap
 
 
 class RegistrationPipeline:
@@ -130,14 +140,25 @@ class RegistrationPipeline:
                 self.last_transform = loaded.copy()
 
         self._solve_cache: dict = {}
+        # Cached target grid: (cache key, device VoxelGrid, ticks since build)
+        self._tgt_grid_key = None
+        self._tgt_grid = None
+        self._tgt_grid_age = 0
 
     # -- device programs ---------------------------------------------------
 
-    @functools.lru_cache(maxsize=None)
     def _cloud_fn(self, which: str):
+        # Cache jitted programs per (side, settings-they-close-over) in an
+        # instance dict: an lru_cache on the bound method would pin `self`
+        # (and every jitted program) for process lifetime AND freeze the
+        # depth-window/ROI settings captured at first call.
         intr = self.intr_left if which == "left" else self.intr_right
         roi = self.settings.roi_left if which == "left" else self.settings.roi_right
         s = self.settings
+        key = (which, s.min_depth, s.max_depth, roi)
+        cached = self._solve_cache.get(key)
+        if cached is not None:
+            return cached
 
         @jax.jit
         def to_cloud(depth_u16, depth_scale):
@@ -147,9 +168,27 @@ class RegistrationPipeline:
             pts, valid = G.deproject(
                 d.astype(jnp.float32) * depth_scale, intr, valid
             )
-            return pts.reshape(-1, 3), valid.reshape(-1)
+            # valid-point count rides along as a fused scalar: an eager
+            # jnp.sum for telemetry costs a full extra dispatch + D2H
+            # round-trip per tick (~28 ms over the relay).
+            return pts.reshape(-1, 3), valid.reshape(-1), jnp.sum(valid)
 
+        self._solve_cache[key] = to_cloud
         return to_cloud
+
+    def _jitted(self, fn):
+        """One jax.jit wrapper per raw function, cached on the instance.
+
+        The whole tick (voxelize → moments → while_loop solve) runs as one
+        XLA program per call instead of dozens of eager dispatches — over
+        the relayed TPU each eager dispatch costs up to ~1 ms.
+        """
+        key = ("jit", fn)
+        wrapped = self._solve_cache.get(key)
+        if wrapped is None:
+            wrapped = jax.jit(fn)
+            self._solve_cache[key] = wrapped
+        return wrapped
 
     def _make_config(self) -> GICPConfig:
         s = self.settings
@@ -193,21 +232,42 @@ class RegistrationPipeline:
         s = self.settings
         t0 = time.perf_counter()
 
-        left_cloud, left_valid = self._cloud_fn("left")(
+        left_cloud, left_valid, left_count = self._cloud_fn("left")(
             jnp.asarray(depth_left_u16, jnp.uint16),
             jnp.asarray(s.depth_scale_left, jnp.float32),
         )
-        right_cloud, right_valid = self._cloud_fn("right")(
+        right_cloud, right_valid, right_count = self._cloud_fn("right")(
             jnp.asarray(depth_right_u16, jnp.uint16),
             jnp.asarray(s.depth_scale_right, jnp.float32),
         )
 
         config = self._make_config()
-        result: GICPResult = gicp_register(
+
+        # Target grid: rebuild on resolution/voxel change or every
+        # `target_grid_cache_ticks` ticks; reuse otherwise (the scene is
+        # static between 0.5 Hz ticks — rebuilding dominated the warm solve).
+        grid_key = (
+            float(self.current_resolution),
+            float(self.current_voxelsize),
+            s.table_size,
+        )
+        rebuild = (
+            self._tgt_grid is None
+            or self._tgt_grid_key != grid_key
+            or self._tgt_grid_age >= max(1, s.target_grid_cache_ticks)
+        )
+        if rebuild:
+            self._tgt_grid = self._jitted(prepare_target)(
+                left_cloud, left_valid, config
+            )
+            self._tgt_grid_key = grid_key
+            self._tgt_grid_age = 0
+        self._tgt_grid_age += 1
+
+        result: GICPResult = self._jitted(gicp_register_prepared)(
             right_cloud,
             right_valid,
-            left_cloud,
-            left_valid,
+            self._tgt_grid,
             jnp.asarray(self.initial_transform, jnp.float32),
             config,
         )
@@ -223,8 +283,19 @@ class RegistrationPipeline:
             x_lim, y_lim, z_lim = 30.0, 2.0, 2.0
             if s.cam_upside_down:
                 y_lim = 180.0 - y_lim
+            # Host-side euler extraction (registration.cpp extractEulerAngles
+            # semantics; same math as G.extract_euler_angles) — `final` is a
+            # 4×4 numpy matrix, a device op here would be a pointless
+            # dispatch + D2H round-trip per tick.
+            r_m = final[:3, :3]
             euler = np.rad2deg(
-                np.asarray(G.extract_euler_angles(jnp.asarray(final[:3, :3])))
+                np.asarray(
+                    [
+                        np.arctan2(r_m[2, 1], r_m[2, 2]),
+                        -np.arcsin(np.clip(r_m[2, 0], -1.0, 1.0)),
+                        np.arctan2(r_m[1, 0], r_m[0, 0]),
+                    ]
+                )
             )
             angles_fit = (
                 abs(euler[0]) < x_lim
@@ -282,10 +353,12 @@ class RegistrationPipeline:
             RegistrationTelemetry(
                 fitness=fitness,
                 icp_ms=icp_ms,
-                target_points=int(jnp.sum(left_valid)),
-                source_points=int(jnp.sum(right_valid)),
+                target_points=int(left_count),
+                source_points=int(right_count),
                 discarded=discarded,
                 guess_reset=guess_reset,
+                target_grid_rebuilt=rebuild,
+                iterations=int(result.iterations),
             )
         )
         return self.last_transform
@@ -298,10 +371,14 @@ class RegistrationPipeline:
     def write_profiling_csv(self, path: str) -> None:
         """CSV with the reference schema (registration_node.cpp:429-460)."""
         with open(path, "w") as fh:
-            fh.write("euclidean_fitness,icp_duration,points_target,points_source\n")
+            fh.write(
+                "euclidean_fitness,icp_duration,points_target,points_source,"
+                "target_grid_rebuilt\n"
+            )
             for row in self.telemetry:
                 fh.write(
-                    f"{row.fitness},{row.icp_ms},{row.target_points},{row.source_points}\n"
+                    f"{row.fitness},{row.icp_ms},{row.target_points},"
+                    f"{row.source_points},{int(row.target_grid_rebuilt)}\n"
                 )
 
 

@@ -111,8 +111,55 @@ def test_profiling_csv(tmp_path):
     path = str(tmp_path / "prof.csv")
     pipe.write_profiling_csv(path)
     lines = open(path).read().strip().split("\n")
-    assert lines[0] == "euclidean_fitness,icp_duration,points_target,points_source"
+    assert lines[0] == (
+        "euclidean_fitness,icp_duration,points_target,points_source,"
+        "target_grid_rebuilt"
+    )
     assert len(lines) == 2
+    assert lines[1].endswith(",1")  # first tick always builds the grid
+
+
+def test_target_grid_cache_matches_rebuild():
+    """A tick that reuses the cached target grid produces EXACTLY the
+    result of rebuilding it (the scene is unchanged), and telemetry records
+    the reuse."""
+    dl, dr, _, intr = make_depth_pair()
+    settings = RegistrationSettings(
+        resolution=0.05, voxelsize=0.02, adjust_resolution=False,
+        max_iterations=8, discard_transform=False, reset_initial_guess=False,
+        target_grid_cache_ticks=4,
+    )
+    cached = RegistrationPipeline(intr, intr, settings)
+    fresh = RegistrationPipeline(
+        intr, intr,
+        RegistrationSettings(
+            **{**settings.__dict__, "target_grid_cache_ticks": 1}
+        ),
+    )
+    for i in range(3):
+        t_c = cached.tick(dl, dr)
+        t_f = fresh.tick(dl, dr)
+        np.testing.assert_array_equal(t_c, t_f)
+    assert [t.target_grid_rebuilt for t in cached.telemetry] == [True, False, False]
+    assert [t.target_grid_rebuilt for t in fresh.telemetry] == [True, True, True]
+
+
+def test_target_grid_cache_invalidated_by_annealing():
+    dl, dr, _, intr = make_depth_pair()
+    settings = RegistrationSettings(
+        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+        resolution_step=0.05, max_iterations=8,
+        discard_transform=False, reset_initial_guess=False,
+        target_grid_cache_ticks=100,
+    )
+    pipe = RegistrationPipeline(intr, intr, settings)
+    for _ in range(4):
+        pipe.tick(dl, dr)
+    # Resolution changes every annealing tick → grid rebuilt each time until
+    # the schedule bottoms out (0.12 → 0.07 → 0.02 → steady).
+    assert [t.target_grid_rebuilt for t in pipe.telemetry] == [
+        True, True, True, False,
+    ]
 
 
 def test_cam_upside_down_initial_guess():

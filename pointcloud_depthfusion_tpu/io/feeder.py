@@ -79,6 +79,20 @@ class SyntheticSource(FramesetSource):
     def intrinsics(self) -> Intrinsics:
         return self._intr
 
+    def sensor_options(self) -> dict:
+        """Source-level options reflected into the parameter tree by
+        CameraNode.attach_config (the synthetic sensor's analogue of rs2
+        sensor options like laser power / exposure)."""
+        return {
+            "depth": {
+                "depth_noise_std": self.depth_noise_std,
+                "hole_fraction": self.hole_fraction,
+            },
+            "color": {
+                "jitter": self.jitter,  # timestamp jitter (s)
+            },
+        }
+
     def next_frame(self) -> HostFrameset:
         t = self.start_time + self.frame_idx / self.fps
         if self.jitter > 0:

@@ -48,6 +48,20 @@ class CameraNode(FramesetSource):
     feeding from the raw source would silently skip it.
     """
 
+    # The reflected depth-sensor option set: every attribute here becomes a
+    # ``sensor.depth.<name>`` parameter (declare + runtime dispatch), the
+    # equivalent of the reference's declareRosParameters sweep over the
+    # RealSense option list (realsense.cpp:608-664).
+    DEPTH_OPTIONS = (
+        "temporal_filter", "temporal_alpha", "temporal_delta",
+        "decimation_filter", "decimation_magnitude",
+        "spatial_filter", "spatial_alpha", "spatial_delta",
+        "spatial_magnitude",
+        "disparity_domain", "stereo_baseline_m",
+        "threshold_filter", "threshold_min_m", "threshold_max_m",
+        "hole_filling", "hole_fill_mode",
+    )
+
     def __init__(
         self,
         name: str,
@@ -57,7 +71,30 @@ class CameraNode(FramesetSource):
         temporal_filter: bool = True,
         temporal_alpha: float = 0.4,
         temporal_delta: float = 20.0,
+        decimation_filter: bool = False,
+        decimation_magnitude: int = 2,
+        spatial_filter: bool = False,
+        spatial_alpha: float = 0.55,
+        spatial_delta: float = 20.0,
+        spatial_magnitude: int = 2,
+        disparity_domain: bool = False,
+        stereo_baseline_m: float = 0.095,
+        threshold_filter: bool = False,
+        threshold_min_m: float = 0.0,
+        threshold_max_m: float = 2.0,
+        hole_filling: bool = False,
+        hole_fill_mode: str = "farthest",
     ):
+        """The full rs2 post-processing bank is available; defaults mirror
+        the reference's ACTIVE set (only the temporal filter runs in
+        getFrames, realsense.cpp:398-404) while the construction-time
+        parameterization of the others (decimation magnitude 2, spatial
+        alpha 0.55, threshold 0-2 m, hole fill mode 1, disparity transforms;
+        realsense.cpp:239-250) provides their defaults here. Filter order
+        when enabled follows the librealsense recommendation: decimation →
+        threshold → depth-to-disparity → spatial → temporal →
+        disparity-to-depth → hole filling.
+        """
         self.name = name
         self.source = source
         self.fps = fps
@@ -65,6 +102,19 @@ class CameraNode(FramesetSource):
         self.temporal_filter = temporal_filter
         self.temporal_alpha = temporal_alpha
         self.temporal_delta = temporal_delta
+        self.decimation_filter = decimation_filter
+        self.decimation_magnitude = decimation_magnitude
+        self.spatial_filter = spatial_filter
+        self.spatial_alpha = spatial_alpha
+        self.spatial_delta = spatial_delta
+        self.spatial_magnitude = spatial_magnitude
+        self.disparity_domain = disparity_domain
+        self.stereo_baseline_m = stereo_baseline_m
+        self.threshold_filter = threshold_filter
+        self.threshold_min_m = threshold_min_m
+        self.threshold_max_m = threshold_max_m
+        self.hole_filling = hole_filling
+        self.hole_fill_mode = hole_fill_mode
         self._prev_depth: Optional[np.ndarray] = None
         self._frameset_subs: List[Callable[[HostFrameset], None]] = []
         self._depth_subs: List[Callable[[np.ndarray, float], None]] = []
@@ -74,37 +124,63 @@ class CameraNode(FramesetSource):
 
     # -- dynamic reconfiguration ------------------------------------------
 
+    def sensor_options(self) -> dict:
+        """The reflected option tree: {group: {name: current value}}.
+
+        Node-level filter options live under ``depth``; a source may expose
+        its own options (e.g. the synthetic sensor's noise model) by
+        implementing ``sensor_options()`` — they are merged in, like the
+        reference reflecting every option of every rs2 sensor.
+        """
+        groups: dict = {
+            "depth": {name: getattr(self, name) for name in self.DEPTH_OPTIONS}
+        }
+        src_opts = getattr(self.source, "sensor_options", None)
+        if callable(src_opts):
+            for group, opts in src_opts().items():
+                groups.setdefault(group, {}).update(opts)
+        return groups
+
+    def _set_option(self, group: str, name: str, value) -> bool:
+        """Dispatch one runtime option update (parametersCallback
+        equivalent, config.cpp:53-169). Type is inferred from the current
+        value, like the reference's rs2 option-type switch."""
+        if group == "depth" and name in self.DEPTH_OPTIONS:
+            current = getattr(self, name)
+            setattr(self, name, type(current)(value))
+            return True
+        src_opts = getattr(self.source, "sensor_options", None)
+        if callable(src_opts) and name in src_opts().get(group, {}):
+            current = getattr(self.source, name)
+            setattr(self.source, name, type(current)(value))
+            return True
+        return False
+
     def attach_config(self, cfg) -> None:
         """Wire a ConfigTree for dynamic reconfiguration.
 
-        Mirrors the reference's dotted-namespace parameter dispatcher
-        (config.cpp:53-169): ``sensor.depth.*`` parameters retune the
-        temporal filter, ``fps`` the loop rate, ``debug.*`` the debug flags.
+        Declares the FULL reflected option set as ``sensor.<group>.<name>``
+        parameters (declare_parameter sweep, realsense.cpp:608-664), applies
+        any values already present in the tree, and dispatches runtime
+        updates back into the node/source. ``fps`` retunes the loop rate.
         Call ``cfg.set("sensor.depth.temporal_alpha", 0.5)`` at runtime and
         the node picks it up immediately.
         """
         self.config = cfg
-        self.fps = float(cfg.get("fps", self.fps))
-        sensor = "sensor.depth."
-        self.temporal_filter = bool(
-            cfg.get(sensor + "temporal_filter", self.temporal_filter)
-        )
-        self.temporal_alpha = float(
-            cfg.get(sensor + "temporal_alpha", self.temporal_alpha)
-        )
-        self.temporal_delta = float(
-            cfg.get(sensor + "temporal_delta", self.temporal_delta)
-        )
+        self.fps = float(cfg.declare("fps", self.fps))
+        for group, opts in self.sensor_options().items():
+            for name, default in opts.items():
+                value = cfg.declare(f"sensor.{group}.{name}", default)
+                if value is not default:
+                    self._set_option(group, name, value)
 
         def on_change(key: str, value) -> None:
             if key == "fps":
                 self.fps = float(value)
-            elif key == sensor + "temporal_filter":
-                self.temporal_filter = bool(value)
-            elif key == sensor + "temporal_alpha":
-                self.temporal_alpha = float(value)
-            elif key == sensor + "temporal_delta":
-                self.temporal_delta = float(value)
+                return
+            parts = key.split(".")
+            if len(parts) == 3 and parts[0] == "sensor":
+                self._set_option(parts[1], parts[2], value)
 
         cfg.on_change(on_change)
 
@@ -113,9 +189,20 @@ class CameraNode(FramesetSource):
     def get_camera_parameters(self) -> CameraParameters:
         intr = self.source.intrinsics
         info = CameraInfo.from_intrinsics(intr)
+        depth_info = info  # aligned: depth shares the color profile
+        if self.decimation_filter:
+            # Decimation shrinks the depth stream; its profile scales like
+            # librealsense's decimated stream profile.
+            from pointcloud_depthfusion_tpu.ops.filters import (  # noqa: PLC0415
+                decimate_intrinsics,
+            )
+
+            depth_info = CameraInfo.from_intrinsics(
+                decimate_intrinsics(intr, self.decimation_magnitude)
+            )
         rot = np.asarray(self.depth_to_color.rotation)
         return CameraParameters(
-            depth_info=info,  # aligned: depth shares the color profile
+            depth_info=depth_info,
             color_info=info,
             extrinsic_rotation=rot.flatten(order="F"),
             extrinsic_translation=np.asarray(self.depth_to_color.translation),
@@ -140,13 +227,13 @@ class CameraNode(FramesetSource):
         return self.capture()
 
     def capture(self) -> Optional[HostFrameset]:
-        """Grab one frame, apply the temporal filter (the only active rs2
-        post-processing filter, realsense.cpp:398-404), publish."""
+        """Grab one frame, run the rs2-equivalent post-processing bank (by
+        default only the temporal filter is active, matching getFrames,
+        realsense.cpp:398-404), publish."""
         fs = self.source.next_frame()
         if fs is None:
             return None
-        if self.temporal_filter:
-            fs = self._apply_temporal(fs)
+        fs = self._apply_filter_bank(fs)
         for cb in self._frameset_subs:
             cb(fs)
         for cb in self._depth_subs:
@@ -154,31 +241,80 @@ class CameraNode(FramesetSource):
         self.fps_counter.tick()
         return fs
 
-    def _apply_temporal(self, fs: HostFrameset) -> HostFrameset:
-        # Pure numpy on the capture thread: the device round-trip per frame
-        # (H2D+D2H over the relay) costs far more than the EMA itself. Same
-        # semantics as ops.filters.temporal_filter (tested equivalent).
-        if self._prev_depth is None:
-            self._prev_depth = fs.depth
-            return fs
-        cur = fs.depth.astype(np.float32)
-        prev = self._prev_depth.astype(np.float32)
-        have_both = (cur > 0) & (prev > 0)
-        close = np.abs(cur - prev) <= self.temporal_delta
-        out = np.where(
-            have_both & close,
-            self.temporal_alpha * cur + (1.0 - self.temporal_alpha) * prev,
-            cur,
+    def _apply_filter_bank(self, fs: HostFrameset) -> HostFrameset:
+        """decimation → threshold → [→disparity] → spatial → temporal
+        [→depth] → hole fill, in the librealsense-recommended order the
+        reference documents (realsense.cpp:377-389).
+
+        Pure numpy on the capture thread: a device round-trip per frame
+        (H2D+D2H) costs far more than these filters; the device twins in
+        ops.filters are value-equivalent (tested)."""
+        from pointcloud_depthfusion_tpu.ops import host_filters as HF  # noqa: PLC0415
+
+        depth = fs.depth
+        fx = float(self.source.intrinsics.fx)
+        if self.decimation_filter:
+            depth = HF.decimation_filter_np(depth, self.decimation_magnitude)
+            fx /= self.decimation_magnitude
+        if self.threshold_filter:
+            depth = HF.threshold_filter_np(
+                depth, fs.depth_scale, self.threshold_min_m, self.threshold_max_m
+            )
+        data = (
+            HF.depth_to_disparity_np(
+                depth, fs.depth_scale, fx, self.stereo_baseline_m
+            )
+            if self.disparity_domain
+            else depth
         )
-        out = np.where((cur == 0) & (prev > 0), prev, out)
-        out = np.clip(np.rint(out), 0, 65535).astype(np.uint16)
-        self._prev_depth = out
+        if self.spatial_filter:
+            data = HF.spatial_filter_np(
+                data, self.spatial_alpha, self.spatial_delta,
+                self.spatial_magnitude,
+            )
+        if self.temporal_filter:
+            data = self._apply_temporal(data)
+        depth = (
+            HF.disparity_to_depth_np(
+                data, fs.depth_scale, fx, self.stereo_baseline_m
+            )
+            if self.disparity_domain
+            else data
+        )
+        if self.hole_filling:
+            depth = HF.hole_fill_np(depth, self.hole_fill_mode)
+        if depth is fs.depth:
+            return fs
         return HostFrameset(
-            depth=out,
+            depth=depth,
             color=fs.color,
             timestamp=fs.timestamp,
             depth_scale=fs.depth_scale,
         )
+
+    def _apply_temporal(self, data: np.ndarray) -> np.ndarray:
+        """Temporal EMA step in the current domain (u16 depth or f32
+        disparity). Same semantics as ops.filters.temporal_filter (tested
+        equivalent); history resets if the stream shape/domain changes."""
+        prev = self._prev_depth
+        if prev is None or prev.shape != data.shape or prev.dtype != data.dtype:
+            self._prev_depth = data
+            return data
+        cur = data.astype(np.float32)
+        prev_f = prev.astype(np.float32)
+        have_both = (cur > 0) & (prev_f > 0)
+        close = np.abs(cur - prev_f) <= self.temporal_delta
+        out = np.where(
+            have_both & close,
+            self.temporal_alpha * cur + (1.0 - self.temporal_alpha) * prev_f,
+            cur,
+        )
+        out = np.where((cur == 0) & (prev_f > 0), prev_f, out)
+        if np.issubdtype(data.dtype, np.integer):
+            out = np.clip(np.rint(out), 0, 65535)
+        out = out.astype(data.dtype)
+        self._prev_depth = out
+        return out
 
     # -- push-mode loop ------------------------------------------------------
 

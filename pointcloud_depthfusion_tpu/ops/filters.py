@@ -392,6 +392,155 @@ def hole_fill(depth_u16: Array, mode: str = "farthest") -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Decimation filter (rs2::decimation_filter equivalent)
+# ---------------------------------------------------------------------------
+
+
+def decimation_filter(depth_u16: Array, magnitude: int = 2) -> Array:
+    """Depth decimation: per-block median of the NONZERO values.
+
+    Matches librealsense's decimation_filter semantics as constructed by the
+    reference (FILTER_MAGNITUDE 2, realsense.cpp:244): each magnitude×
+    magnitude block contributes the upper median (`sorted[count/2]`) of its
+    nonzero depths, or 0 when the whole block is holes. Output is
+    (H/magnitude, W/magnitude); H and W must divide evenly (librealsense
+    pads the output to a multiple of 4 for SIMD — an implementation detail
+    not reproduced here).
+    """
+    h, w = depth_u16.shape
+    m = int(magnitude)
+    if m <= 1:
+        return depth_u16
+    if h % m or w % m:
+        raise ValueError(f"image {h}x{w} not divisible by magnitude {m}")
+    blocks = depth_u16.reshape(h // m, m, w // m, m)
+    vals = jnp.moveaxis(blocks, (1, 3), (2, 3)).reshape(h // m, w // m, m * m)
+    vals = vals.astype(jnp.int32)
+    # Upper median of nonzero values: sort with zeros pushed to the FRONT
+    # (they sort first naturally), then index (zeros + count/2) =
+    # (k - count + count/2) = k - (count+1)/2 ... derived below.
+    s = jnp.sort(vals, axis=-1)  # zeros first, then nonzero ascending
+    count = jnp.sum(vals > 0, axis=-1)
+    k = m * m
+    # nonzero values occupy s[k-count:]; upper median = s[k-count + count//2].
+    idx = jnp.clip(k - count + count // 2, 0, k - 1)
+    med = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(count > 0, med, 0).astype(jnp.uint16)
+
+
+def decimate_intrinsics(intr, magnitude: int = 2):
+    """Scale intrinsics for a decimated stream (librealsense updates the
+    stream profile the same way: all linear quantities divided by the
+    magnitude)."""
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics  # noqa: PLC0415
+
+    m = int(magnitude)
+    if m <= 1:
+        return intr
+    return Intrinsics.create(
+        intr.width // m,
+        intr.height // m,
+        fx=float(intr.fx) / m,
+        fy=float(intr.fy) / m,
+        ppx=float(intr.ppx) / m,
+        ppy=float(intr.ppy) / m,
+        model=intr.model,
+        coeffs=np.asarray(intr.coeffs, np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial edge-preserving filter (rs2::spatial_filter equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _spatial_sweep(x: Array, alpha: float, delta: float, integer_domain: bool):
+    """One left→right recursive EMA sweep along axis 1 (vectorized over
+    rows). The recurrence is data-dependent (the gate compares against the
+    FILTERED previous value), so it is a lax.scan, not an associative scan.
+    """
+
+    def step(carry, col):
+        gate = (col > 0) & (carry > 0) & (jnp.abs(col - carry) <= delta)
+        blended = col * alpha + carry * (1.0 - alpha)
+        if integer_domain:
+            # librealsense stores (T)(filtered + 0.5f): round half up.
+            blended = jnp.floor(blended + 0.5)
+        out = jnp.where(gate, blended, col)
+        return out, out
+
+    init = x[:, 0]
+    _, cols = jax.lax.scan(step, init, jnp.moveaxis(x[:, 1:], 1, 0))
+    return jnp.concatenate([x[:, :1], jnp.moveaxis(cols, 0, 1)], axis=1)
+
+
+def spatial_filter(
+    depth: Array,
+    alpha: float = 0.55,
+    delta: float = 20.0,
+    magnitude: int = 2,
+    holes_fill: int = 0,
+) -> Array:
+    """rs2 spatial edge-preserving filter (1D recursive EMA, four sweep
+    directions per iteration, ``magnitude`` iterations).
+
+    Parameters follow the reference's construction (smooth_alpha 0.55,
+    realsense.cpp:248; delta 20 and magnitude 2 are the librealsense
+    defaults it leaves untouched). Where adjacent values are both valid and
+    within ``delta``, blend ``alpha·cur + (1-alpha)·prev_filtered``; the
+    edge gate compares against the already-filtered neighbor, which is what
+    makes the filter edge-preserving rather than a separable blur.
+    Works on uint16 depth (librealsense's rounding reproduced) or float32
+    disparity. holes_fill>0 (hole persistence radii) is not implemented —
+    the reference leaves it at the disabled default.
+    """
+    if holes_fill:
+        raise NotImplementedError("spatial holes_fill modes are not supported")
+    integer_domain = jnp.issubdtype(depth.dtype, jnp.integer)
+    x = depth.astype(jnp.float32)
+    for _ in range(int(magnitude)):
+        x = _spatial_sweep(x, alpha, delta, integer_domain)  # left→right
+        x = _spatial_sweep(x[:, ::-1], alpha, delta, integer_domain)[:, ::-1]
+        xt = jnp.swapaxes(x, 0, 1)
+        xt = _spatial_sweep(xt, alpha, delta, integer_domain)  # top→bottom
+        xt = _spatial_sweep(xt[:, ::-1], alpha, delta, integer_domain)[:, ::-1]
+        x = jnp.swapaxes(xt, 0, 1)
+    if integer_domain:
+        return jnp.clip(x, 0, 65535).astype(depth.dtype)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Disparity transforms (rs2::disparity_transform equivalents)
+# ---------------------------------------------------------------------------
+
+
+def depth_to_disparity(
+    depth_u16: Array, depth_scale, fx, baseline_m: float = 0.095
+) -> Array:
+    """Z16 depth → float32 disparity (pixels): ``fx · baseline / depth_m``.
+
+    The rs2 depth↔disparity transform pair the reference constructs
+    (realsense.cpp:240-241); 0 depth maps to 0 disparity. baseline defaults
+    to the D455 stereo baseline (~95 mm).
+    """
+    depth_m = depth_u16.astype(jnp.float32) * jnp.float32(depth_scale)
+    factor = jnp.float32(fx) * jnp.float32(baseline_m)
+    return jnp.where(depth_u16 > 0, factor / jnp.maximum(depth_m, 1e-9), 0.0)
+
+
+def disparity_to_depth(
+    disparity: Array, depth_scale, fx, baseline_m: float = 0.095
+) -> Array:
+    """float32 disparity → Z16 depth (inverse of :func:`depth_to_disparity`,
+    rounded to the nearest raw depth unit)."""
+    factor = jnp.float32(fx) * jnp.float32(baseline_m)
+    depth_m = jnp.where(disparity > 0, factor / jnp.maximum(disparity, 1e-9), 0.0)
+    raw = depth_m / jnp.float32(depth_scale)
+    return jnp.clip(jnp.round(raw), 0, 65535).astype(jnp.uint16)
+
+
+# ---------------------------------------------------------------------------
 # The composed depth filter stage (reference DepthFrame::filter pipeline)
 # ---------------------------------------------------------------------------
 

@@ -197,6 +197,59 @@ def temporal_filter_oracle(depth, prev, alpha=0.4, delta=20.0, persistence=True)
 # --- depth->color alignment -------------------------------------------------
 
 
+def decimation_filter_oracle(depth_u16, magnitude=2):
+    """Scalar rs2 decimation oracle: per-block upper median of nonzero
+    depths (librealsense decimation_filter semantics; constructed with
+    magnitude 2 at realsense.cpp:244)."""
+    d = np.asarray(depth_u16)
+    h, w = d.shape
+    m = magnitude
+    out = np.zeros((h // m, w // m), np.uint16)
+    for i in range(h // m):
+        for j in range(w // m):
+            vals = sorted(
+                int(v) for v in d[i * m:(i + 1) * m, j * m:(j + 1) * m].ravel()
+                if v != 0
+            )
+            out[i, j] = vals[len(vals) // 2] if vals else 0
+    return out
+
+
+def spatial_filter_oracle(depth, alpha=0.55, delta=20.0, magnitude=2):
+    """Scalar rs2 spatial filter oracle: recursive EMA, four sweep
+    directions per iteration, gate compares against the FILTERED neighbor
+    (alpha 0.55 per realsense.cpp:248)."""
+    d = np.asarray(depth)
+    integer_domain = np.issubdtype(d.dtype, np.integer)
+    x = d.astype(np.float64)
+    h, w = x.shape
+
+    def sweep_row(row):
+        for u in range(1, len(row)):
+            if row[u] > 0 and row[u - 1] > 0 and abs(row[u] - row[u - 1]) <= delta:
+                v = row[u] * alpha + row[u - 1] * (1 - alpha)
+                row[u] = np.floor(v + 0.5) if integer_domain else v
+
+    for _ in range(magnitude):
+        for r in range(h):
+            sweep_row(x[r])
+        for r in range(h):
+            rev = x[r, ::-1].copy()
+            sweep_row(rev)
+            x[r] = rev[::-1]
+        for c in range(w):
+            col = x[:, c].copy()
+            sweep_row(col)
+            x[:, c] = col
+        for c in range(w):
+            rev = x[::-1, c].copy()
+            sweep_row(rev)
+            x[:, c] = rev[::-1]
+    if integer_domain:
+        return np.clip(x, 0, 65535).astype(d.dtype)
+    return x.astype(np.float32)
+
+
 def align_depth_to_color_oracle(
     depth_u16, depth_scale,
     d_fx, d_fy, d_ppx, d_ppy,

@@ -117,3 +117,57 @@ def test_hole_fill_modes(rng):
     keep = d > 0
     for g in (got, got_f, got_n):
         np.testing.assert_array_equal(g[keep], d[keep])
+
+
+def test_decimation_matches_oracle(rng):
+    d = rng.integers(0, 3000, (24, 32)).astype(np.uint16)
+    d[rng.random((24, 32)) < 0.3] = 0  # holes
+    for m in (2, 4):
+        got = np.asarray(F.decimation_filter(jnp.asarray(d), m))
+        want = oracles.decimation_filter_oracle(d, m)
+        np.testing.assert_array_equal(got, want)
+        # host mirror identical
+        from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+        np.testing.assert_array_equal(HF.decimation_filter_np(d, m), want)
+
+
+def test_decimate_intrinsics():
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+
+    intr = Intrinsics.create(848, 480, fx=631.0, fy=632.0, ppx=424.0, ppy=241.0)
+    di = F.decimate_intrinsics(intr, 2)
+    assert (di.width, di.height) == (424, 240)
+    assert float(di.fx) == 315.5 and float(di.ppy) == 120.5
+
+
+def test_spatial_filter_matches_oracle(rng):
+    d = rng.integers(500, 3000, (14, 18)).astype(np.uint16)
+    d[rng.random((14, 18)) < 0.15] = 0
+    got = np.asarray(F.spatial_filter(jnp.asarray(d), 0.55, 20.0, 2))
+    want = oracles.spatial_filter_oracle(d, 0.55, 20.0, 2)
+    np.testing.assert_array_equal(got, want)
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    np.testing.assert_array_equal(HF.spatial_filter_np(d, 0.55, 20.0, 2), want)
+
+
+def test_spatial_filter_float_disparity_domain(rng):
+    disp = (rng.random((10, 12)).astype(np.float32) * 50 + 10).astype(np.float32)
+    disp[rng.random((10, 12)) < 0.2] = 0.0
+    got = np.asarray(F.spatial_filter(jnp.asarray(disp), 0.5, 8.0, 1))
+    want = oracles.spatial_filter_oracle(disp, 0.5, 8.0, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_disparity_round_trip(rng):
+    d = rng.integers(300, 6000, (20, 24)).astype(np.uint16)
+    d[rng.random((20, 24)) < 0.1] = 0
+    disp = F.depth_to_disparity(jnp.asarray(d), 0.001, 631.0, 0.095)
+    back = np.asarray(F.disparity_to_depth(disp, 0.001, 631.0, 0.095))
+    assert np.abs(back.astype(int) - d.astype(int)).max() <= 1
+    np.testing.assert_array_equal(back == 0, d == 0)
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    disp_np = HF.depth_to_disparity_np(d, 0.001, 631.0, 0.095)
+    np.testing.assert_allclose(np.asarray(disp), disp_np, rtol=1e-6)

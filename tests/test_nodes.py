@@ -114,9 +114,85 @@ def test_host_temporal_filter_matches_device_op():
     cur = (prev.astype(np.int32) + rng.integers(-30, 30, prev.shape)).clip(0, 65535).astype(np.uint16)
     cur[0, :5] = 0
     cam_l._prev_depth = prev
-    got = cam_l._apply_temporal(
-        HostFrameset(depth=cur, color=np.zeros((H, W, 3), np.uint8), timestamp=0.0)
-    ).depth
+    got = cam_l._apply_temporal(cur)
     want, _ = F.temporal_filter(jnp.asarray(cur), jnp.asarray(prev),
                                 alpha=cam_l.temporal_alpha, delta=cam_l.temporal_delta)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_camera_node_full_filter_bank_composition():
+    """Enabling the whole rs2 bank equals composing the host filters
+    manually in the librealsense-recommended order."""
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    src = SyntheticSource(scene, intr, wl, depth_noise_std=0.003,
+                          hole_fraction=0.05, seed=7)
+    node = CameraNode(
+        "cam", src,
+        decimation_filter=True, decimation_magnitude=2,
+        threshold_filter=True, threshold_max_m=2.5,
+        disparity_domain=True, spatial_filter=True,
+        temporal_filter=True, hole_filling=True,
+    )
+    raw_src = SyntheticSource(scene, intr, wl, depth_noise_std=0.003,
+                              hole_fraction=0.05, seed=7)
+    prev = None
+    fx = float(intr.fx)
+    for _ in range(3):
+        got = node.capture()
+        raw = raw_src.next_frame()
+        d = HF.decimation_filter_np(raw.depth, 2)
+        d = HF.threshold_filter_np(d, raw.depth_scale, 0.0, 2.5)
+        disp = HF.depth_to_disparity_np(d, raw.depth_scale, fx / 2, 0.095)
+        disp = HF.spatial_filter_np(disp, 0.55, 20.0, 2)
+        if prev is not None:
+            cur = disp
+            have = (cur > 0) & (prev > 0)
+            close = np.abs(cur - prev) <= 20.0
+            disp = np.where(have & close, 0.4 * cur + 0.6 * prev, cur)
+            disp = np.where((cur == 0) & (prev > 0), prev, disp).astype(np.float32)
+        prev = disp
+        d = HF.disparity_to_depth_np(disp, raw.depth_scale, fx / 2, 0.095)
+        want = HF.hole_fill_np(d, "farthest")
+        np.testing.assert_array_equal(got.depth, want)
+    # decimated depth profile reported by the parameter service
+    params = node.get_camera_parameters()
+    assert params.depth_info.width == 32 and params.depth_info.height == 24
+    assert params.color_info.width == 64
+
+
+def test_camera_node_option_reflection_round_trip():
+    """attach_config declares the full sensor option tree (reference
+    declareRosParameters sweep) and dispatches runtime updates back into
+    the node AND the source."""
+    from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+    intr = Intrinsics.create(32, 24, fx=25.0, fy=25.0, ppx=16.0, ppy=12.0)
+    src = SyntheticSource(SyntheticScene(), intr, two_camera_rig()[0],
+                          depth_noise_std=0.002, hole_fraction=0.01)
+    node = CameraNode("cam", src)
+    cfg = ConfigTree({"sensor": {"depth": {"spatial_filter": True,
+                                           "spatial_alpha": 0.7}}})
+    node.attach_config(cfg)
+    # pre-set values applied at attach time
+    assert node.spatial_filter is True and node.spatial_alpha == 0.7
+    # the FULL option set was declared into the tree with type inference
+    tree = cfg.as_dict()["sensor"]
+    assert tree["depth"]["decimation_magnitude"] == 2
+    assert tree["depth"]["temporal_alpha"] == 0.4
+    assert tree["depth"]["depth_noise_std"] == 0.002  # source option
+    assert tree["color"]["jitter"] == 0.0
+    # runtime dispatch: node option
+    cfg.set("sensor.depth.temporal_alpha", 0.55)
+    assert node.temporal_alpha == 0.55
+    # runtime dispatch: int type inference from the declared default
+    cfg.set("sensor.depth.decimation_magnitude", 4.0)
+    assert node.decimation_magnitude == 4 and isinstance(node.decimation_magnitude, int)
+    # runtime dispatch into the SOURCE (sensor-option write-back)
+    cfg.set("sensor.depth.depth_noise_std", 0.01)
+    assert src.depth_noise_std == 0.01
+    cfg.set("sensor.color.jitter", 0.002)
+    assert src.jitter == 0.002

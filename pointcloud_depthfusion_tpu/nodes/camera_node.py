@@ -61,6 +61,9 @@ class CameraNode(FramesetSource):
         "threshold_filter", "threshold_min_m", "threshold_max_m",
         "hole_filling", "hole_fill_mode",
     )
+    # Color-stream options, reflected as ``sensor.color.*`` (the reference's
+    # small-preview geometry, camera_node config.hpp:101-102: 608×608).
+    COLOR_OPTIONS = ("small_image_width", "small_image_height")
 
     def __init__(
         self,
@@ -84,6 +87,8 @@ class CameraNode(FramesetSource):
         threshold_max_m: float = 2.0,
         hole_filling: bool = False,
         hole_fill_mode: str = "farthest",
+        small_image_width: int = 608,
+        small_image_height: int = 608,
     ):
         """The full rs2 post-processing bank is available; defaults mirror
         the reference's ACTIVE set (only the temporal filter runs in
@@ -115,9 +120,12 @@ class CameraNode(FramesetSource):
         self.threshold_max_m = threshold_max_m
         self.hole_filling = hole_filling
         self.hole_fill_mode = hole_fill_mode
+        self.small_image_width = small_image_width
+        self.small_image_height = small_image_height
         self._prev_depth: Optional[np.ndarray] = None
         self._frameset_subs: List[Callable[[HostFrameset], None]] = []
         self._depth_subs: List[Callable[[np.ndarray, float], None]] = []
+        self._small_subs: List[Callable[[np.ndarray, float], None]] = []
         self.fps_counter = FpsCounter(name=f"{name}/fps")
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -133,7 +141,8 @@ class CameraNode(FramesetSource):
         reference reflecting every option of every rs2 sensor.
         """
         groups: dict = {
-            "depth": {name: getattr(self, name) for name in self.DEPTH_OPTIONS}
+            "depth": {name: getattr(self, name) for name in self.DEPTH_OPTIONS},
+            "color": {name: getattr(self, name) for name in self.COLOR_OPTIONS},
         }
         src_opts = getattr(self.source, "sensor_options", None)
         if callable(src_opts):
@@ -145,7 +154,10 @@ class CameraNode(FramesetSource):
         """Dispatch one runtime option update (parametersCallback
         equivalent, config.cpp:53-169). Type is inferred from the current
         value, like the reference's rs2 option-type switch."""
-        if group == "depth" and name in self.DEPTH_OPTIONS:
+        own = (group == "depth" and name in self.DEPTH_OPTIONS) or (
+            group == "color" and name in self.COLOR_OPTIONS
+        )
+        if own:
             current = getattr(self, name)
             setattr(self, name, type(current)(value))
             return True
@@ -216,6 +228,12 @@ class CameraNode(FramesetSource):
     def subscribe_depth(self, cb: Callable[[np.ndarray, float], None]) -> None:
         self._depth_subs.append(cb)
 
+    def subscribe_color_small(self, cb: Callable[[np.ndarray, float], None]) -> None:
+        """The color/image_small preview topic: a bilinear resize of the
+        color frame to small_image_{width,height} (camera_node.cpp:349-352,
+        config default 608×608). Computed only while subscribed."""
+        self._small_subs.append(cb)
+
     # -- acquisition --------------------------------------------------------
 
     @property
@@ -238,6 +256,17 @@ class CameraNode(FramesetSource):
             cb(fs)
         for cb in self._depth_subs:
             cb(fs.depth, fs.timestamp)
+        if self._small_subs:
+            from PIL import Image  # noqa: PLC0415
+
+            small = np.asarray(
+                Image.fromarray(fs.color).resize(
+                    (self.small_image_width, self.small_image_height),
+                    Image.BILINEAR,
+                )
+            )
+            for cb in self._small_subs:
+                cb(small, fs.timestamp)
         self.fps_counter.tick()
         return fs
 

@@ -115,6 +115,12 @@ def main() -> None:
 
     sink = ImageNode(out_dir=args.out, every_n=max(1, args.frames // 8))
     fusion.subscribe_fused(sink)
+    # The reference viewer's other subscriptions (image_node.cpp:38-109):
+    # raw-depth viewer, frameset (color + scaled depth) viewer, small
+    # preview — all fed from the left camera node.
+    cam_left.subscribe_depth(sink.on_depth)
+    cam_left.subscribe_frameset(sink.on_frameset)
+    cam_left.subscribe_color_small(sink.on_image_small)
     gif_frames = []
     if args.gif:
         fusion.subscribe_fused(lambda img, ts: gif_frames.append(img.copy()))

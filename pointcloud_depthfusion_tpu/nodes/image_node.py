@@ -1,9 +1,13 @@
 """Image sink node: the visualization endpoint.
 
 Equivalent of the reference image_node (OpenCV imshow viewer,
-image_node/src/image_node.cpp:54-68). TPU hosts are headless, so the default
-sink writes numbered PNGs to a directory; an interactive backend can be
-plugged in by passing a custom ``display`` callable.
+image_node/src/image_node.cpp:38-120) with all four of its callback kinds:
+fused color (fusedCallback), raw depth (depthCallback), full frameset —
+color + depth side by side with the 0.1 convertScaleAbs depth visualization
+(framesetCallback, image_node.cpp:75-95) — and the small preview image
+(imageSmallCallback). TPU hosts are headless, so the default sink writes
+numbered PNGs to a directory; an interactive backend can be plugged in by
+passing a custom ``display`` callable.
 """
 
 from __future__ import annotations
@@ -16,6 +20,14 @@ import numpy as np
 from pointcloud_depthfusion_tpu.io.artifacts import save_png
 
 
+def depth_to_u8(depth_u16: np.ndarray, scale: float = 0.1) -> np.ndarray:
+    """cv::convertScaleAbs(depth, 0.1) (image_node.cpp:84): |d·scale|
+    saturated to uint8 — the depth visualization the reference viewer shows."""
+    return np.clip(np.abs(depth_u16.astype(np.float64) * scale), 0, 255).astype(
+        np.uint8
+    )
+
+
 class ImageNode:
     def __init__(
         self,
@@ -23,22 +35,51 @@ class ImageNode:
         display: Optional[Callable[[np.ndarray, float], None]] = None,
         every_n: int = 1,
         max_saved: Optional[int] = None,
+        depth_scale_abs: float = 0.1,
     ):
         self.out_dir = out_dir
         self.display = display
         self.every_n = every_n
         self.max_saved = max_saved
+        self.depth_scale_abs = depth_scale_abs
         self.received = 0
         self.saved = 0
+        self._counters: dict = {}
 
-    def __call__(self, image: np.ndarray, timestamp: float) -> None:
+    # -- shared sink plumbing ------------------------------------------------
+
+    def _sink(self, kind: str, image: np.ndarray, timestamp: float) -> None:
+        n = self._counters.get(kind, 0)
+        self._counters[kind] = n + 1
         self.received += 1
         if self.display is not None:
             self.display(image, timestamp)
-        if self.out_dir is None or (self.received - 1) % self.every_n:
+        if self.out_dir is None or n % self.every_n:
             return
         if self.max_saved is not None and self.saved >= self.max_saved:
             return
-        path = os.path.join(self.out_dir, f"fused_{self.received - 1:06d}.png")
-        save_png(path, image)
+        save_png(os.path.join(self.out_dir, f"{kind}_{n:06d}.png"), image)
         self.saved += 1
+
+    # -- the four reference callbacks ---------------------------------------
+
+    def __call__(self, image: np.ndarray, timestamp: float) -> None:
+        """Fused-image sink (fusedCallback, image_node.cpp:97-109)."""
+        self._sink("fused", image, timestamp)
+
+    def on_depth(self, depth_u16: np.ndarray, timestamp: float) -> None:
+        """Depth viewer (depthCallback): scaled-abs uint8 visualization."""
+        self._sink("depth", depth_to_u8(depth_u16, self.depth_scale_abs), timestamp)
+
+    def on_frameset(self, frameset) -> None:
+        """Frameset viewer (framesetCallback, image_node.cpp:75-95): the
+        reference shows color and convertScaleAbs(0.1) depth as two windows;
+        headless, they land side by side in one PNG."""
+        depth_vis = depth_to_u8(frameset.depth, self.depth_scale_abs)
+        depth_rgb = np.repeat(depth_vis[:, :, None], 3, axis=2)
+        combo = np.concatenate([frameset.color, depth_rgb], axis=1)
+        self._sink("frameset", combo, frameset.timestamp)
+
+    def on_image_small(self, image: np.ndarray, timestamp: float) -> None:
+        """Small-preview sink (imageSmallCallback, image_node.cpp:55-69)."""
+        self._sink("small", image, timestamp)

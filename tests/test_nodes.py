@@ -196,3 +196,45 @@ def test_camera_node_option_reflection_round_trip():
     assert src.depth_noise_std == 0.01
     cfg.set("sensor.color.jitter", 0.002)
     assert src.jitter == 0.002
+
+
+def test_image_node_viewer_variants(tmp_path):
+    """All four reference viewer callbacks write artifacts: fused, depth
+    (convertScaleAbs 0.1), frameset (color|scaled-depth side by side),
+    small preview (image_node.cpp:38-109)."""
+    from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+    from pointcloud_depthfusion_tpu.nodes.image_node import ImageNode, depth_to_u8
+
+    sink = ImageNode(out_dir=str(tmp_path))
+    rgb = np.full((8, 10, 3), 77, np.uint8)
+    depth = np.arange(80, dtype=np.uint16).reshape(8, 10) * 40
+    sink(rgb, 0.0)
+    sink.on_depth(depth, 0.0)
+    sink.on_frameset(HostFrameset(depth=depth, color=rgb, timestamp=0.0))
+    sink.on_image_small(rgb[::2, ::2], 0.0)
+    import os
+    names = sorted(os.listdir(tmp_path))
+    assert names == [
+        "depth_000000.png", "frameset_000000.png",
+        "fused_000000.png", "small_000000.png",
+    ]
+    # convertScaleAbs semantics: |d*0.1| saturated
+    vis = depth_to_u8(depth)
+    assert vis.dtype == np.uint8 and vis.max() == 255
+    assert vis[0, 5] == round(depth[0, 5] * 0.1)
+    # frameset artifact is color|depth side by side
+    from PIL import Image
+    combo = np.asarray(Image.open(tmp_path / "frameset_000000.png"))
+    assert combo.shape == (8, 20, 3)
+    np.testing.assert_array_equal(combo[:, :10], rgb)
+    np.testing.assert_array_equal(combo[:, 10:, 0], vis)
+
+
+def test_camera_node_small_image_topic():
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    src = SyntheticSource(SyntheticScene(), intr, two_camera_rig()[0])
+    node = CameraNode("cam", src, small_image_width=32, small_image_height=16)
+    got = []
+    node.subscribe_color_small(lambda img, ts: got.append(img))
+    node.capture()
+    assert got[0].shape == (16, 32, 3)

@@ -31,6 +31,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointcloud_depthfusion_tpu.core import geometry as G
 from pointcloud_depthfusion_tpu.core.camera import (
@@ -379,6 +380,150 @@ class FusionPipeline:
     def set_right_transform(self, transform) -> None:
         """Registration-transform update (transformCallback equivalent)."""
         self.right_transform = jnp.asarray(transform, jnp.float32)
+
+    # -- split-program profiling mode ---------------------------------------
+
+    def _stage_jits(self) -> dict:
+        """Per-stage jitted programs for the profiling mode.
+
+        The reference measures 14 stages with cudaDeviceSynchronize fences
+        (getTiming, fusion_node.cpp:620-631). A single fused XLA program has
+        no internal boundaries, so the profiling mode compiles the pipeline
+        as these sub-programs instead — same math, materialized stage
+        boundaries — and fences each with block_until_ready. It follows the
+        reference's stage structure (transform right→left, then transform
+        the MERGED cloud into the virtual camera) rather than the fused
+        path's composed-matrix shortcut, so per-pixel results can differ in
+        the last float bit at winner near-ties.
+        """
+        if getattr(self, "_stages", None):
+            return self._stages
+        cfg = self.config
+        fi = self.fused_intrinsics
+
+        def make_filter(roi):
+            @jax.jit
+            def s_filter(depth, scale, min_d, max_d, intr_d, intr_c, d2c):
+                if cfg.align_frames:
+                    depth = align_depth_to_color(depth, scale, intr_d, intr_c, d2c)
+                return F.filter_depth(depth, scale, min_d, max_d, roi)
+
+            return s_filter
+
+        @jax.jit
+        def s_deproject(depth_u16, scale, intr, valid):
+            depth_m = depth_u16.astype(jnp.float32) * scale
+            return G.deproject_planar(depth_m, intr, valid)
+
+        @jax.jit
+        def s_transform(x, y, z, t):
+            return G.transform_planar(x, y, z, t)
+
+        @jax.jit
+        def s_fuse(xl, yl, zl, vl, cl, xr, yr, zr, vr, cr):
+            return (
+                jnp.stack([xl, xr]), jnp.stack([yl, yr]), jnp.stack([zl, zr]),
+                jnp.stack([vl, vr]), jnp.stack([cl, cr]),
+            )
+
+        @jax.jit
+        def s_project(x, y, z, col, val, min_depth, max_depth):
+            r = col[..., 0]
+            g = col[..., 1]
+            b = col[..., 2]
+            z_near = 0.5 * min_depth
+            z_far = max_depth + 1.0
+            h_f, w_f = fi.height, fi.width
+            if cfg.render_mode == "packed":
+                (rp, gp, bp), zbuf = R.project_zbuffer_packed_planar(
+                    x, y, z, r, g, b, val, fi, mirror=cfg.mirror_image,
+                    z_near=z_near, z_far=z_far, return_planes=True,
+                )
+            elif cfg.render_mode == "indexed":
+                covered, widx = R.indexed_winner_planar(
+                    x, y, z, val, fi, mirror=cfg.mirror_image,
+                    z_near=z_near, z_far=z_far,
+                )
+                rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b)
+                rp, gp, bp = (p.reshape(h_f, w_f) for p in (rp, gp, bp))
+                zbuf = zb.reshape(h_f, w_f)
+            else:
+                image, zbuf = R.project_zbuffer_planar(
+                    x, y, z, r, g, b, val, fi, mirror=cfg.mirror_image
+                )
+                rp, gp, bp = image[..., 0], image[..., 1], image[..., 2]
+            return rp, gp, bp, zbuf
+
+        @jax.jit
+        def s_filter_image(rp, gp, bp):
+            if cfg.filter_fused_color:
+                return F.filter_color_planar(rp, gp, bp, cfg.use_median_filter)
+            return jnp.stack([rp, gp, bp], axis=-1)
+
+        self._stages = dict(
+            filter_left=make_filter(cfg.roi_left),
+            filter_right=make_filter(cfg.roi_right),
+            deproject=s_deproject,
+            transform=s_transform,
+            fuse=s_fuse,
+            project=s_project,
+            filter_image=s_filter_image,
+        )
+        return self._stages
+
+    def process_profiled(self, left: Frameset, right: Frameset):
+        """Run one frame through the SPLIT pipeline with per-stage fences.
+
+        Returns (FusionResult, laps dict) where laps carries real
+        milliseconds for the reference schema's device stages: filter,
+        deproject, transform_right, fuse, transform, project, filter_image,
+        copy_from_gpu. (Host-side stages — callback/publish/latency/diff —
+        are the caller's to fill, like the reference.) ~15-25% slower than
+        :meth:`process` because stage boundaries materialize intermediates;
+        use only when profiling, like the reference's enable_profiling.
+        """
+        from pointcloud_depthfusion_tpu.utils.profiling import StageTimer  # noqa: PLC0415
+
+        s = self._stage_jits()
+        cfg = self.config
+        timer = StageTimer()
+        dl, vl = s["filter_left"](
+            left.depth, left.depth_scale, cfg.min_depth, cfg.max_depth,
+            left.depth_intrinsics, left.color_intrinsics, left.depth_to_color,
+        )
+        dr, vr = s["filter_right"](
+            right.depth, right.depth_scale, cfg.min_depth, cfg.max_depth,
+            right.depth_intrinsics, right.color_intrinsics, right.depth_to_color,
+        )
+        timer.lap("filter", dl, dr)
+        xl, yl, zl, vl = s["deproject"](dl, left.depth_scale, left.color_intrinsics, vl)
+        xr, yr, zr, vr = s["deproject"](dr, right.depth_scale, right.color_intrinsics, vr)
+        timer.lap("deproject", xl, xr)
+        xr, yr, zr = s["transform"](xr, yr, zr, self.right_transform)
+        timer.lap("transform_right", xr)
+        x, y, z, val, col = s["fuse"](
+            xl, yl, zl, vl, left.color, xr, yr, zr, vr, right.color
+        )
+        timer.lap("fuse", x)
+        fused_t = fused_camera_transform(cfg, self.right_transform)
+        x, y, z = s["transform"](x, y, z, fused_t)
+        timer.lap("transform", x)
+        rp, gp, bp, zbuf = s["project"](
+            x, y, z, col, val, cfg.min_depth, cfg.max_depth
+        )
+        timer.lap("project", rp, gp, bp)
+        image = s["filter_image"](rp, gp, bp)
+        timer.lap("filter_image", image)
+        host_image = np.asarray(image)
+        timer.lap("copy_from_gpu")
+        result = FusionResult(
+            image=image,
+            zbuf=zbuf,
+            valid_left=vl,
+            valid_right=vr,
+            timestamp=left.timestamp,
+        )
+        return result, timer.laps, host_image
 
     def process(self, left: Frameset, right: Frameset) -> FusionResult:
         # Strip the image buffers out of the "rest" pytrees so the donated

@@ -32,7 +32,6 @@ from pointcloud_depthfusion_tpu.nodes.camera_node import CameraNode
 from pointcloud_depthfusion_tpu.utils.profiling import (
     FpsCounter,
     StageLog,
-    StageTimer,
 )
 
 
@@ -133,23 +132,42 @@ class FusionNodeApp:
     # -- steady state ------------------------------------------------------
 
     def process_pair(self, pair: DevicePair) -> FusionResult:
+        import time as _time
+
+        t_loop = _time.perf_counter()
         self._publish_sync_debug(pair)
-        timer = StageTimer(enabled=self.stage_log is not None)
-        with self._transform_lock:
-            result = self.pipeline.process(pair.left, pair.right)
-        image = np.asarray(result.image)  # D2H fence
-        if timer.enabled:
-            timer.lap("project", result.image)
-            timer.lap("copy_from_gpu")
+        profiling = self.stage_log is not None
+        laps = {}
+        if profiling:
+            # Split-program profiling mode: the fused pipeline has no
+            # internal boundaries, so measure the real per-stage times on
+            # sub-programs with device fences (the reference's getTiming
+            # discipline, fusion_node.cpp:620-631).
+            laps["callback"] = (_time.perf_counter() - t_loop) * 1e3
+            with self._transform_lock:
+                result, stage_laps, image = self.pipeline.process_profiled(
+                    pair.left, pair.right
+                )
+            laps.update(stage_laps)
+        else:
+            with self._transform_lock:
+                result = self.pipeline.process(pair.left, pair.right)
+            image = np.asarray(result.image)  # D2H fence
         stamp = float(pair.host_left.timestamp)
+        t_pub = _time.perf_counter()
         for cb in self._fused_subs:
             cb(image, stamp)
+        if profiling:
+            laps["publish"] = (_time.perf_counter() - t_pub) * 1e3
+            laps["diff"] = abs(
+                pair.host_left.timestamp - pair.host_right.timestamp
+            ) * 1e3
         if self.save_data_dir:
             self._save_data(pair, image)
         self.fps_counter.tick()
         if self.stage_log:
-            timer.laps["loop"] = sum(timer.laps.values())
-            self.stage_log.add(timer.laps)
+            laps["loop"] = (_time.perf_counter() - t_loop) * 1e3
+            self.stage_log.add(laps)
         self.frames_processed += 1
         return result
 

@@ -188,28 +188,38 @@ def main() -> None:
             depths.append(fs.depth)
             colors.append(fs.color)
         fn = rig_fuse(intr, intr, cfg)
-        rig_args = [
+        rig_args = (
             jnp.asarray(np.stack(depths)),
             jnp.asarray(np.stack(colors)),
             jnp.full((n,), 0.001, jnp.float32),
             jnp.asarray(np.stack(poses), jnp.float32),
-        ]
-        jax.block_until_ready(fn(*rig_args))
-        out = None
-        for _ in range(10):
-            out = fn(*rig_args)
-            rig_args[2] = rig_args[2] + out[0, 0, 0].astype(jnp.float32) * 0.0
-        jax.block_until_ready(out)
-        best = None
+        )
+
+        @jax.jit
+        def rig_chain(carry):
+            def body(i, c):
+                out = fn(rig_args[0], rig_args[1], rig_args[2] + c, rig_args[3])
+                return out.astype(jnp.float32).sum() * 0.0
+
+            return jax.lax.fori_loop(0, INNER, body, carry)
+
+        jax.block_until_ready(rig_chain(jnp.float32(0.0)))
+        carry = jnp.float32(0.0)
         for _ in range(3):
+            carry = rig_chain(carry)
+        jax.block_until_ready(carry)
+        per = []
+        for _ in range(4):
             t0 = time.perf_counter()
-            for _ in range(10):
-                out = fn(*rig_args)
-                rig_args[2] = rig_args[2] + out[0, 0, 0].astype(jnp.float32) * 0.0
-            jax.block_until_ready(out)
-            ms = (time.perf_counter() - t0) * 1e3 / 10
-            best = ms if best is None else min(best, ms)
-        print(f"rig {n} cameras: {best:.3f} ms/frame", file=sys.stderr)
+            for _ in range(2):
+                carry = rig_chain(carry)
+            jax.block_until_ready(carry)
+            per.append((time.perf_counter() - t0) * 1e3 / (2 * INNER))
+        print(
+            f"rig {n} cameras: p50 {np.percentile(per, 50):.3f} ms/frame "
+            f"(min {min(per):.3f})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

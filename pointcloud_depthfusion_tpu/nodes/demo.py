@@ -34,8 +34,11 @@ def main() -> None:
     parser.add_argument("--gif", type=str, default="",
                         help="write an animated GIF of the fused stream")
     parser.add_argument("--render-mode", default="",
-                        choices=["", "exact", "packed", "pallas"],
+                        choices=["", "exact", "indexed", "packed", "pallas"],
                         help="override the configured render mode")
+    parser.add_argument("--async-readback", action="store_true",
+                        help="overlap frame N's device->host copy with "
+                        "frame N+1's compute (publishes one frame late)")
     args = parser.parse_args()
 
     import jax
@@ -102,7 +105,8 @@ def main() -> None:
     fusion_cfg = dataclasses.replace(fusion_cfg, vertical_image=args.vertical)
     if args.render_mode:
         fusion_cfg = dataclasses.replace(fusion_cfg, render_mode=args.render_mode)
-    fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg)
+    fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg,
+                           async_readback=args.async_readback)
 
     reg_settings, _ = factory.registration_settings()
     reg_settings = dataclasses.replace(
@@ -143,6 +147,7 @@ def main() -> None:
             frame_times.append(time.perf_counter() - t1)
             if i + 1 >= args.frames:
                 break
+    fusion.flush_pending()  # drain the async-readback in-flight frame
     wall = time.perf_counter() - t0
 
     if args.gif and gif_frames:

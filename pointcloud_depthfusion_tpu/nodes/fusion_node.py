@@ -46,7 +46,14 @@ class FusionNodeApp:
         profiling_path: Optional[str] = None,
         device: Optional[jax.Device] = None,
         save_data_dir: Optional[str] = None,
+        async_readback: bool = False,
     ):
+        """``async_readback=True`` double-buffers the output side: frame N's
+        device→host copy is started asynchronously and published while frame
+        N+1 computes — the reference's capture-side double-buffer/std::async
+        discipline (camera_node.cpp:315-343) applied to the output. Publishing
+        lags one frame; ignored while per-stage profiling is on (stage fences
+        serialize everything anyway)."""
         self.camera_left = camera_left
         self.camera_right = camera_right
         self.config = config or FusionConfig.create()
@@ -78,6 +85,8 @@ class FusionNodeApp:
         self._transform_lock = threading.Lock()
         self.frames_processed = 0
         self.save_data_dir = save_data_dir
+        self.async_readback = async_readback
+        self._pending: Optional[tuple] = None  # (result, stamp, pair)
         self._last_sync_time: Optional[float] = None
 
     # -- topic-equivalents -------------------------------------------------
@@ -149,6 +158,22 @@ class FusionNodeApp:
                     pair.left, pair.right
                 )
             laps.update(stage_laps)
+        elif self.async_readback:
+            with self._transform_lock:
+                result = self.pipeline.process(pair.left, pair.right)
+            try:
+                result.image.copy_to_host_async()  # start D2H of frame N
+            except AttributeError:  # backend without async copies
+                pass
+            prev, self._pending = self._pending, (
+                result, float(pair.host_left.timestamp), pair,
+                self.frames_processed,
+            )
+            self.frames_processed += 1
+            if prev is not None:
+                self._publish_ready(prev)
+            self.fps_counter.tick()
+            return result
         else:
             with self._transform_lock:
                 result = self.pipeline.process(pair.left, pair.right)
@@ -171,6 +196,26 @@ class FusionNodeApp:
         self.frames_processed += 1
         return result
 
+    def _publish_ready(self, pending: tuple) -> None:
+        """Publish a frame whose async D2H has had a frame of compute to
+        overlap (the fence lands here, one frame late)."""
+        result, stamp, pair, index = pending
+        image = np.asarray(result.image)
+        for cb in self._fused_subs:
+            cb(image, stamp)
+        if self.save_data_dir:
+            saved, self.frames_processed = self.frames_processed, index
+            try:
+                self._save_data(pair, image)
+            finally:
+                self.frames_processed = saved
+
+    def flush_pending(self) -> None:
+        """Publish the last in-flight frame (end-of-stream drain)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            self._publish_ready(pending)
+
     def run(self, max_frames: Optional[int] = None) -> int:
         """Consume the feeder until end-of-stream (or max_frames)."""
         with self.feeder as feeder:
@@ -178,6 +223,7 @@ class FusionNodeApp:
                 self.process_pair(pair)
                 if max_frames is not None and self.frames_processed >= max_frames:
                     break
+        self.flush_pending()
         if self.stage_log:
             self.stage_log.flush()
         return self.frames_processed

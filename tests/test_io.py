@@ -209,3 +209,26 @@ def test_feeder_with_jittered_streams():
                 break
     assert len(pairs) == 10
     assert max(pairs) <= 0.017 + 1e-9
+
+
+def test_device_stamp_epoch_precision():
+    """Epoch-scale stamps keep sub-ms precision on the f32 device copy
+    (raw 1.7e9 seconds would quantize to >60 ms — coarser than the 17 ms
+    pairing gate). Host stamps stay absolute f64."""
+    import jax.numpy as jnp
+
+    from pointcloud_depthfusion_tpu.core import frameset as FS
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.core.frameset import Frameset
+
+    intr = Intrinsics.create(8, 6, fx=5.0, fy=5.0, ppx=4.0, ppy=3.0)
+    depth = np.zeros((6, 8), np.uint16)
+    color = np.zeros((6, 8, 3), np.uint8)
+    t0 = 1.7e9 + 0.123456
+    fs1 = Frameset.create(depth, color, intr, timestamp=t0)
+    fs2 = Frameset.create(depth, color, intr, timestamp=t0 + 0.0042)
+    diff = float(fs2.timestamp) - float(fs1.timestamp)
+    assert abs(diff - 0.0042) < 1e-4, diff  # far finer than the 17 ms gate
+    # absolute time recoverable on host
+    assert abs(FS.absolute_stamp(float(fs1.timestamp)) - t0) < 1e-3
+    assert abs(fs1.to_host().timestamp - t0) < 1e-3

@@ -238,3 +238,23 @@ def test_camera_node_small_image_topic():
     node.subscribe_color_small(lambda img, ts: got.append(img))
     node.capture()
     assert got[0].shape == (16, 32, 3)
+
+
+def test_async_readback_same_outputs():
+    """async_readback publishes the same images in the same order (one
+    frame late internally, drained by run())."""
+    cam_l, cam_r, _ = make_rig()
+    cam_l2, cam_r2, _ = make_rig()
+    cfg = FusionConfig.create(vertical_image=False, mirror_image=False,
+                              filter_fused_color=False)
+    sync_app = FusionNodeApp(cam_l, cam_r, config=cfg)
+    async_app = FusionNodeApp(cam_l2, cam_r2, config=cfg, async_readback=True)
+    sync_imgs, async_imgs = [], []
+    sync_app.subscribe_fused(lambda img, ts: sync_imgs.append((img.copy(), ts)))
+    async_app.subscribe_fused(lambda img, ts: async_imgs.append((img.copy(), ts)))
+    assert sync_app.run(max_frames=4) == 4
+    assert async_app.run(max_frames=4) == 4
+    assert len(sync_imgs) == len(async_imgs) == 4
+    for (a, ta), (b, tb) in zip(sync_imgs, async_imgs):
+        np.testing.assert_array_equal(a, b)
+        assert ta == tb

@@ -45,7 +45,7 @@ def fusion_config_from_tree(cfg: ConfigTree) -> FusionConfig:
         use_median_filter=bool(cfg.get("use_median_filter", False)),
         align_frames=bool(cfg.get("align_frames", False)),
         set_camera_pose=bool(cfg.get("set_camera_pose", False)),
-        render_mode=str(cfg.get("render_mode", "exact")),
+        render_mode=str(cfg.get("render_mode", "indexed")),
         roi_left=tuple(roi_left) if roi_left else None,
         roi_right=tuple(roi_right) if roi_right else None,
     )

@@ -47,6 +47,16 @@ class GICPConfig:
     rotation_eps: Array  # rad
     translation_eps: Array  # m
     fitness_eps: Array  # m² (change in mean squared error)
+    # Relative fitness-plateau criterion: converged when |Δmse| <
+    # fitness_rel_eps · mse. The reference's absolute 1e-12 threshold is an
+    # f64 Eigen value; in f32 the mse jitters at ~1e-3 relative and the
+    # absolute test never fires, so warm solves on TPU burned the full
+    # iteration budget on sub-noise steps (measured 48 capped iterations at
+    # a 9.4e-5 plateau; warm converges in 3 with this at 5e-3). ≤0 disables
+    # (the default): cold solves can stall for a few iterations before
+    # improving, so the pipeline enables it only for warm post-annealing
+    # ticks.
+    fitness_rel_eps: Array
     kernel_width: Array  # RBF correspondence weighting width (m); <=0 off
     kernel_max_dist: Array  # residual cutoff (m); <=0 → 3·resolution
     max_iterations: int = dataclasses.field(default=64, metadata=dict(static=True))
@@ -71,6 +81,7 @@ class GICPConfig:
         fitness_eps: float = 1e-12,
         kernel_width: float = 0.005,
         kernel_max_dist: float = 0.025,
+        fitness_rel_eps: float = 0.0,
         **static_fields,
     ) -> "GICPConfig":
         f = jnp.float32
@@ -80,6 +91,7 @@ class GICPConfig:
             rotation_eps=jnp.asarray(rotation_eps, f),
             translation_eps=jnp.asarray(translation_eps, f),
             fitness_eps=jnp.asarray(fitness_eps, f),
+            fitness_rel_eps=jnp.asarray(fitness_rel_eps, f),
             kernel_width=jnp.asarray(kernel_width, f),
             kernel_max_dist=jnp.asarray(kernel_max_dist, f),
             **static_fields,
@@ -178,22 +190,26 @@ def prepare_target(
     distributions and starve the solver of correspondences).
     """
     f = jnp.float32
-    tgt = target_points.reshape(-1, 3).astype(f)
-    tval = target_valid.reshape(-1)
-    tgt_ds, tgt_mask = V.voxel_downsample(
-        tgt, tval, config.voxel_size, config.table_size
-    )
-    eye3 = jnp.eye(3, dtype=f)
-    tgt_grid = V.build_voxel_grid(
-        tgt_ds, tgt_mask, config.resolution, config.table_size
-    )
-    tn_count, _, tn_cov = V.neighborhood_moments(tgt_grid)
-    tgt_cov_reg = jnp.where(
-        (tn_count >= config.min_cov_points)[:, None, None],
-        V.regularize_covariances(tn_cov, config.cov_regularization),
-        eye3,
-    )
-    return dataclasses.replace(tgt_grid, cov=tgt_cov_reg)
+    # f32 matmul precision: TPU matmuls default to bf16 inputs; covariance
+    # products at bf16 add solver-step noise above the convergence epsilons
+    # (measured: warm solves burning the iteration cap).
+    with jax.default_matmul_precision("float32"):
+        tgt = target_points.reshape(-1, 3).astype(f)
+        tval = target_valid.reshape(-1)
+        tgt_ds, tgt_mask = V.voxel_downsample(
+            tgt, tval, config.voxel_size, config.table_size
+        )
+        eye3 = jnp.eye(3, dtype=f)
+        tgt_grid = V.build_voxel_grid(
+            tgt_ds, tgt_mask, config.resolution, config.table_size
+        )
+        tn_count, _, tn_cov = V.neighborhood_moments(tgt_grid)
+        tgt_cov_reg = jnp.where(
+            (tn_count >= config.min_cov_points)[:, None, None],
+            V.regularize_covariances(tn_cov, config.cov_regularization),
+            eye3,
+        )
+        return dataclasses.replace(tgt_grid, cov=tgt_cov_reg)
 
 
 def gicp_register(
@@ -232,125 +248,133 @@ def gicp_register_prepared(
     """:func:`gicp_register` against a pre-built target grid
     (:func:`prepare_target`) — the cache-friendly entry point.
     """
-    f = jnp.float32
-    eye3 = jnp.eye(3, dtype=f)
-    src = source_points.reshape(-1, 3).astype(f)
-    sval = source_valid.reshape(-1)
+    with jax.default_matmul_precision("float32"):
+        f = jnp.float32
+        eye3 = jnp.eye(3, dtype=f)
+        src = source_points.reshape(-1, 3).astype(f)
+        sval = source_valid.reshape(-1)
 
-    # --- downsample the source (ApproximateVoxelGrid) ---------------------
-    src_ds, src_mask = V.voxel_downsample(src, sval, config.voxel_size, config.table_size)
+        # --- downsample the source (ApproximateVoxelGrid) ---------------------
+        src_ds, src_mask = V.voxel_downsample(src, sval, config.voxel_size, config.table_size)
 
-    # --- source per-point covariances from their voxel neighborhoods ------
-    src_grid = V.build_voxel_grid(src_ds, src_mask, config.resolution, config.table_size)
-    sn_count, _, sn_cov = V.neighborhood_moments(src_grid)
-    src_cov_table = jnp.where(
-        (sn_count >= config.min_cov_points)[:, None, None],
-        V.regularize_covariances(sn_cov, config.cov_regularization),
-        eye3,
-    )
-    s_coords = V.voxel_coords(src_ds, config.resolution)
-    s_idx = V.hash_coords(s_coords, config.table_size)
-    s_hit = jnp.all(src_grid.coords[s_idx] == s_coords, axis=-1)
-    src_cov = jnp.where(s_hit[:, None, None], src_cov_table[s_idx], eye3)
-
-    max_dist = jnp.where(
-        config.kernel_max_dist > 0, config.kernel_max_dist, 3.0 * config.resolution
-    )
-
-    def step(carry, _):
-        transform, prev_fitness, done, it_count, _ = carry
-        r_mat = transform[:3, :3]
-        t_vec = transform[:3, 3]
-        moved = src_ds @ r_mat.T + t_vec  # (M, 3)
-
-        mu, cov_t, found = V.lookup_voxels(
-            tgt_grid, moved, config.min_voxel_points
+        # --- source per-point covariances from their voxel neighborhoods ------
+        src_grid = V.build_voxel_grid(src_ds, src_mask, config.resolution, config.table_size)
+        sn_count, _, sn_cov = V.neighborhood_moments(src_grid)
+        src_cov_table = jnp.where(
+            (sn_count >= config.min_cov_points)[:, None, None],
+            V.regularize_covariances(sn_cov, config.cov_regularization),
+            eye3,
         )
-        resid = mu - moved  # (M, 3)
-        dist2 = jnp.sum(resid * resid, axis=-1)
-        corr = src_mask & found & (dist2 <= max_dist * max_dist)
+        s_coords = V.voxel_coords(src_ds, config.resolution)
+        s_idx = V.hash_coords(s_coords, config.table_size)
+        s_hit = jnp.all(src_grid.coords[s_idx] == s_coords, axis=-1)
+        src_cov = jnp.where(s_hit[:, None, None], src_cov_table[s_idx], eye3)
 
-        # Combined covariance C = C_t + R C_s Rᵀ; weight W = C⁻¹
-        # (closed-form — jnp.linalg.inv lowers to a slow LU on TPU).
-        cov_c = cov_t + r_mat @ src_cov @ r_mat.T  # batched (M,3,3)
-        w_mat = _inv3x3(cov_c + 1e-6 * jnp.eye(3, dtype=f))
-
-        # Optional RBF correspondence weighting (GPU_RBF_KERNEL analogue).
-        rbf = jnp.where(
-            config.kernel_width > 0,
-            jnp.exp(-0.5 * dist2 / jnp.maximum(config.kernel_width**2, 1e-12)),
-            1.0,
-        )
-        wgt = corr.astype(f) * rbf
-
-        # Jacobian of r = μ - (R p + t) wrt left-perturbation ξ=(ρ, φ):
-        # dr/dξ = [-I | [Rp+t]×]  (3×6).
-        px, py, pz = moved[:, 0], moved[:, 1], moved[:, 2]
-        zeros = jnp.zeros_like(px)
-        skew = jnp.stack(
-            [
-                jnp.stack([zeros, -pz, py], -1),
-                jnp.stack([pz, zeros, -px], -1),
-                jnp.stack([-py, px, zeros], -1),
-            ],
-            -2,
-        )  # (M, 3, 3) = [moved]×
-        jac = jnp.concatenate(
-            [-jnp.broadcast_to(jnp.eye(3, dtype=f), skew.shape), skew], axis=-1
-        )  # (M, 3, 6)
-
-        wj = w_mat @ jac  # (M, 3, 6)
-        h = jnp.einsum("nij,nik,n->jk", jac, wj, wgt)
-        g = jnp.einsum("nij,ni,n->j", wj, resid, wgt)
-
-        delta = -_solve_6x6(h, g, config.damping)
-        delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
-
-        new_transform = G.se3_exp(delta) @ transform
-
-        n_corr = jnp.sum(corr, dtype=jnp.int32)
-        # No correspondences is a FAILURE state, not zero error.
-        fitness = jnp.where(
-            n_corr > 0,
-            jnp.sum(dist2 * corr.astype(f)) / jnp.maximum(n_corr.astype(f), 1.0),
-            jnp.asarray(jnp.finfo(f).max, f),
+        max_dist = jnp.where(
+            config.kernel_max_dist > 0, config.kernel_max_dist, 3.0 * config.resolution
         )
 
-        rot_step = jnp.linalg.norm(delta[3:])
-        trans_step = jnp.linalg.norm(delta[:3])
-        newly_done = (
-            ((rot_step < config.rotation_eps) & (trans_step < config.translation_eps))
-            | (jnp.abs(prev_fitness - fitness) < config.fitness_eps)
-        ) & ~done
-        it_count = jnp.where(done, it_count, it_count + 1)
-        done = done | newly_done
+        def step(carry, _):
+            transform, prev_fitness, done, it_count, _ = carry
+            r_mat = transform[:3, :3]
+            t_vec = transform[:3, 3]
+            moved = src_ds @ r_mat.T + t_vec  # (M, 3)
 
-        return (new_transform, fitness, done, it_count, n_corr), None
+            mu, cov_t, found = V.lookup_voxels(
+                tgt_grid, moved, config.min_voxel_points
+            )
+            resid = mu - moved  # (M, 3)
+            dist2 = jnp.sum(resid * resid, axis=-1)
+            corr = src_mask & found & (dist2 <= max_dist * max_dist)
 
-    init = (
-        initial_transform.astype(f),
-        jnp.asarray(jnp.inf, f),
-        jnp.asarray(False),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
-    )
-    # while_loop instead of a fixed-length scan: converged solves stop
-    # paying for the remaining iterations (the convergence epsilons are the
-    # loop predicate — jit-safe dynamic trip count, no dynamic shapes).
-    def cond(carry):
-        _, _, done, it_count, _ = carry
-        return (~done) & (it_count < config.max_iterations)
+            # Combined covariance C = C_t + R C_s Rᵀ; weight W = C⁻¹
+            # (closed-form — jnp.linalg.inv lowers to a slow LU on TPU).
+            cov_c = cov_t + r_mat @ src_cov @ r_mat.T  # batched (M,3,3)
+            w_mat = _inv3x3(cov_c + 1e-6 * jnp.eye(3, dtype=f))
 
-    transform, fitness, done, iters, n_corr = jax.lax.while_loop(
-        cond, lambda c: step(c, None)[0], init
-    )
-    return GICPResult(
-        transform=transform,
-        fitness=fitness,
-        converged=done,
-        iterations=iters,
-        num_correspondences=n_corr,
-    )
+            # Optional RBF correspondence weighting (GPU_RBF_KERNEL analogue).
+            rbf = jnp.where(
+                config.kernel_width > 0,
+                jnp.exp(-0.5 * dist2 / jnp.maximum(config.kernel_width**2, 1e-12)),
+                1.0,
+            )
+            wgt = corr.astype(f) * rbf
+
+            # Jacobian of r = μ - (R p + t) wrt left-perturbation ξ=(ρ, φ):
+            # dr/dξ = [-I | [Rp+t]×]  (3×6).
+            px, py, pz = moved[:, 0], moved[:, 1], moved[:, 2]
+            zeros = jnp.zeros_like(px)
+            skew = jnp.stack(
+                [
+                    jnp.stack([zeros, -pz, py], -1),
+                    jnp.stack([pz, zeros, -px], -1),
+                    jnp.stack([-py, px, zeros], -1),
+                ],
+                -2,
+            )  # (M, 3, 3) = [moved]×
+            jac = jnp.concatenate(
+                [-jnp.broadcast_to(jnp.eye(3, dtype=f), skew.shape), skew], axis=-1
+            )  # (M, 3, 6)
+
+            wj = w_mat @ jac  # (M, 3, 6)
+            h = jnp.einsum("nij,nik,n->jk", jac, wj, wgt)
+            g = jnp.einsum("nij,ni,n->j", wj, resid, wgt)
+
+            delta = -_solve_6x6(h, g, config.damping)
+            delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
+
+            new_transform = G.se3_exp(delta) @ transform
+
+            n_corr = jnp.sum(corr, dtype=jnp.int32)
+            # No correspondences is a FAILURE state, not zero error.
+            fitness = jnp.where(
+                n_corr > 0,
+                jnp.sum(dist2 * corr.astype(f)) / jnp.maximum(n_corr.astype(f), 1.0),
+                jnp.asarray(jnp.finfo(f).max, f),
+            )
+
+            rot_step = jnp.linalg.norm(delta[3:])
+            trans_step = jnp.linalg.norm(delta[:3])
+            fitness_ok = fitness < 1e10  # not the no-correspondence sentinel
+            plateau = (
+                (config.fitness_rel_eps > 0)
+                & fitness_ok
+                & (jnp.abs(prev_fitness - fitness) < config.fitness_rel_eps * fitness)
+            )
+            newly_done = (
+                ((rot_step < config.rotation_eps) & (trans_step < config.translation_eps))
+                | (fitness_ok & (jnp.abs(prev_fitness - fitness) < config.fitness_eps))
+                | plateau
+            ) & ~done
+            it_count = jnp.where(done, it_count, it_count + 1)
+            done = done | newly_done
+
+            return (new_transform, fitness, done, it_count, n_corr), None
+
+        init = (
+            initial_transform.astype(f),
+            jnp.asarray(jnp.inf, f),
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        # while_loop instead of a fixed-length scan: converged solves stop
+        # paying for the remaining iterations (the convergence epsilons are the
+        # loop predicate — jit-safe dynamic trip count, no dynamic shapes).
+        def cond(carry):
+            _, _, done, it_count, _ = carry
+            return (~done) & (it_count < config.max_iterations)
+
+        transform, fitness, done, iters, n_corr = jax.lax.while_loop(
+            cond, lambda c: step(c, None)[0], init
+        )
+        return GICPResult(
+            transform=transform,
+            fitness=fitness,
+            converged=done,
+            iterations=iters,
+            num_correspondences=n_corr,
+        )
 
 
 def gicp_register_multiscale(

@@ -201,7 +201,13 @@ class RegistrationPipeline:
         kernel_max_dist = 2.5 * self.current_resolution
         # Damping follows scale like default_multiscale_configs.
         damping = float(np.clip(0.25 * self.current_resolution / max(s.resolution, 1e-6) * s.resolution, 0.01, 0.1))
+        # Warm (post-annealing) ticks enable the relative fitness-plateau
+        # exit: in f32 the step norms jitter just above the strict absolute
+        # epsilons and warm solves would burn the full iteration budget
+        # (48 capped iterations vs 3 with the plateau — measured on v5e).
+        fitness_rel_eps = 0.0 if self.initial_phase else 5e-3
         return GICPConfig.create(
+            fitness_rel_eps=fitness_rel_eps,
             resolution=self.current_resolution,
             voxel_size=self.current_voxelsize,
             rotation_eps=s.rotation_epsilon,

@@ -202,3 +202,18 @@ def test_registration_from_recorded_dataset(tmp_path):
     for _ in range(4):
         t = pipe.tick(fl.depth, fr.depth)
     assert np.linalg.norm(t[:3, 3] - t_true[:3, 3]) < 0.02
+
+
+def test_warm_ticks_enable_fitness_plateau():
+    """The relative fitness-plateau exit is off during annealing (cold
+    solves may stall before improving) and on for warm ticks (f32 step
+    noise otherwise burns the full iteration budget)."""
+    intr = small_intr()
+    settings = RegistrationSettings(
+        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+        resolution_step=0.05,
+    )
+    pipe = RegistrationPipeline(intr, intr, settings)
+    assert float(pipe._make_config().fitness_rel_eps) == 0.0
+    pipe.initial_phase = False
+    assert abs(float(pipe._make_config().fitness_rel_eps) - 5e-3) < 1e-6

@@ -29,7 +29,9 @@ def main() -> None:
         "(the TPU relay occasionally hangs; 0 disables)",
     )
     parser.add_argument("--iters", type=int, default=50)
-    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--warmup", type=int, default=30,
+                        help="warmup FRAMES per mode (rounded up to whole "
+                        "10-frame chains)")
     parser.add_argument("--width", type=int, default=848)
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument(
@@ -114,9 +116,9 @@ def main() -> None:
         print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
         # chained warmup: the first executions over the relay absorb remote
         # warm-up (measured 175 ms/frame for the first segment vs 11 ms
-        # steady-state).
+        # steady-state). --warmup counts FRAMES; each chain runs INNER.
         carry = jnp.float32(0.0)
-        for _ in range(3):
+        for _ in range(max(3, -(-args.warmup // INNER))):
             carry = one(carry)
         jax.block_until_ready(carry)
         # several chain segments → per-frame percentiles over segments

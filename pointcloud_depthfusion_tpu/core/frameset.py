@@ -45,7 +45,10 @@ class Frameset:
     color_intrinsics: Intrinsics
     depth_to_color: Extrinsics
     depth_scale: Array  # scalar, meters per LSB
-    timestamp: Array  # scalar, seconds
+    timestamp: Array  # scalar, seconds SINCE timestamp_epoch (f32-precise)
+    # Quantized absolute epoch (multiple of STAMP_EPOCH_GRID_S; exact in
+    # f32). Absolute time = timestamp_epoch + timestamp; see split_stamp.
+    timestamp_epoch: Array
 
     @staticmethod
     def create(
@@ -57,17 +60,17 @@ class Frameset:
         depth_scale: float = 0.001,
         timestamp: float = 0.0,
     ) -> "Frameset":
-        """``timestamp`` is rebased to a process-wide epoch before the f32
-        device cast: raw epoch-scale seconds (~1.7e9) have >60 ms f32
+        """``timestamp`` is split into a quantized epoch + offset before the
+        f32 device cast: raw epoch-scale seconds (~1.7e9) have >60 ms f32
         quantization — far coarser than the 17 ms pairing gate — while the
-        epoch offset keeps sub-ms precision for hours (f32 quantum 0.24 ms
-        at offset 3600 s). The same clock-rebase idea as the reference's
-        system-time restamping (realsense.cpp:424-431). Host-side pairing
-        uses HostFrameset's float64 stamps and is unaffected; recover an
-        absolute time with :func:`absolute_stamp`."""
+        (epoch, offset) pair keeps ≤0.25 ms device precision and exact
+        host-side reconstruction. The same clock-rebase idea as the
+        reference's system-time restamping (realsense.cpp:424-431).
+        Host-side pairing uses HostFrameset's float64 stamps and is
+        unaffected; recover an absolute time with :func:`absolute_stamp`."""
         depth = jnp.asarray(depth, jnp.uint16)
         color = jnp.asarray(color, jnp.uint8)
-        timestamp = rebase_stamp(float(timestamp))
+        epoch, timestamp = split_stamp(float(timestamp))
         if depth_intrinsics is None:
             # Aligned framesets share the color intrinsics
             # (realsense.cpp:670-680: depth intrinsics = color stream profile
@@ -83,6 +86,7 @@ class Frameset:
             depth_to_color=depth_to_color,
             depth_scale=jnp.asarray(depth_scale, jnp.float32),
             timestamp=jnp.asarray(timestamp, jnp.float32),
+            timestamp_epoch=jnp.asarray(epoch, jnp.float32),
         )
 
     @property
@@ -101,7 +105,9 @@ class Frameset:
         return HostFrameset(
             depth=np.asarray(self.depth),
             color=np.asarray(self.color),
-            timestamp=absolute_stamp(float(self.timestamp)),
+            timestamp=absolute_stamp(
+                float(self.timestamp), float(self.timestamp_epoch)
+            ),
             depth_scale=float(self.depth_scale),
         )
 
@@ -122,27 +128,24 @@ class HostFrameset:
 
 # -- device timestamp epoch ----------------------------------------------
 #
-# Device stamps are f32; storing raw epoch seconds would quantize to >60 ms.
-# All Frameset stamps are offsets from this process-wide epoch, set by the
-# first frameset (and rebased if a stamp arrives far outside the current
-# window, e.g. synthetic 0-based streams followed by wall-clock streams).
+# Device stamps are f32; storing raw epoch seconds would quantize to >60 ms
+# (coarser than the 17 ms pairing gate). Each Frameset carries a
+# DETERMINISTIC quantized epoch (floor to a 4096 s grid) plus the f32
+# offset: 4096 = 2^12, so every epoch value below 2^36 s is exactly
+# representable in f32, and offsets stay below 4096 s where the f32 quantum
+# is ≤ 0.25 ms. No process-global state — the split depends only on the
+# timestamp itself, so streams with different clock bases coexist and
+# reconstruction (epoch + offset) is exact regardless of creation order.
 
-_stamp_epoch: Optional[float] = None
-_REBASE_LIMIT_S = 1.0e6  # offsets beyond this lose sub-ms f32 precision
-
-
-def rebase_stamp(timestamp: float) -> float:
-    """Absolute seconds → f32-safe offset from the process epoch."""
-    global _stamp_epoch
-    if _stamp_epoch is None or abs(timestamp - _stamp_epoch) > _REBASE_LIMIT_S:
-        _stamp_epoch = timestamp
-    return timestamp - _stamp_epoch
+STAMP_EPOCH_GRID_S = 4096.0
 
 
-def absolute_stamp(offset: float) -> float:
-    """Inverse of :func:`rebase_stamp` (float64 on host)."""
-    return offset + (_stamp_epoch or 0.0)
+def split_stamp(timestamp: float) -> Tuple[float, float]:
+    """Absolute seconds → (exact-f32 epoch, sub-ms-precise f32 offset)."""
+    epoch = float(np.floor(timestamp / STAMP_EPOCH_GRID_S) * STAMP_EPOCH_GRID_S)
+    return epoch, timestamp - epoch
 
 
-def stamp_epoch() -> Optional[float]:
-    return _stamp_epoch
+def absolute_stamp(offset: float, epoch: float) -> float:
+    """Inverse of :func:`split_stamp` (float64 on host)."""
+    return float(epoch) + float(offset)

@@ -263,6 +263,14 @@ class DeviceFeeder:
         self.error: Optional[BaseException] = None
 
     def _upload(self, host: HostFrameset, intr: Intrinsics) -> Frameset:
+        if host.depth.shape != host.color.shape[:2]:
+            raise ValueError(
+                f"depth {host.depth.shape} / color {host.color.shape[:2]} "
+                "size mismatch — the fusion path needs color-aligned depth. "
+                "Disable the camera node's decimation filter for composed "
+                "fusion (the reference also runs it disabled, "
+                "realsense.cpp:393)."
+            )
         fs = Frameset.create(
             host.depth,
             host.color,

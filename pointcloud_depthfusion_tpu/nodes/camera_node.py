@@ -150,21 +150,35 @@ class CameraNode(FramesetSource):
                 groups.setdefault(group, {}).update(opts)
         return groups
 
+    @staticmethod
+    def _coerce_option(current, value):
+        """Type inference from the current value, like the reference's rs2
+        option-type switch (config.cpp:53-169). Strings parse properly:
+        ``bool("false")`` would be True, so booleans accept true/false/1/0
+        spellings and numeric types go through float first."""
+        if isinstance(current, bool):
+            if isinstance(value, str):
+                return value.strip().lower() in ("1", "true", "yes", "on")
+            return bool(value)
+        if isinstance(current, int) and not isinstance(current, bool):
+            return int(float(value))
+        if isinstance(current, float):
+            return float(value)
+        return type(current)(value)
+
     def _set_option(self, group: str, name: str, value) -> bool:
         """Dispatch one runtime option update (parametersCallback
-        equivalent, config.cpp:53-169). Type is inferred from the current
-        value, like the reference's rs2 option-type switch."""
+        equivalent, config.cpp:53-169)."""
         own = (group == "depth" and name in self.DEPTH_OPTIONS) or (
             group == "color" and name in self.COLOR_OPTIONS
         )
         if own:
-            current = getattr(self, name)
-            setattr(self, name, type(current)(value))
+            setattr(self, name, self._coerce_option(getattr(self, name), value))
             return True
         src_opts = getattr(self.source, "sensor_options", None)
         if callable(src_opts) and name in src_opts().get(group, {}):
             current = getattr(self.source, name)
-            setattr(self.source, name, type(current)(value))
+            setattr(self.source, name, self._coerce_option(current, value))
             return True
         return False
 
@@ -238,6 +252,10 @@ class CameraNode(FramesetSource):
 
     @property
     def intrinsics(self) -> Intrinsics:
+        """The COLOR stream profile (what the feeder uploads framesets
+        with). A decimated depth stream has its own profile — reported by
+        get_camera_parameters().depth_info — and cannot feed the composed
+        fusion path (the DeviceFeeder rejects the size mismatch)."""
         return self.source.intrinsics
 
     def next_frame(self) -> Optional[HostFrameset]:

@@ -124,13 +124,15 @@ class FusionNodeApp:
         for cb in self._sync_debug_subs:
             cb(msg)
 
-    def _save_data(self, pair: DevicePair, image: np.ndarray) -> None:
+    def _save_data(
+        self, pair: DevicePair, image: np.ndarray, index: Optional[int] = None
+    ) -> None:
         """save_data artifact dumps (depth/color inputs + fused output),
         like the reference's debug PNG path (depth_frame.cpp:201-228)."""
         from pointcloud_depthfusion_tpu.io.artifacts import save_png  # noqa: PLC0415
         import os  # noqa: PLC0415
 
-        i = self.frames_processed
+        i = self.frames_processed if index is None else index
         d = self.save_data_dir
         save_png(os.path.join(d, f"{i:06d}_left_depth.png"), pair.host_left.depth)
         save_png(os.path.join(d, f"{i:06d}_left_color.png"), pair.host_left.color)
@@ -204,11 +206,7 @@ class FusionNodeApp:
         for cb in self._fused_subs:
             cb(image, stamp)
         if self.save_data_dir:
-            saved, self.frames_processed = self.frames_processed, index
-            try:
-                self._save_data(pair, image)
-            finally:
-                self.frames_processed = saved
+            self._save_data(pair, image, index=index)
 
     def flush_pending(self) -> None:
         """Publish the last in-flight frame (end-of-stream drain)."""

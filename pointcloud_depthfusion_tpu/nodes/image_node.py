@@ -22,10 +22,10 @@ from pointcloud_depthfusion_tpu.io.artifacts import save_png
 
 def depth_to_u8(depth_u16: np.ndarray, scale: float = 0.1) -> np.ndarray:
     """cv::convertScaleAbs(depth, 0.1) (image_node.cpp:84): |d·scale|
-    saturated to uint8 — the depth visualization the reference viewer shows."""
-    return np.clip(np.abs(depth_u16.astype(np.float64) * scale), 0, 255).astype(
-        np.uint8
-    )
+    rounded (saturate_cast rounds to nearest even, like np.rint) and
+    saturated to uint8 — the reference viewer's depth visualization."""
+    return np.clip(np.rint(np.abs(depth_u16.astype(np.float64) * scale)),
+                   0, 255).astype(np.uint8)
 
 
 class ImageNode:
@@ -45,6 +45,7 @@ class ImageNode:
         self.received = 0
         self.saved = 0
         self._counters: dict = {}
+        self._saved_per_kind: dict = {}
 
     # -- shared sink plumbing ------------------------------------------------
 
@@ -56,9 +57,15 @@ class ImageNode:
             self.display(image, timestamp)
         if self.out_dir is None or n % self.every_n:
             return
-        if self.max_saved is not None and self.saved >= self.max_saved:
+        # max_saved budgets each sink kind independently, so auxiliary
+        # depth/frameset/small saves never starve the fused-image stream.
+        if (
+            self.max_saved is not None
+            and self._saved_per_kind.get(kind, 0) >= self.max_saved
+        ):
             return
         save_png(os.path.join(self.out_dir, f"{kind}_{n:06d}.png"), image)
+        self._saved_per_kind[kind] = self._saved_per_kind.get(kind, 0) + 1
         self.saved += 1
 
     # -- the four reference callbacks ---------------------------------------
@@ -74,8 +81,18 @@ class ImageNode:
     def on_frameset(self, frameset) -> None:
         """Frameset viewer (framesetCallback, image_node.cpp:75-95): the
         reference shows color and convertScaleAbs(0.1) depth as two windows;
-        headless, they land side by side in one PNG."""
+        headless, they land side by side in one PNG. A decimated depth
+        stream (smaller than color) is nearest-neighbor upscaled to the
+        color height first."""
         depth_vis = depth_to_u8(frameset.depth, self.depth_scale_abs)
+        ch = frameset.color.shape[0]
+        if depth_vis.shape[0] != ch:
+            from PIL import Image  # noqa: PLC0415
+
+            cw = round(depth_vis.shape[1] * ch / depth_vis.shape[0])
+            depth_vis = np.asarray(
+                Image.fromarray(depth_vis).resize((cw, ch), Image.NEAREST)
+            )
         depth_rgb = np.repeat(depth_vis[:, :, None], 3, axis=2)
         combo = np.concatenate([frameset.color, depth_rgb], axis=1)
         self._sink("frameset", combo, frameset.timestamp)

@@ -123,7 +123,10 @@ class RegistrationPipeline:
         self.initial_transform = start.copy()
         self.last_transform = start.copy()
         self.best_fitness = np.inf
-        self.initial_phase = True
+        # "Initial phase" = the coarse→fine annealing window; with
+        # adjust_resolution off there is no annealing, so every tick is a
+        # steady-state (warm-criteria) tick from the start.
+        self.initial_phase = bool(s.adjust_resolution)
         self.current_resolution = s.initial_resolution if s.adjust_resolution else s.resolution
         self.current_voxelsize = (
             max(s.voxelsize, s.voxel_resolution_factor * self.current_resolution)
@@ -144,6 +147,9 @@ class RegistrationPipeline:
         self._tgt_grid_key = None
         self._tgt_grid = None
         self._tgt_grid_age = 0
+        # True once a tick completed without a guess reset (the next solve
+        # warm-starts from a converged transform).
+        self._warm_start = False
 
     # -- device programs ---------------------------------------------------
 
@@ -201,11 +207,15 @@ class RegistrationPipeline:
         kernel_max_dist = 2.5 * self.current_resolution
         # Damping follows scale like default_multiscale_configs.
         damping = float(np.clip(0.25 * self.current_resolution / max(s.resolution, 1e-6) * s.resolution, 0.01, 0.1))
-        # Warm (post-annealing) ticks enable the relative fitness-plateau
-        # exit: in f32 the step norms jitter just above the strict absolute
-        # epsilons and warm solves would burn the full iteration budget
-        # (48 capped iterations vs 3 with the plateau — measured on v5e).
-        fitness_rel_eps = 0.0 if self.initial_phase else 5e-3
+        # Warm (post-annealing, warm-started) ticks enable the relative
+        # fitness-plateau exit: in f32 the step norms jitter just above the
+        # strict absolute epsilons and warm solves would burn the full
+        # iteration budget (48 capped iterations vs 3 with the plateau —
+        # measured on v5e). Cold solves (first tick, after a guess reset,
+        # or during annealing) keep it off: they can stall for a few
+        # iterations before improving (measured 0.39 m premature stop).
+        warm = not self.initial_phase and self._warm_start
+        fitness_rel_eps = 5e-3 if warm else 0.0
         return GICPConfig.create(
             fitness_rel_eps=fitness_rel_eps,
             resolution=self.current_resolution,
@@ -323,6 +333,7 @@ class RegistrationPipeline:
 
         self.last_transform = final.astype(np.float32)
         self.initial_transform = final.astype(np.float32)  # warm start
+        self._warm_start = not guess_reset
 
         # Debug cloud taps: target + aligned source, compacted to valid
         # points on host (registration_node.cpp:410-427 equivalents).

@@ -43,6 +43,7 @@ def test_fuse_with_unaligned_depth():
             depth_to_color=d2c,
             depth_scale=jnp.asarray(0.001, jnp.float32),
             timestamp=jnp.asarray(0.0, jnp.float32),
+            timestamp_epoch=jnp.asarray(0.0, jnp.float32),
         )
 
     left = make(wl)

@@ -84,8 +84,10 @@ def test_device_feeder_round_trip():
         seen = 0
         for pair in feeder:
             assert pair.left.depth.shape == (48, 64)
-            # device timestamp is f32; compare approximately
-            assert abs(float(pair.left.timestamp) - pair.host_left.timestamp) < 1e-4
+            # device stamp = quantized epoch + f32 offset; reconstruction
+            # must match the host's f64 stamp to sub-ms
+            absolute = float(pair.left.timestamp) + float(pair.left.timestamp_epoch)
+            assert abs(absolute - pair.host_left.timestamp) < 1e-4
             seen += 1
             if seen >= 5:
                 break
@@ -230,5 +232,5 @@ def test_device_stamp_epoch_precision():
     diff = float(fs2.timestamp) - float(fs1.timestamp)
     assert abs(diff - 0.0042) < 1e-4, diff  # far finer than the 17 ms gate
     # absolute time recoverable on host
-    assert abs(FS.absolute_stamp(float(fs1.timestamp)) - t0) < 1e-3
+    assert abs(FS.absolute_stamp(float(fs1.timestamp), float(fs1.timestamp_epoch)) - t0) < 1e-3
     assert abs(fs1.to_host().timestamp - t0) < 1e-3

@@ -258,3 +258,34 @@ def test_async_readback_same_outputs():
     for (a, ta), (b, tb) in zip(sync_imgs, async_imgs):
         np.testing.assert_array_equal(a, b)
         assert ta == tb
+
+
+def test_option_coercion_from_strings():
+    intr = Intrinsics.create(32, 24, fx=25.0, fy=25.0, ppx=16.0, ppy=12.0)
+    node = CameraNode("c", SyntheticSource(SyntheticScene(), intr,
+                                           two_camera_rig()[0]))
+    node._set_option("depth", "temporal_filter", "false")
+    assert node.temporal_filter is False
+    node._set_option("depth", "temporal_filter", "True")
+    assert node.temporal_filter is True
+    node._set_option("depth", "decimation_magnitude", "4")
+    assert node.decimation_magnitude == 4
+    node._set_option("depth", "temporal_alpha", "0.25")
+    assert node.temporal_alpha == 0.25
+
+
+def test_decimated_stream_rejected_by_fusion_feeder():
+    import pytest
+    from pointcloud_depthfusion_tpu.io.feeder import DeviceFeeder
+
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig()
+    cam_l = CameraNode("l", SyntheticSource(scene, intr, wl),
+                       decimation_filter=True)
+    cam_r = CameraNode("r", SyntheticSource(scene, intr, wr))
+    with DeviceFeeder(cam_l, cam_r) as feeder:
+        with pytest.raises(Exception):
+            pair = feeder.get(timeout=10.0)
+            if pair is None:  # producer error path surfaces via .error
+                raise feeder.error

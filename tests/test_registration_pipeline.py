@@ -216,4 +216,16 @@ def test_warm_ticks_enable_fitness_plateau():
     pipe = RegistrationPipeline(intr, intr, settings)
     assert float(pipe._make_config().fitness_rel_eps) == 0.0
     pipe.initial_phase = False
+    # ...but only once a previous tick produced a warm start
+    assert float(pipe._make_config().fitness_rel_eps) == 0.0
+    pipe._warm_start = True
     assert abs(float(pipe._make_config().fitness_rel_eps) - 5e-3) < 1e-6
+    # a guess reset falls back to cold criteria; adjust_resolution=False
+    # configs reach warm criteria after their first tick too
+    nosched = RegistrationPipeline(
+        intr, intr,
+        RegistrationSettings(resolution=0.05, voxelsize=0.02,
+                             adjust_resolution=False),
+    )
+    assert not nosched.initial_phase
+    assert float(nosched._make_config().fitness_rel_eps) == 0.0

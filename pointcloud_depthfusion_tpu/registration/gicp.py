@@ -13,10 +13,10 @@ voxelized GICP:
     (VGICP "DIRECT1"), optionally RBF-weighted by residual distance
     (the reference's GPU_RBF_KERNEL analogue, kernel_width/kernel_max_dist,
     registration.cpp:35-38);
-  * a fixed-iteration `lax.scan` runs damped Gauss-Newton on SE(3) with
-    masked convergence tests (rotation/translation/fitness epsilons,
-    registration.cpp:39-46) — iterations after convergence become no-ops
-    instead of dynamic exits, which is the XLA-friendly formulation.
+  * a `lax.while_loop` runs damped Gauss-Newton on SE(3) with the
+    rotation/translation/fitness convergence epsilons as the loop predicate
+    (registration.cpp:39-46) — a jit-safe dynamic trip count with static
+    shapes, so converged solves stop paying for remaining iterations.
 
 All math is float32 (the reference solves in double via Eigen); the unit
 test on the bunny-like golden pair shows recovered poses within ~1e-3 m /

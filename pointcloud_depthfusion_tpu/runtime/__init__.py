@@ -8,7 +8,10 @@ so the framework stays importable on build-less hosts.
 from pointcloud_depthfusion_tpu.runtime.bindings import (  # noqa: F401
     NativePairer,
     NativeRing,
+    decimation_filter_native,
+    has_native_filters,
     is_available,
     load_library,
     render_scene_native,
+    spatial_filter_native,
 )

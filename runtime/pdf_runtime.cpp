@@ -299,4 +299,96 @@ size_t pdf_ring_size(void* h) {
                   r->tail.load(std::memory_order_acquire));
 }
 
+// ---------------------------------------------------------------------------
+// rs2 post-processing filters, native capture-thread versions.
+//
+// The python host mirrors (ops/host_filters.py) are value-equivalent but the
+// spatial filter's sequential recursion costs ~130 ms/frame in numpy at
+// 848x480 — far over the 33 ms capture budget. These run the identical f32
+// math (value-for-value; tests assert exact equality) with OpenMP over the
+// independent rows/columns. Built with -ffp-contract=off so a*alpha +
+// b*(1-alpha) rounds exactly like numpy (no FMA contraction).
+// ---------------------------------------------------------------------------
+
+}  // extern "C" (templates below need C++ linkage)
+
+template <typename T, bool kRound>
+static inline void spatial_sweep_row(T* row, int n, int stride, float alpha,
+                                     float delta) {
+  float carry = (float)row[0];
+  for (int u = 1; u < n; ++u) {
+    float col = (float)row[u * stride];
+    if (col > 0.0f && carry > 0.0f && std::fabs(col - carry) <= delta) {
+      float blended = col * alpha + carry * (1.0f - alpha);
+      if (kRound) blended = std::floor(blended + 0.5f);
+      col = blended;
+      row[u * stride] = (T)blended;
+    }
+    carry = col;
+  }
+}
+
+template <typename T, bool kRound>
+static void spatial_filter_impl(T* img, int h, int w, float alpha, float delta,
+                                int magnitude) {
+  for (int it = 0; it < magnitude; ++it) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int v = 0; v < h; ++v) {  // left→right then right→left
+      spatial_sweep_row<T, kRound>(img + (size_t)v * w, w, 1, alpha, delta);
+      spatial_sweep_row<T, kRound>(img + (size_t)v * w + (w - 1), w, -1, alpha,
+                                   delta);
+    }
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int u = 0; u < w; ++u) {  // top→bottom then bottom→top
+      spatial_sweep_row<T, kRound>(img + u, h, w, alpha, delta);
+      spatial_sweep_row<T, kRound>(img + (size_t)(h - 1) * w + u, h, -w, alpha,
+                                   delta);
+    }
+  }
+}
+
+extern "C" {
+
+void pdf_spatial_filter_u16(uint16_t* img, int h, int w, float alpha,
+                            float delta, int magnitude) {
+  spatial_filter_impl<uint16_t, true>(img, h, w, alpha, delta, magnitude);
+}
+
+void pdf_spatial_filter_f32(float* img, int h, int w, float alpha, float delta,
+                            int magnitude) {
+  spatial_filter_impl<float, false>(img, h, w, alpha, delta, magnitude);
+}
+
+// Decimation: per m×m block, the upper median (sorted[count/2]) of the
+// NONZERO depths; 0 when the block is all holes (librealsense semantics).
+void pdf_decimation_u16(const uint16_t* in, uint16_t* out, int h, int w,
+                        int m) {
+  const int oh = h / m, ow = w / m;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int i = 0; i < oh; ++i) {
+    std::vector<uint16_t> vals((size_t)m * m);
+    for (int j = 0; j < ow; ++j) {
+      int c = 0;
+      for (int bi = 0; bi < m; ++bi) {
+        const uint16_t* row = in + (size_t)(i * m + bi) * w + (size_t)j * m;
+        for (int bj = 0; bj < m; ++bj) {
+          if (row[bj]) vals[c++] = row[bj];
+        }
+      }
+      if (c == 0) {
+        out[(size_t)i * ow + j] = 0;
+      } else {
+        std::sort(vals.begin(), vals.begin() + c);
+        out[(size_t)i * ow + j] = vals[c / 2];
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -93,3 +93,53 @@ def test_native_ring_order_and_capacity():
         got = ring.try_read()
         assert got is not None and got[0] == i
     assert ring.try_read() is None
+
+
+def test_native_filters_match_numpy_exactly():
+    """C++ spatial/decimation filters are value-identical to the numpy
+    mirrors (built with -ffp-contract=off so the f32 blends round the same),
+    incl. the f32 disparity domain."""
+    import pytest
+
+    from pointcloud_depthfusion_tpu import runtime as rt
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    if not rt.has_native_filters():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(11)
+    d = rng.integers(300, 3000, (48, 64)).astype(np.uint16)
+    d[rng.random((48, 64)) < 0.15] = 0
+    want = HF._spatial_filter_numpy(d, 0.55, 20.0, 2)
+    got = rt.spatial_filter_native(d, 0.55, 20.0, 2)
+    np.testing.assert_array_equal(got, want)
+    # f32 disparity domain
+    disp = (rng.random((32, 40)).astype(np.float32) * 50 + 10)
+    disp[rng.random((32, 40)) < 0.2] = 0.0
+    np.testing.assert_array_equal(
+        rt.spatial_filter_native(disp, 0.5, 8.0, 1),
+        HF._spatial_filter_numpy(disp, 0.5, 8.0, 1),
+    )
+    # decimation
+    np.testing.assert_array_equal(
+        rt.decimation_filter_native(d, 4), HF._decimation_filter_numpy(d, 4)
+    )
+
+
+def test_native_spatial_filter_meets_capture_budget():
+    """The capture-path reason the native version exists: 848x480 spatial
+    filtering must fit the 33 ms frame budget (numpy needs ~130 ms)."""
+    import time
+
+    import pytest
+
+    from pointcloud_depthfusion_tpu import runtime as rt
+
+    if not rt.has_native_filters():
+        pytest.skip("native runtime not built")
+    d = np.random.default_rng(0).integers(300, 3000, (480, 848)).astype(np.uint16)
+    rt.spatial_filter_native(d)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        rt.spatial_filter_native(d)
+    ms = (time.perf_counter() - t0) * 1e3 / 5
+    assert ms < 33.0, ms

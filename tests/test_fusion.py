@@ -237,3 +237,25 @@ def test_fusion_node_stage_log_has_real_numbers(tmp_path):
                       "copy_from_gpu", "filter_image"):
             assert row[field] > 0.0, (field, row)
         assert row["loop"] >= row["project"]
+
+
+def test_process_profiled_with_align_frames():
+    """The profiling mode's filter stage includes depth→color alignment
+    when align_frames is on (same output family as fuse with align)."""
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.fusion.pipeline import FusionPipeline
+
+    left, right, t_rl, intr, _, _ = make_pair()
+    config = FusionConfig.create(
+        vertical_image=False, mirror_image=False, align_frames=True,
+        filter_fused_color=False, render_mode="indexed",
+    )
+    pipe = FusionPipeline(intr, config)
+    pipe.set_right_transform(t_rl)
+    res_fused = pipe.process(left, right)
+    res_prof, laps, _ = pipe.process_profiled(left, right)
+    a = np.asarray(res_fused.image).astype(int)
+    b = np.asarray(res_prof.image).astype(int)
+    assert (a == b).all(-1).mean() > 0.99
+    assert laps["filter"] > 0.0

@@ -399,6 +399,12 @@ class FusionPipeline:
         if getattr(self, "_stages", None):
             return self._stages
         cfg = self.config
+        if cfg.render_mode == "pallas":
+            raise NotImplementedError(
+                "profiling mode does not cover render_mode='pallas' (the "
+                "Mosaic prep kernel has no stage boundaries); profile the "
+                "equivalent 'packed' mode instead"
+            )
         fi = self.fused_intrinsics
 
         def make_filter(roi):

@@ -328,10 +328,15 @@ class DeviceFeeder:
         return self
 
     def get(self, timeout: Optional[float] = None) -> Optional[DevicePair]:
-        """Next synchronized device-resident pair (None = end of stream)."""
+        """Next synchronized device-resident pair (None = clean end of
+        stream). A producer-side failure re-raises HERE — a silently empty
+        stream would hide errors like the decimated-depth rejection."""
         if not self._started:
             self.start()
-        return self._q.get(timeout=timeout)
+        pair = self._q.get(timeout=timeout)
+        if pair is None and self.error is not None:
+            raise RuntimeError("frameset producer failed") from self.error
+        return pair
 
     def stop(self) -> None:
         self._stop.set()

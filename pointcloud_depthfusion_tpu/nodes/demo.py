@@ -135,11 +135,10 @@ def main() -> None:
     frame_times = []
     with fusion.feeder as feeder:
         for i, pair in enumerate(feeder):
-            # Camera-node side channel: the fusion feeder pulls through the
-            # CameraNodes (temporal filter applied in capture()); forward the
-            # filtered depth frames to the registration service here.
-            registration._on_depth(0, pair.host_left.depth, pair.host_left.timestamp)
-            registration._on_depth(1, pair.host_right.depth, pair.host_right.timestamp)
+            # The fusion feeder pulls through the CameraNodes, whose
+            # capture() already publishes filtered depth to the registration
+            # service's subscriptions — no manual forwarding here (it would
+            # double-push the pairer from two threads).
             if i % args.registration_every == 0:
                 registration.tick()
             t1 = time.perf_counter()

@@ -47,9 +47,13 @@ class RegistrationNodeApp:
         camera_right.subscribe_depth(lambda d, t: self._on_depth(1, d, t))
 
     def _on_depth(self, stream: int, depth: np.ndarray, stamp: float) -> None:
+        # The whole push runs under the lock: depth callbacks arrive from
+        # whatever thread drives capture() (the fusion feeder thread in the
+        # composed deployment) while tick() reads on the registration
+        # thread, and ApproximateTimePairer itself is not thread-safe.
         fs = HostFrameset(depth=depth, color=np.zeros(0, np.uint8), timestamp=stamp)
-        for fl, fr in self.pairer.push(stream, fs):
-            with self._lock:
+        with self._lock:
+            for fl, fr in self.pairer.push(stream, fs):
                 self._latest = (fl.depth, fr.depth)
 
     def subscribe_transform(self, cb: Callable[[np.ndarray], None]) -> None:

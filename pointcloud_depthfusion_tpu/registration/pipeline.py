@@ -150,6 +150,7 @@ class RegistrationPipeline:
         # True once a tick completed without a guess reset (the next solve
         # warm-starts from a converged transform).
         self._warm_start = False
+        self._left_count = 0  # target point count from the last grid build
 
     # -- device programs ---------------------------------------------------
 
@@ -248,10 +249,19 @@ class RegistrationPipeline:
         s = self.settings
         t0 = time.perf_counter()
 
-        left_cloud, left_valid, left_count = self._cloud_fn("left")(
-            jnp.asarray(depth_left_u16, jnp.uint16),
-            jnp.asarray(s.depth_scale_left, jnp.float32),
-        )
+        depth_left_u16 = np.asarray(depth_left_u16)
+        depth_right_u16 = np.asarray(depth_right_u16)
+        for name, d, intr in (
+            ("left", depth_left_u16, self.intr_left),
+            ("right", depth_right_u16, self.intr_right),
+        ):
+            if d.shape != (intr.height, intr.width):
+                raise ValueError(
+                    f"{name} depth {d.shape} does not match the registered "
+                    f"intrinsics ({intr.height}, {intr.width}) — decimated "
+                    "depth streams cannot feed the registration service"
+                )
+
         right_cloud, right_valid, right_count = self._cloud_fn("right")(
             jnp.asarray(depth_right_u16, jnp.uint16),
             jnp.asarray(s.depth_scale_right, jnp.float32),
@@ -272,6 +282,18 @@ class RegistrationPipeline:
             or self._tgt_grid_key != grid_key
             or self._tgt_grid_age >= max(1, s.target_grid_cache_ticks)
         )
+        # The left (target) cloud program — including its ~0.8 MB depth
+        # upload — only runs when the grid is rebuilt or the debug cloud
+        # tap needs it; cache-hit ticks reuse the cached point count.
+        if rebuild or s.publish_clouds:
+            left_cloud, left_valid, left_count = self._cloud_fn("left")(
+                jnp.asarray(depth_left_u16, jnp.uint16),
+                jnp.asarray(s.depth_scale_left, jnp.float32),
+            )
+            self._left_count = int(left_count)
+        else:
+            left_cloud = left_valid = None
+        left_count = self._left_count
         if rebuild:
             self._tgt_grid = self._jitted(prepare_target)(
                 left_cloud, left_valid, config

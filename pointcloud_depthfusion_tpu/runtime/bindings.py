@@ -16,15 +16,18 @@ _REPO_ROOT = os.path.dirname(
 _LIB_PATH = os.path.join(_REPO_ROOT, "runtime", "libpdf_runtime.so")
 
 _lib: Optional[ctypes.CDLL] = None
+_lib_failed = False  # don't re-run `make` per call after a failed build
 _lib_lock = threading.Lock()
 
 
 def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     """Load (building on first use) the native runtime library."""
-    global _lib
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            return None
         src = os.path.join(_REPO_ROOT, "runtime", "pdf_runtime.cpp")
         stale = (
             os.path.exists(_LIB_PATH)
@@ -42,8 +45,10 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                 )
             except Exception:
                 if not os.path.exists(_LIB_PATH):
+                    _lib_failed = True
                     return None
         if not os.path.exists(_LIB_PATH):
+            _lib_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
 

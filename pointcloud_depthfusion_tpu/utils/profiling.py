@@ -61,7 +61,15 @@ class StageTimer:
         if not self.enabled:
             return 0.0
         for arr in fence:
-            jax.block_until_ready(arr)
+            # Fence by FETCHING one element, not block_until_ready: on
+            # relayed backends block_until_ready returns at dispatch time
+            # (CLAUDE.md), which would attribute every stage's device time
+            # to whichever lap does the first real D2H. A scalar read is a
+            # true data dependency on the stage's completion (~sub-ms).
+            try:
+                jax.device_get(arr.ravel()[0])
+            except Exception:
+                jax.block_until_ready(arr)
         now = time.perf_counter()
         ms = (now - self._t) * 1e3
         self.laps[name] = self.laps.get(name, 0.0) + ms

@@ -189,8 +189,13 @@ def test_device_feeder_source_error_ends_stream():
     wl, wr = two_camera_rig()
     left = BoomSource(scene, small_intr(), wl, seed=1)
     right = SyntheticSource(scene, small_intr(), wr, seed=2)
+    import pytest
+
     with DeviceFeeder(left, right) as feeder:
-        seen = sum(1 for _ in feeder)
+        seen = 0
+        with pytest.raises(RuntimeError, match="producer failed"):
+            for _ in feeder:
+                seen += 1
     assert seen <= 2
     assert feeder.error is not None and "unplugged" in str(feeder.error)
 

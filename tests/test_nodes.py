@@ -285,7 +285,6 @@ def test_decimated_stream_rejected_by_fusion_feeder():
                        decimation_filter=True)
     cam_r = CameraNode("r", SyntheticSource(scene, intr, wr))
     with DeviceFeeder(cam_l, cam_r) as feeder:
-        with pytest.raises(Exception):
-            pair = feeder.get(timeout=10.0)
-            if pair is None:  # producer error path surfaces via .error
-                raise feeder.error
+        with pytest.raises(RuntimeError, match="producer failed"):
+            feeder.get(timeout=10.0)
+        assert "size mismatch" in str(feeder.error)

@@ -194,7 +194,11 @@ class ApproximateTimePairer:
         out = []
         qa, qb = self.queues
         while qa and qb:
-            # Best match for the head of the older queue.
+            # Globally closest pair across both queues (an exhaustive
+            # O(|qa|·|qb|) scan per emission — at the configured queue size
+            # of 10 that is ≤100 stamp comparisons, far below the cost of
+            # one frame; message_filters' incremental pivot algorithm would
+            # only matter at much larger queues/rates).
             best = None
             best_dt = None
             for i, fa in enumerate(qa):

@@ -238,6 +238,7 @@ class DevicePair:
     right: Frameset
     host_left: HostFrameset
     host_right: HostFrameset
+    upload_ms: float = 0.0  # H2D time for this pair (the copy_to_gpu stage)
 
 
 class DeviceFeeder:
@@ -298,12 +299,14 @@ class DeviceFeeder:
                 pairs += self.pairer.push(0, fl)
                 pairs += self.pairer.push(1, fr)
                 for hl, hr in pairs:
+                    t_up = time.perf_counter()
                     pair = DevicePair(
                         left=self._upload(hl, self.source_left.intrinsics),
                         right=self._upload(hr, self.source_right.intrinsics),
                         host_left=hl,
                         host_right=hr,
                     )
+                    pair.upload_ms = (time.perf_counter() - t_up) * 1e3
                     while not self._stop.is_set():
                         try:
                             self._q.put(pair, timeout=0.1)

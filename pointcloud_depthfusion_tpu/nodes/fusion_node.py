@@ -189,6 +189,12 @@ class FusionNodeApp:
             laps["diff"] = abs(
                 pair.host_left.timestamp - pair.host_right.timestamp
             ) * 1e3
+            laps["copy_to_gpu"] = pair.upload_ms
+            # frame age at publish time (the reference's latency field) —
+            # only meaningful for wall-clock-stamped sources.
+            age_s = _time.time() - stamp
+            if 0.0 <= age_s < 3600.0:
+                laps["latency"] = age_s * 1e3
         if self.save_data_dir:
             self._save_data(pair, image)
         self.fps_counter.tick()

@@ -34,10 +34,11 @@ FUSION_STAGE_FIELDS = [
     "copy_from_gpu",
     "filter_image",
 ]
-"""The reference fusion profiling schema (fusion_node.hpp:198-200). In the
-fused XLA program most stages are inseparable; StageLog records the stages
-that still exist as host-visible boundaries and zero-fills the rest so logs
-stay schema-compatible."""
+"""The reference fusion profiling schema (fusion_node.hpp:198-200). The
+profiling mode (FusionPipeline.process_profiled) fills the device stages
+with real fenced times from the split sub-programs; the host stages
+(callback/publish/diff/latency/copy_to_gpu/loop) come from host clocks in
+FusionNodeApp.process_pair."""
 
 
 class StageTimer:

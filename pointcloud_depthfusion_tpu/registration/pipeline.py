@@ -81,6 +81,15 @@ class RegistrationSettings:
     # rebuild always (reference behavior, registration.cpp:67-71). The grid
     # is also rebuilt whenever resolution/voxel size change (annealing).
     target_grid_cache_ticks: int = 4
+    # Stride-decimate the depth image before deprojection (1 = off). The
+    # registration clouds only feed a >= 5 mm ApproximateVoxelGrid
+    # (config_default.yaml:23: voxelsize 0.01, annealing floor 0.005): a
+    # D455 pixel subtends ~1.6 mm at 1 m, so every voxel still pools >= 9
+    # points after 2x decimation while the 12 scatter-adds of the grid
+    # build — the dominant cost of every solve — shrink 4x. The reference
+    # deprojects full frames and pays the full PCL voxel pass per solve
+    # (registration_node.cpp:312-333, registration.cpp:67-71).
+    cloud_decimation: int = 2
 
 
 @dataclasses.dataclass
@@ -162,18 +171,29 @@ class RegistrationPipeline:
         intr = self.intr_left if which == "left" else self.intr_right
         roi = self.settings.roi_left if which == "left" else self.settings.roi_right
         s = self.settings
-        key = (which, s.min_depth, s.max_depth, roi)
+        k = max(1, int(s.cloud_decimation))
+        key = (which, s.min_depth, s.max_depth, roi, k)
         cached = self._solve_cache.get(key)
         if cached is not None:
             return cached
+
+        # Strided pixel (r, c) is original pixel (r·k, c·k); dividing
+        # fx/fy/ppx/ppy by k makes deprojection of the strided plane exact.
+        intr_k = dataclasses.replace(
+            intr,
+            fx=intr.fx / k, fy=intr.fy / k, ppx=intr.ppx / k, ppy=intr.ppy / k,
+            width=-(-intr.width // k), height=-(-intr.height // k),
+        )
 
         @jax.jit
         def to_cloud(depth_u16, depth_scale):
             d, valid = F.filter_depth(
                 depth_u16, depth_scale, s.min_depth, s.max_depth, roi
             )
+            d = d[::k, ::k]
+            valid = valid[::k, ::k]
             pts, valid = G.deproject(
-                d.astype(jnp.float32) * depth_scale, intr, valid
+                d.astype(jnp.float32) * depth_scale, intr_k, valid
             )
             # valid-point count rides along as a fused scalar: an eager
             # jnp.sum for telemetry costs a full extra dispatch + D2H

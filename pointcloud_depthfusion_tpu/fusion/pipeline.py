@@ -238,6 +238,16 @@ def fuse(
             image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
         else:
             image = jnp.stack([rp, gp, bp], axis=-1)
+    elif config.render_mode == "tiled":
+        (rp, gp, bp), zbuf = R.project_zbuffer_tiled_planar(
+            x, y, z, r, g, b, val, fused_intrinsics,
+            mirror=config.mirror_image, return_planes=True,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if config.filter_fused_color:
+            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
+        else:
+            image = jnp.stack([rp, gp, bp], axis=-1)
     elif config.render_mode == "indexed":
         covered, widx = R.indexed_winner_planar(
             x, y, z, val, fused_intrinsics, mirror=config.mirror_image,

@@ -34,7 +34,8 @@ def main() -> None:
     parser.add_argument("--gif", type=str, default="",
                         help="write an animated GIF of the fused stream")
     parser.add_argument("--render-mode", default="",
-                        choices=["", "exact", "indexed", "packed", "pallas"],
+                        choices=["", "tiled", "exact", "indexed", "packed",
+                                 "pallas"],
                         help="override the configured render mode")
     parser.add_argument("--async-readback", action="store_true",
                         help="overlap frame N's device->host copy with "

@@ -1,0 +1,180 @@
+"""Sorted-slab z-buffer resolve: the Pallas replacement for scatter-min.
+
+The z-buffered virtual-camera render (kernel_project_pointcloud +
+atomicMinFloat, /root/reference/pointcloud_processing/src/kernels.cu:118-126,
+:239-274) needs, per target pixel, the minimum-depth point among all points
+projecting onto it. XLA lowers scatter-min as a serial update loop on TPU
+(measured ~8.6 ns/update on v5e — 7.1 ms for the dual-camera 814k-entry
+scatter, scaling linearly to 28 ms at 8 cameras), which made every previous
+render mode scatter-bound.
+
+This module replaces the scatter entirely:
+
+  1. sort the (pixel, z-bits, packed-RGB) entry triples by pixel — a 1-key
+     3-operand u32 sort measures ~1.1 ms at 814k on v5e (sorts are
+     log-parallel; scatters are serial);
+  2. after the sort, the entries of any contiguous pixel TILE form one
+     contiguous slab; per-tile slab boundaries come from one vectorized
+     searchsorted over the tile edges;
+  3. a Pallas kernel walks one image tile per grid step, streaming its slab
+     through VMEM with double-buffered DMA, and computes each pixel's
+     winner with a vectorized masked min over (tile_px, chunk) blocks —
+     no scatter, no gather, work proportional to entries + tiles.
+
+Winner semantics are IDENTICAL to ops/render.project_zbuffer: minimum f32
+depth (order-preserving positive-float bit pattern compared as i32), ties
+broken by minimum packed RGB — the reference's racy color write
+(kernels.cu:264-273) made deterministic.
+
+Entries use i32 throughout: valid z > 0 means its IEEE-754 bit pattern is
+a positive i32, so i32 order == f32 order, and INT32_MAX serves as the
+invalid/empty sentinel (never a valid z or 24-bit RGB).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_MAXI = 0x7FFFFFFF  # i32 sentinel: > any valid z bit pattern / RGB24
+
+
+def _resolve_kernel(cs_ref, ce_ref, ent_hbm, minz_ref, rgb_ref, buf, sem,
+                    *, tile_px: int, chunk: int):
+    """One grid step resolves one tile of ``tile_px`` consecutive pixels.
+
+    ent_hbm: (4, N) i32 in HBM — rows (sorted pixel, z bits, packed RGB,
+    pad); the 4th row only exists to align HBM slices to the (4, 128) i32
+    tile. cs/ce: per-tile first/last+1 chunk index into the entry axis.
+    """
+    t = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0) + t * tile_px
+    maxi = jnp.int32(_MAXI)
+    cs = cs_ref[t]
+    ce = ce_ref[t]
+
+    def dma(slot, ci):
+        off = pl.multiple_of(ci * chunk, chunk)
+        return pltpu.make_async_copy(
+            ent_hbm.at[:, pl.ds(off, chunk)], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(cs < ce)
+    def _():
+        dma(0, cs).start()
+
+    def body(ci, carry):
+        minz, mrgb = carry
+        slot = (ci - cs) & jnp.int32(1)
+
+        @pl.when(ci + 1 < ce)
+        def _():
+            dma(1 - slot, ci + 1).start()
+
+        dma(slot, ci).wait()
+        pix = buf[slot, 0:1, :]
+        zz = buf[slot, 1:2, :]
+        rr = buf[slot, 2:3, :]
+        # (tile_px, chunk) masked min: each sublane is one output pixel,
+        # each lane one slab entry. Chunk-local winner (zc) then its
+        # deterministic min-RGB tie-break (rc), merged into the carry.
+        match = pix == rows
+        zsel = jnp.where(match, zz, maxi)
+        zc = jnp.min(zsel, axis=1, keepdims=True)
+        rsel = jnp.where(match & (zsel == zc), rr, maxi)
+        rc = jnp.min(rsel, axis=1, keepdims=True)
+        better = zc < minz
+        tie = zc == minz
+        mrgb = jnp.where(better, rc, jnp.where(tie, jnp.minimum(mrgb, rc), mrgb))
+        minz = jnp.minimum(minz, zc)
+        return minz, mrgb
+
+    init = (
+        jnp.full((tile_px, 1), maxi, jnp.int32),
+        jnp.full((tile_px, 1), maxi, jnp.int32),
+    )
+    minz, mrgb = jax.lax.fori_loop(cs, ce, body, init)
+    minz_ref[:] = minz
+    rgb_ref[:] = mrgb
+
+
+def zresolve_sorted_entries(
+    pix: Array,
+    zbits: Array,
+    rgb: Array,
+    n_px: int,
+    tile_px: int = 512,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Per-pixel (min z-bits, RGB-of-winner) from UNSORTED entry triples.
+
+    Args:
+      pix: (N,) i32 flat target pixel per entry; invalid entries MUST carry
+        a value >= the padded pixel count (use ``invalid_pixel_id``).
+      zbits: (N,) i32 bit pattern of the positive f32 depth (i32 order ==
+        f32 order); INT32_MAX for invalid.
+      rgb: (N,) i32 packed r<<16|g<<8|b; INT32_MAX for invalid.
+      n_px: number of real output pixels.
+
+    Returns (minz_bits (n_px,) i32, rgb (n_px,) i32) — INT32_MAX where no
+    entry landed.
+    """
+    n_tiles = -(-n_px // tile_px)
+    pad_px = n_tiles * tile_px
+
+    n = pix.shape[0]
+    n2 = -(-n // chunk) * chunk
+    if n2 != n:
+        fill = jnp.full((n2 - n,), jnp.int32(_MAXI))
+        pix = jnp.concatenate([pix, jnp.full((n2 - n,), jnp.int32(pad_px))])
+        zbits = jnp.concatenate([zbits, fill])
+        rgb = jnp.concatenate([rgb, fill])
+
+    sp, sz, sr = jax.lax.sort((pix, zbits, rgb), num_keys=1, is_stable=False)
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px
+    starts = jnp.searchsorted(sp, bounds).astype(jnp.int32)
+    cs = starts[:-1] // chunk
+    ce = (starts[1:] + chunk - 1) // chunk
+    ent = jnp.stack([sp, sz, sr, sp])  # row 3 pads the (4, 128) HBM tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_px, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_px, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    minz, mrgb = pl.pallas_call(
+        functools.partial(_resolve_kernel, tile_px=tile_px, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cs, ce, ent)
+    return minz.reshape(-1)[:n_px], mrgb.reshape(-1)[:n_px]
+
+
+def invalid_pixel_id(n_px: int, tile_px: int = 512) -> int:
+    """Pixel id that routes an entry past every tile (use for masked-out
+    points BEFORE calling zresolve_sorted_entries)."""
+    return -(-n_px // tile_px) * tile_px

@@ -117,6 +117,88 @@ def _packed_rig_body(
     return local_buffer, unpack
 
 
+def _tiled_rig_body(
+    intrinsics: Intrinsics,
+    fused_intrinsics: Intrinsics,
+    config: FusionConfig,
+):
+    """Per-device rig body for the sort+resolve (bit-exact) render: every
+    local camera contributes (pixel, z-bits, RGB888) entry triples; ONE
+    1-key sort + Pallas tile resolve replaces the per-camera scatters.
+
+    The scatter is the rig scaling wall (~8.6 ns/update serial on v5e →
+    ~3.5 ms per added 848×480 camera); the sort is log-parallel (~1.1 ms at
+    2 cameras, ~2.6 ms at 4) and the resolve is vector work, so tiled rigs
+    scale far past the scatter floor AND are bit-exact (f32 z, RGB888).
+    """
+    from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+        invalid_pixel_id,
+        zresolve_sorted_entries,
+    )
+
+    n_px = fused_intrinsics.width * fused_intrinsics.height
+    maxi = jnp.int32(0x7FFFFFFF)
+    pad_px = invalid_pixel_id(n_px)
+
+    def entries_one(depth1, color1, scale1, t1, pix_offset=0):
+        d, valid = F.filter_depth(
+            depth1, scale1, config.min_depth, config.max_depth
+        )
+        x, y, z, valid = G.deproject_planar(
+            d.astype(jnp.float32) * scale1, intrinsics, valid
+        )
+        x, y, z = G.transform_planar(x, y, z, t1)
+        idx, zc, ok = R.compute_pixel_indices_planar(
+            x, y, z, valid, fused_intrinsics, config.mirror_image
+        )
+        okf = ok.reshape(-1)
+        pix = jnp.where(okf, idx.reshape(-1) + pix_offset, pad_px).astype(
+            jnp.int32
+        )
+        zbits = jnp.where(
+            okf,
+            jax.lax.bitcast_convert_type(
+                zc.astype(jnp.float32), jnp.int32
+            ).reshape(-1),
+            maxi,
+        )
+        c = color1.astype(jnp.int32)
+        rgb = jnp.where(
+            okf,
+            ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).reshape(-1),
+            maxi,
+        )
+        return pix, zbits, rgb
+
+    def local_minbufs(depth, color, depth_scale, cam_to_virtual):
+        n_local = depth.shape[0]
+        ps, zs, rs = [], [], []
+        for i in range(n_local):
+            p, z, rr = entries_one(
+                depth[i], color[i], depth_scale[i], cam_to_virtual[i]
+            )
+            ps.append(p)
+            zs.append(z)
+            rs.append(rr)
+        return zresolve_sorted_entries(
+            jnp.concatenate(ps),
+            jnp.concatenate(zs),
+            jnp.concatenate(rs),
+            n_px,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    def unpack(minz, mrgb):
+        covered = minz != maxi
+        win = jnp.where(covered, mrgb, 0)
+        img = jnp.stack(
+            [(win >> 16) & 0xFF, (win >> 8) & 0xFF, win & 0xFF], -1
+        ).astype(jnp.uint8)
+        return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
+
+    return entries_one, local_minbufs, unpack
+
+
 def rig_fuse(
     intrinsics: Intrinsics,
     fused_intrinsics: Intrinsics,
@@ -131,7 +213,24 @@ def rig_fuse(
     single-device backends (measured 300+ ms vs 19 ms for the identical
     computation). Use this for 1-chip rigs; the sharded variant when the
     camera axis actually spans devices.
+
+    ``config.render_mode == "tiled"`` selects the bit-exact sort+resolve
+    render (one sort for ALL cameras instead of per-camera scatters — the
+    path that scales past the v5e scatter floor); every other mode uses the
+    packed (zq14|RGB666) single-scatter fold.
     """
+    if config.render_mode == "tiled":
+        _, local_minbufs, unpack_t = _tiled_rig_body(
+            intrinsics, fused_intrinsics, config
+        )
+
+        @jax.jit
+        def fn_tiled(depth, color, depth_scale, cam_to_virtual):
+            minz, mrgb = local_minbufs(depth, color, depth_scale, cam_to_virtual)
+            return unpack_t(minz, mrgb)
+
+        return fn_tiled
+
     local_buffer, unpack = _packed_rig_body(
         intrinsics, fused_intrinsics, config, z_near, z_far
     )
@@ -162,7 +261,39 @@ def rig_fuse_sharded(
     scatter (vmapping the scatter per camera lowers catastrophically —
     measured 20× slower), then a single ``pmin`` of the packed uint32 buffer
     merges depth AND color across devices in one ICI collective.
+
+    ``config.render_mode == "tiled"`` upgrades the per-device render to the
+    bit-exact sort+resolve path and the merge to TWO pmin collectives
+    (exact f32 z-bits, then the RGB888 of z-winners — the deterministic
+    min-RGB tie-break across devices, same semantics as single-chip).
     """
+    if config.render_mode == "tiled":
+        _, local_minbufs, unpack_t = _tiled_rig_body(
+            intrinsics, fused_intrinsics, config
+        )
+        maxi = jnp.int32(0x7FFFFFFF)
+
+        def per_device_tiled(depth, color, depth_scale, cam_to_virtual):
+            minz, mrgb = local_minbufs(depth, color, depth_scale, cam_to_virtual)
+            # Exact two-collective merge: global min z-bits, then min RGB
+            # among the devices holding that winner depth.
+            gz = jax.lax.pmin(minz, axis)
+            cand = jnp.where(minz == gz, mrgb, maxi)
+            grgb = jax.lax.pmin(cand, axis)
+            return unpack_t(gz, grgb)
+
+        fn_t = shard_map(
+            per_device_tiled,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(),
+            # pallas_call's out_shape carries no varying-mesh-axes info;
+            # without this the vma checker rejects any kernel under
+            # shard_map.
+            check_vma=False,
+        )
+        return jax.jit(fn_t)
+
     local_buffer, unpack = _packed_rig_body(
         intrinsics, fused_intrinsics, config, z_near, z_far
     )
@@ -201,8 +332,59 @@ def batched_rig_fuse(
 
     Returns ``fn(depth (B,C,H,W) u16, color (B,C,H,W,3) u8,
     depth_scale (B,C), cam_to_virtual (B,C,4,4)) -> (B, Hf, Wf, 3) u8``.
+
+    ``config.render_mode == "tiled"``: the same buffer-slice trick feeds the
+    bit-exact sort+resolve render — ONE sort + one tile-resolve over all
+    B·C cameras' entries against a (B·H·W)-pixel output (the kernel's tile
+    grid just grows with B).
     """
     n_px = fused_intrinsics.width * fused_intrinsics.height
+
+    if config.render_mode == "tiled":
+        from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+            invalid_pixel_id,
+            zresolve_sorted_entries,
+        )
+
+        entries_one, _, _ = _tiled_rig_body(
+            intrinsics, fused_intrinsics, config
+        )
+        maxi = jnp.int32(0x7FFFFFFF)
+        total_px = batch * n_px
+        pad_all = invalid_pixel_id(total_px)
+
+        @jax.jit
+        def fn_tiled(depth, color, depth_scale, cam_to_virtual):
+            ps, zs, rs = [], [], []
+            for b in range(batch):
+                for ci in range(cameras):
+                    p, z, rr = entries_one(
+                        depth[b, ci], color[b, ci], depth_scale[b, ci],
+                        cam_to_virtual[b, ci], pix_offset=b * n_px,
+                    )
+                    # entries_one routes invalids to ITS pad (n_px-grid);
+                    # remap anything outside this stream's slice to the
+                    # batch-wide pad pixel.
+                    p = jnp.where(
+                        (p >= b * n_px) & (p < (b + 1) * n_px), p, pad_all
+                    )
+                    ps.append(p)
+                    zs.append(z)
+                    rs.append(rr)
+            minz, mrgb = zresolve_sorted_entries(
+                jnp.concatenate(ps), jnp.concatenate(zs), jnp.concatenate(rs),
+                total_px, interpret=jax.default_backend() == "cpu",
+            )
+            covered = minz != maxi
+            win = jnp.where(covered, mrgb, 0)
+            img = jnp.stack(
+                [(win >> 16) & 0xFF, (win >> 8) & 0xFF, win & 0xFF], -1
+            ).astype(jnp.uint8)
+            return img.reshape(
+                batch, fused_intrinsics.height, fused_intrinsics.width, 3
+            )
+
+        return fn_tiled
     z_bits = 14
     z_levels = jnp.float32((1 << z_bits) - 1)
     sentinel = jnp.uint32(0xFFFFFFFF)

@@ -156,3 +156,38 @@ def test_indexed_mode_within_fidelity_envelope():
     assert np.max(np.abs(ze[cov] - zi[cov])) <= step
     differs = (np.asarray(res_e.image) != np.asarray(res_i.image)).any(-1)
     assert np.all(np.abs(ze[differs] - zi[differs]) <= step)
+
+
+def test_tiled_mode_bitwise_equals_exact_end_to_end():
+    """The tiled (sort + Pallas resolve) mode is bit-identical to the exact
+    mode through the whole fuse() pipeline — winners, tie-breaks, colors,
+    and f32 z-buffer."""
+    import dataclasses
+
+    W, H = 40, 30
+    intr = Intrinsics.create(W, H, fx=33.0, fy=34.0, ppx=W / 2, ppy=H / 2)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    fl = scene.render(intr, wl)
+    fr = scene.render(intr, wr)
+    t_rl = jnp.asarray(right_to_left_transform(wl, wr), jnp.float32)
+
+    left = Frameset.create(fl.depth, fl.color, intr)
+    right = Frameset.create(fr.depth, fr.color, intr)
+    for vertical, mirror, color_filter in (
+        (False, True, False), (True, True, True), (False, False, True)
+    ):
+        config = FusionConfig.create(
+            min_depth=0.5, max_depth=3.0,
+            vertical_image=vertical, mirror_image=mirror,
+            filter_fused_color=color_filter, render_mode="exact",
+        )
+        fused_intr = fused_virtual_intrinsics(intr, vertical)
+        res_e = fuse(left, right, t_rl, config, fused_intr)
+        res_t = fuse(left, right, t_rl,
+                     dataclasses.replace(config, render_mode="tiled"),
+                     fused_intr)
+        np.testing.assert_array_equal(
+            np.asarray(res_e.image), np.asarray(res_t.image))
+        np.testing.assert_array_equal(
+            np.asarray(res_e.zbuf), np.asarray(res_t.zbuf))

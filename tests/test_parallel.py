@@ -140,3 +140,109 @@ def test_batched_rig_fuse_matches_per_stream():
         want = np.asarray(single(jnp.asarray(depth[b]), jnp.asarray(color[b]),
                                  jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
         np.testing.assert_array_equal(out[b], want)
+
+
+def test_tiled_rig_matches_exact_oracle():
+    """Tiled (sort+resolve) rig fusion == an exact per-point z-buffer oracle
+    built from the same filter/deproject/transform math."""
+    from pointcloud_depthfusion_tpu.core import geometry as G
+    from pointcloud_depthfusion_tpu.ops import filters as F
+    from pointcloud_depthfusion_tpu.ops import render as R
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 3
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.3)
+    fs = [scene.render(intr, p) for p in poses]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+
+    fn = rig_fuse(intr, intr, config)
+    img = np.asarray(
+        fn(
+            jnp.asarray(np.stack([f.depth for f in fs])),
+            jnp.asarray(np.stack([f.color for f in fs])),
+            jnp.full((n,), 0.001, jnp.float32),
+            jnp.asarray(np.stack(poses), jnp.float32),
+        )
+    )
+
+    # Exact reference: concatenate all cameras' clouds and run the
+    # scatter/sort-based exact render.
+    pts, cols, vals = [], [], []
+    for f, pose in zip(fs, poses):
+        d, valid = F.filter_depth(
+            jnp.asarray(f.depth), 0.001, config.min_depth, config.max_depth
+        )
+        x, y, z, valid = G.deproject_planar(
+            d.astype(jnp.float32) * 0.001, intr, valid
+        )
+        x, y, z = G.transform_planar(x, y, z, jnp.asarray(pose, jnp.float32))
+        pts.append(np.stack(
+            [np.asarray(x).ravel(), np.asarray(y).ravel(),
+             np.asarray(z).ravel()], -1))
+        cols.append(np.asarray(f.color).reshape(-1, 3))
+        vals.append(np.asarray(valid).ravel())
+    ref_img, _ = R.project_zbuffer(
+        jnp.asarray(np.concatenate(pts)),
+        jnp.asarray(np.concatenate(cols)),
+        jnp.asarray(np.concatenate(vals)),
+        intr,
+    )
+    np.testing.assert_array_equal(img, np.asarray(ref_img))
+
+
+def test_tiled_sharded_matches_single_device():
+    """Tiled mode over a 2-device mesh (two pmin collectives) == tiled on
+    one device, bit for bit."""
+    n = 2
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(2, radius=0.3)
+    fs = [scene.render(intr, p) for p in poses]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    args = (
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    )
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+    img_sharded = np.asarray(rig_fuse_sharded(make_camera_mesh(2), intr, intr, config)(*args))
+    img_single = np.asarray(rig_fuse(intr, intr, config)(*args))
+    np.testing.assert_array_equal(img_sharded, img_single)
+
+
+def test_tiled_batched_matches_per_stream():
+    from pointcloud_depthfusion_tpu.parallel.mesh import batched_rig_fuse, rig_fuse
+
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    B, C = 2, 2
+    poses = np.stack(
+        [np.stack(rig_poses(C, radius=0.2 + 0.1 * b)) for b in range(B)])
+    depth = np.zeros((B, C, h, w), np.uint16)
+    color = np.zeros((B, C, h, w, 3), np.uint8)
+    for b in range(B):
+        for c in range(C):
+            f = scene.render(intr, poses[b, c])
+            depth[b, c] = f.depth
+            color[b, c] = f.color
+    scale = np.full((B, C), 0.001, np.float32)
+
+    fn = batched_rig_fuse(intr, intr, config, batch=B, cameras=C)
+    out = np.asarray(fn(jnp.asarray(depth), jnp.asarray(color),
+                        jnp.asarray(scale), jnp.asarray(poses, np.float32)))
+    one = rig_fuse(intr, intr, config)
+    for b in range(B):
+        ref = np.asarray(one(
+            jnp.asarray(depth[b]), jnp.asarray(color[b]),
+            jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
+        np.testing.assert_array_equal(out[b], ref)

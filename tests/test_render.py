@@ -195,3 +195,54 @@ def test_packed_variant_close_to_exact(rng):
     # RGB565 quantization: channel error <= 8; allow small set of depth-tie flips
     diff = np.abs(a - b)[covered]
     assert np.quantile(diff, 0.99) <= 8
+
+
+def test_tiled_matches_exact_bitwise(rng):
+    """Sorted-slab Pallas render == scatter/sort exact render, bit for bit
+    (same winners, same min-RGB tie-break, exact f32 z)."""
+    intr = make_intr()
+    pts, cols, valid = random_cloud(rng, 5000, intr)
+    img_a, zb_a = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    for mirror in (False, True):
+        img_m, zb_m = R.project_zbuffer(
+            jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr,
+            mirror=mirror,
+        )
+        img_t, zb_t = R.project_zbuffer_tiled_planar(
+            jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+            jnp.asarray(pts[:, 2]),
+            jnp.asarray(cols[:, 0]), jnp.asarray(cols[:, 1]),
+            jnp.asarray(cols[:, 2]),
+            jnp.asarray(valid), intr, mirror=mirror, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_t))
+        np.testing.assert_array_equal(np.asarray(zb_m), np.asarray(zb_t))
+
+
+def test_tiled_duplicate_depths_and_empty(rng):
+    """Tie-break determinism + empty image through the tiled path, with a
+    pixel count that does not divide the tile size (padding path)."""
+    intr = make_intr(w=37, h=23)  # 851 px: forces tile/chunk padding
+    pts, cols, valid = random_cloud(rng, 3000, intr)
+    pts[1000:2000] = pts[:1000]  # duplicate positions, different colors
+    img_a, zb_a = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    img_t, zb_t = R.project_zbuffer_tiled_planar(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(cols[:, 0]), jnp.asarray(cols[:, 1]), jnp.asarray(cols[:, 2]),
+        jnp.asarray(valid), intr, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_t))
+    np.testing.assert_array_equal(np.asarray(zb_a), np.asarray(zb_t))
+
+    none_valid = jnp.zeros((3000,), bool)
+    img_e, zb_e = R.project_zbuffer_tiled_planar(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(cols[:, 0]), jnp.asarray(cols[:, 1]), jnp.asarray(cols[:, 2]),
+        none_valid, intr, interpret=True,
+    )
+    assert np.all(np.asarray(img_e) == 0)
+    assert np.all(np.asarray(zb_e) == np.finfo(np.float32).max)

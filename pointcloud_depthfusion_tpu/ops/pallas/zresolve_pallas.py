@@ -110,8 +110,8 @@ def zresolve_sorted_entries(
     zbits: Array,
     rgb: Array,
     n_px: int,
-    tile_px: int = 512,
-    chunk: int = 512,
+    tile_px: int = 256,
+    chunk: int = 1024,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Per-pixel (min z-bits, RGB-of-winner) from UNSORTED entry triples.
@@ -174,7 +174,7 @@ def zresolve_sorted_entries(
     return minz.reshape(-1)[:n_px], mrgb.reshape(-1)[:n_px]
 
 
-def invalid_pixel_id(n_px: int, tile_px: int = 512) -> int:
+def invalid_pixel_id(n_px: int, tile_px: int = 256) -> int:
     """Pixel id that routes an entry past every tile (use for masked-out
     points BEFORE calling zresolve_sorted_entries)."""
     return -(-n_px // tile_px) * tile_px

@@ -417,8 +417,8 @@ def project_zbuffer_tiled_planar(
     mirror: bool = False,
     return_planes: bool = False,
     interpret: bool = False,
-    tile_px: int = 512,
-    chunk: int = 512,
+    tile_px: int = 256,
+    chunk: int = 1024,
 ) -> Tuple[Array, Array]:
     """Scatter-free BIT-EXACT render: sort by pixel + Pallas tile resolve.
 

@@ -100,4 +100,6 @@ def test_registration_debug_clouds():
     assert pipe.debug_clouds is not None
     assert pipe.debug_clouds["target"].shape[1] == 3
     assert pipe.debug_clouds["aligned"].shape[1] == 3
-    assert len(pipe.debug_clouds["target"]) > 1000
+    # 64×48 frame stride-decimated 2× (cloud_decimation default) → ~768
+    # valid points; the tap must still carry a substantial compacted cloud.
+    assert len(pipe.debug_clouds["target"]) > 500

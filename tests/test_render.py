@@ -246,3 +246,44 @@ def test_tiled_duplicate_depths_and_empty(rng):
     )
     assert np.all(np.asarray(img_e) == 0)
     assert np.all(np.asarray(zb_e) == np.finfo(np.float32).max)
+
+
+def test_tiled_extreme_skew_all_points_one_pixel(rng):
+    """Pathological skew: every point projects to the same pixel — the
+    dynamic chunk loop must walk the whole slab for that one tile."""
+    intr = make_intr(w=16, h=16)
+    n = 4000
+    z = rng.uniform(0.5, 3.0, n).astype(np.float32)
+    # all points on the ray through pixel (8, 8)
+    x = (8.0 - float(intr.ppx)) / float(intr.fx) * z
+    y = (8.0 - float(intr.ppy)) / float(intr.fy) * z
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+    cols = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    valid = np.ones(n, bool)
+    img_a, zb_a = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    img_t, zb_t = R.project_zbuffer_tiled_planar(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(cols[:, 0]), jnp.asarray(cols[:, 1]), jnp.asarray(cols[:, 2]),
+        jnp.asarray(valid), intr, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_t))
+    np.testing.assert_array_equal(np.asarray(zb_a), np.asarray(zb_t))
+    assert (np.asarray(zb_t) < 1e37).sum() == 1  # exactly one covered pixel
+
+
+def test_tiled_tiny_image_single_tile(rng):
+    """Image smaller than one tile (n_px < tile_px): single padded tile."""
+    intr = make_intr(w=8, h=6)
+    pts, cols, valid = random_cloud(rng, 500, intr)
+    img_a, zb_a = R.project_zbuffer(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
+    )
+    img_t, zb_t = R.project_zbuffer_tiled_planar(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(cols[:, 0]), jnp.asarray(cols[:, 1]), jnp.asarray(cols[:, 2]),
+        jnp.asarray(valid), intr, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_t))
+    np.testing.assert_array_equal(np.asarray(zb_a), np.asarray(zb_t))

@@ -64,6 +64,7 @@ def align_depth_to_color(
     color_intrinsics: Intrinsics,
     depth_to_color: Extrinsics,
     max_footprint: int = 4,
+    method: str | None = None,
 ) -> Array:
     """Align a depth image to the color camera's pixel grid.
 
@@ -71,10 +72,19 @@ def align_depth_to_color(
       depth_u16: (Hd, Wd) raw depth.
       depth_scale: meters per LSB.
       max_footprint: static cap on the per-pixel splat box edge length.
+      method: ``"sorted"`` resolves the K² splat with the render's
+        sort + Pallas slab kernel (ops/pallas/zresolve_pallas.py) — one
+        log-parallel 2-operand sort over the K²·N entries instead of K²
+        serial scatter-mins (measured ~8.6 ns/update on v5e, ~50 ms for the
+        16×407k updates this op issues at 848×480). ``"scatter"`` keeps the
+        XLA scatter-mins (fast on CPU). Default (None): sorted on TPU,
+        scatter elsewhere. Results are bit-identical.
 
     Returns:
       (Hc, Wc) uint16 aligned depth.
     """
+    if method is None:
+        method = "sorted" if jax.default_backend() == "tpu" else "scatter"
     dh, dw = depth_u16.shape
     ch, cw = color_intrinsics.height, color_intrinsics.width
     n_px = cw * ch
@@ -99,6 +109,32 @@ def align_depth_to_color(
     wx = (x1 - x0).reshape(-1)  # box extents (>= 0 in normal geometry)
     wy = (y1 - y0).reshape(-1)
     okf = ok.reshape(-1)
+
+    if method == "sorted":
+        from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+            invalid_pixel_id,
+            zresolve_sorted_entries,
+        )
+
+        bad = invalid_pixel_id(n_px)
+        maxi = jnp.int32(0x7FFFFFFF)
+        pixs, vals = [], []
+        for dy in range(max_footprint):
+            for dx in range(max_footprint):
+                active = okf & (dy <= wy) & (dx <= wx)
+                tx = jnp.clip(x0f + dx, 0, cw - 1)
+                ty = jnp.clip(y0f + dy, 0, ch - 1)
+                pixs.append(jnp.where(active, ty * cw + tx, bad))
+                vals.append(jnp.where(active, raw, maxi))
+        minz, _ = zresolve_sorted_entries(
+            jnp.concatenate(pixs),
+            jnp.concatenate(vals),
+            None,
+            n_px,
+            interpret=jax.default_backend() == "cpu",
+        )
+        out = jnp.where(minz == maxi, 0, minz)
+        return out.astype(jnp.uint16).reshape(ch, cw)
 
     out = jnp.full((n_px + 1,), _SENTINEL, jnp.int32)
     for dy in range(max_footprint):

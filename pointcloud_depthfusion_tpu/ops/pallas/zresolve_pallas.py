@@ -108,7 +108,7 @@ def _resolve_kernel(cs_ref, ce_ref, ent_hbm, minz_ref, rgb_ref, buf, sem,
 def zresolve_sorted_entries(
     pix: Array,
     zbits: Array,
-    rgb: Array,
+    rgb: Array | None,
     n_px: int,
     tile_px: int = 256,
     chunk: int = 1024,
@@ -121,7 +121,10 @@ def zresolve_sorted_entries(
         a value >= the padded pixel count (use ``invalid_pixel_id``).
       zbits: (N,) i32 bit pattern of the positive f32 depth (i32 order ==
         f32 order); INT32_MAX for invalid.
-      rgb: (N,) i32 packed r<<16|g<<8|b; INT32_MAX for invalid.
+      rgb: (N,) i32 packed r<<16|g<<8|b; INT32_MAX for invalid. None when
+        the caller only needs the depth winner (e.g. depth→color alignment)
+        — drops the third sort operand (sort cost scales with operand
+        count) and returns minz twice.
       n_px: number of real output pixels.
 
     Returns (minz_bits (n_px,) i32, rgb (n_px,) i32) — INT32_MAX where no
@@ -136,9 +139,15 @@ def zresolve_sorted_entries(
         fill = jnp.full((n2 - n,), jnp.int32(_MAXI))
         pix = jnp.concatenate([pix, jnp.full((n2 - n,), jnp.int32(pad_px))])
         zbits = jnp.concatenate([zbits, fill])
-        rgb = jnp.concatenate([rgb, fill])
+        if rgb is not None:
+            rgb = jnp.concatenate([rgb, fill])
 
-    sp, sz, sr = jax.lax.sort((pix, zbits, rgb), num_keys=1, is_stable=False)
+    if rgb is None:
+        sp, sz = jax.lax.sort((pix, zbits), num_keys=1, is_stable=False)
+        sr = sz
+    else:
+        sp, sz, sr = jax.lax.sort((pix, zbits, rgb), num_keys=1,
+                                  is_stable=False)
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px
     starts = jnp.searchsorted(sp, bounds).astype(jnp.int32)
     cs = starts[:-1] // chunk

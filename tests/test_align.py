@@ -67,3 +67,17 @@ def test_align_zero_depth_is_zero():
         jnp.zeros((24, 32), jnp.uint16), 0.001, d_intr, c_intr, ext
     )
     assert np.asarray(out).sum() == 0
+
+
+def test_align_sorted_bit_identical(rng):
+    """The sort+Pallas resolve must match the scatter path bit-for-bit."""
+    d_intr, c_intr, ext, rot = setup_cams()
+    depth = rng.integers(400, 3000, (24, 32)).astype(np.uint16)
+    depth[rng.random((24, 32)) < 0.2] = 0
+    a = align_depth_to_color(
+        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="scatter"
+    )
+    b = align_depth_to_color(
+        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="sorted"
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

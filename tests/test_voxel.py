@@ -65,3 +65,47 @@ def test_regularize_norm():
     cov = jnp.asarray(np.diag([0.0, 0.0, 3.0])[None], jnp.float32)
     reg = np.asarray(V.regularize_covariances(cov, "norm", eps=1e-3))[0]
     assert reg[0, 0] > 0 and reg[1, 1] > 0
+
+
+def test_sorted_build_matches_scatter(rng):
+    """The Pallas segment-sum build must reproduce the scatter build
+    (identical counts/reps; sums equal up to f32 addition order)."""
+    n = 5000
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    val = rng.uniform(size=n) > 0.3
+    pts[~val] = np.nan  # invalid entries may carry garbage
+    for table in (1 << 12, 1 << 15):
+        a = V.build_voxel_grid(
+            jnp.asarray(pts), jnp.asarray(val), 0.05, table, method="scatter"
+        )
+        b = V.build_voxel_grid(
+            jnp.asarray(pts), jnp.asarray(val), 0.05, table, method="sorted"
+        )
+        np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+        np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+        np.testing.assert_allclose(
+            np.asarray(a.mean), np.asarray(b.mean), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.cov), np.asarray(b.cov), atol=1e-5
+        )
+
+
+def test_sorted_build_collisions_and_empty(rng):
+    # Tiny table forces hash collisions; both methods must agree exactly on
+    # the merged statistics and the lowest-index representative.
+    n = 800
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    val = np.ones(n, bool)
+    a = V.build_voxel_grid(jnp.asarray(pts), jnp.asarray(val), 0.1, 64,
+                           method="scatter")
+    b = V.build_voxel_grid(jnp.asarray(pts), jnp.asarray(val), 0.1, 64,
+                           method="sorted")
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+    # all-invalid input: empty grid, INT32_MAX reps
+    c = V.build_voxel_grid(
+        jnp.asarray(pts), jnp.zeros(n, bool), 0.1, 64, method="sorted"
+    )
+    assert int(c.count.sum()) == 0
+    assert int(c.coords.min()) == np.iinfo(np.int32).max

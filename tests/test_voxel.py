@@ -109,3 +109,44 @@ def test_sorted_build_collisions_and_empty(rng):
     )
     assert int(c.count.sum()) == 0
     assert int(c.coords.min()) == np.iinfo(np.int32).max
+
+
+def test_sorted_build_pathological_skew(rng):
+    """Every point in ONE voxel: the single slot's slab spans many kernel
+    chunks; sums and count must still be exact."""
+    n = 5000
+    pts = (rng.normal(0, 0.01, (n, 3)) + 0.5).astype(np.float32)
+    # chunk=1024 => the one slab covers ~5 chunks
+    a = V.build_voxel_grid(jnp.asarray(pts), jnp.ones(n, bool), 10.0, 256,
+                           method="scatter")
+    b = V.build_voxel_grid(jnp.asarray(pts), jnp.ones(n, bool), 10.0, 256,
+                           method="sorted")
+    assert int(b.count.sum()) == n
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+
+
+def test_segsum_direct_small():
+    """Direct kernel check: known segment sums + reps on a tiny table."""
+    from pointcloud_depthfusion_tpu.ops.pallas.segsum_pallas import (
+        padded_slots,
+        segsum_sorted,
+    )
+
+    slot = jnp.asarray([3, 0, 3, 7, 0, padded_slots(8)], jnp.int32)
+    vals = jnp.asarray(
+        [[1.0, 10.0], [2.0, 20.0], [3.0, 30.0], [4.0, 40.0], [5.0, 50.0],
+         [99.0, 99.0]],
+        jnp.float32,
+    )
+    sums, rep = segsum_sorted(slot, vals, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(sums[0]), [7.0, 70.0])
+    np.testing.assert_allclose(np.asarray(sums[3]), [4.0, 40.0])
+    np.testing.assert_allclose(np.asarray(sums[7]), [4.0, 40.0])
+    assert int(rep[0]) == 1 and int(rep[3]) == 0 and int(rep[7]) == 3
+    assert int(rep[1]) == np.iinfo(np.int32).max  # empty slot
+    np.testing.assert_allclose(np.asarray(sums[1]), [0.0, 0.0])

@@ -48,7 +48,18 @@ def hash_coords(coords: Array, table_size: int) -> Array:
     """
     assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
     c = coords.astype(jnp.uint32)
-    h = c[..., 0] * _H1 + c[..., 1] * _H2 + c[..., 2] * _H3
+    return hash_coords_planar(c[..., 0], c[..., 1], c[..., 2], table_size)
+
+
+def hash_coords_planar(cx: Array, cy: Array, cz: Array, table_size: int) -> Array:
+    """:func:`hash_coords` on separate coordinate planes (SoA hot paths
+    keep the lane dimension long instead of trailing (..., 3) axes)."""
+    assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
+    h = (
+        cx.astype(jnp.uint32) * _H1
+        + cy.astype(jnp.uint32) * _H2
+        + cz.astype(jnp.uint32) * _H3
+    )
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)

@@ -71,6 +71,13 @@ class GICPConfig:
     cov_regularization: str = dataclasses.field(
         default="plane", metadata=dict(static=True)
     )
+    # "planar": the Gauss-Newton iteration in structure-of-arrays form —
+    # every (M,3,3)/(M,3,6) batched tensor replaced by component planes.
+    # TPU lays trailing (3,3) axes across 128-wide lanes at ~2% utilization
+    # (measured 1.5 ms/iteration at 2^15 slots); the plane form keeps the
+    # voxel axis on the lanes. "matrix": the original batched-tensor loop,
+    # kept as the readable oracle both are tested against.
+    solver: str = dataclasses.field(default="planar", metadata=dict(static=True))
 
     @staticmethod
     def create(
@@ -238,6 +245,218 @@ def gicp_register(
     )
 
 
+def _sym_inv6(a, b, c, d, e, f):
+    """Closed-form inverse of symmetric [[a,b,c],[b,d,e],[c,e,f]] as its 6
+    unique components (adjugate over determinant; pure plane math)."""
+    co11 = d * f - e * e
+    co12 = c * e - b * f
+    co13 = b * e - c * d
+    co22 = a * f - c * c
+    co23 = b * c - a * e
+    co33 = a * d - b * b
+    det = a * co11 + b * co12 + c * co13
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    return (
+        co11 * inv_det, co12 * inv_det, co13 * inv_det,
+        co22 * inv_det, co23 * inv_det, co33 * inv_det,
+    )
+
+
+def _solve_planar(
+    src_ds: Array,
+    src_mask: Array,
+    src_cov: Array,
+    tgt_table: Array,
+    resolution: Array,
+    table_size: int,
+    initial_transform: Array,
+    config: GICPConfig,
+    max_dist: Array,
+) -> GICPResult:
+    """Gauss-Newton VGICP loop in structure-of-arrays (plane) form.
+
+    Mathematically identical to the matrix loop in
+    :func:`gicp_register_prepared` (same correspondences, same damped step,
+    same convergence tests; f32 sums in a different association order). All
+    per-voxel quantities are (M,) planes: the combined covariance
+    C = C_t + R C_s Rᵀ, its closed-form symmetric inverse W, and the
+    Gauss-Newton normal equations H = Σ w JᵀWJ, g = Σ w JᵀWr with
+    J = [-I | [Rp+t]×] are fully unrolled into plane arithmetic — no
+    (M,3,3) tensors survive into the loop body (their trailing 3×3 axes
+    map to TPU lanes at ~2% utilization and dominated the solve).
+    """
+    f = jnp.float32
+    sx, sy, sz = src_ds[:, 0], src_ds[:, 1], src_ds[:, 2]
+    cs11 = src_cov[:, 0, 0]
+    cs12 = src_cov[:, 0, 1]
+    cs13 = src_cov[:, 0, 2]
+    cs22 = src_cov[:, 1, 1]
+    cs23 = src_cov[:, 1, 2]
+    cs33 = src_cov[:, 2, 2]
+    wmask = src_mask.astype(f)
+
+    def step(carry):
+        transform, prev_fitness, done, it_count, _ = carry
+        r = transform[:3, :3]
+        r00, r01, r02 = r[0, 0], r[0, 1], r[0, 2]
+        r10, r11, r12 = r[1, 0], r[1, 1], r[1, 2]
+        r20, r21, r22 = r[2, 0], r[2, 1], r[2, 2]
+        t0, t1, t2 = transform[0, 3], transform[1, 3], transform[2, 3]
+
+        mx = r00 * sx + r01 * sy + r02 * sz + t0
+        my = r10 * sx + r11 * sy + r12 * sz + t1
+        mz = r20 * sx + r21 * sy + r22 * sz + t2
+
+        # --- correspondence lookup (one packed row gather) ----------------
+        cx = jnp.floor(mx / resolution).astype(jnp.int32)
+        cy = jnp.floor(my / resolution).astype(jnp.int32)
+        cz = jnp.floor(mz / resolution).astype(jnp.int32)
+        idx = V.hash_coords_planar(cx, cy, cz, table_size)
+        rows = tgt_table[idx]
+        rcx = jax.lax.bitcast_convert_type(rows[:, 10], jnp.int32)
+        rcy = jax.lax.bitcast_convert_type(rows[:, 11], jnp.int32)
+        rcz = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
+        found = (
+            (rows[:, 0] >= config.min_voxel_points)
+            & (rcx == cx) & (rcy == cy) & (rcz == cz)
+        )
+        ex = rows[:, 1] - mx
+        ey = rows[:, 2] - my
+        ez = rows[:, 3] - mz
+        ct11, ct12, ct13 = rows[:, 4], rows[:, 5], rows[:, 6]
+        ct22, ct23, ct33 = rows[:, 7], rows[:, 8], rows[:, 9]
+
+        dist2 = ex * ex + ey * ey + ez * ez
+        corr = src_mask & found & (dist2 <= max_dist * max_dist)
+
+        # --- B = R C_s Rᵀ (6 components via A = R C_s) --------------------
+        a11 = r00 * cs11 + r01 * cs12 + r02 * cs13
+        a12 = r00 * cs12 + r01 * cs22 + r02 * cs23
+        a13 = r00 * cs13 + r01 * cs23 + r02 * cs33
+        a21 = r10 * cs11 + r11 * cs12 + r12 * cs13
+        a22 = r10 * cs12 + r11 * cs22 + r12 * cs23
+        a23 = r10 * cs13 + r11 * cs23 + r12 * cs33
+        a31 = r20 * cs11 + r21 * cs12 + r22 * cs13
+        a32 = r20 * cs12 + r21 * cs22 + r22 * cs23
+        a33 = r20 * cs13 + r21 * cs23 + r22 * cs33
+        b11 = a11 * r00 + a12 * r01 + a13 * r02
+        b12 = a11 * r10 + a12 * r11 + a13 * r12
+        b13 = a11 * r20 + a12 * r21 + a13 * r22
+        b22 = a21 * r10 + a22 * r11 + a23 * r12
+        b23 = a21 * r20 + a22 * r21 + a23 * r22
+        b33 = a31 * r20 + a32 * r21 + a33 * r22
+
+        # --- W = (C_t + B + 1e-6 I)⁻¹ ------------------------------------
+        w11, w12, w13, w22, w23, w33 = _sym_inv6(
+            ct11 + b11 + 1e-6, ct12 + b12, ct13 + b13,
+            ct22 + b22 + 1e-6, ct23 + b23, ct33 + b33 + 1e-6,
+        )
+
+        rbf = jnp.where(
+            config.kernel_width > 0,
+            jnp.exp(-0.5 * dist2 / jnp.maximum(config.kernel_width**2, 1e-12)),
+            1.0,
+        )
+        w = corr.astype(f) * rbf
+
+        # --- normal equations: H = Σ w JᵀWJ, g = Σ w JᵀWr -----------------
+        # J = [-I | S], S = [m]× ⇒ H = [[W, -WS], [(−WS)ᵀ, SᵀWS]],
+        # g = [−Wr ; −m×(Wr)]. P = W·S and Q = SᵀWS unrolled below.
+        vx = w11 * ex + w12 * ey + w13 * ez
+        vy = w12 * ex + w22 * ey + w23 * ez
+        vz = w13 * ex + w23 * ey + w33 * ez
+
+        p11 = w12 * mz - w13 * my
+        p12 = w13 * mx - w11 * mz
+        p13 = w11 * my - w12 * mx
+        p21 = w22 * mz - w23 * my
+        p22 = w23 * mx - w12 * mz
+        p23 = w12 * my - w22 * mx
+        p31 = w23 * mz - w33 * my
+        p32 = w33 * mx - w13 * mz
+        p33 = w13 * my - w23 * mx
+
+        q11 = mz * p21 - my * p31
+        q12 = mz * p22 - my * p32
+        q13 = mz * p23 - my * p33
+        q22 = mx * p32 - mz * p12
+        q23 = mx * p33 - mz * p13
+        q33 = my * p13 - mx * p23
+
+        def s(expr):
+            return jnp.sum(w * expr)
+
+        h = jnp.array(
+            [
+                [s(w11), s(w12), s(w13), -s(p11), -s(p12), -s(p13)],
+                [s(w12), s(w22), s(w23), -s(p21), -s(p22), -s(p23)],
+                [s(w13), s(w23), s(w33), -s(p31), -s(p32), -s(p33)],
+                [-s(p11), -s(p21), -s(p31), s(q11), s(q12), s(q13)],
+                [-s(p12), -s(p22), -s(p32), s(q12), s(q22), s(q23)],
+                [-s(p13), -s(p23), -s(p33), s(q13), s(q23), s(q33)],
+            ]
+        )
+        g = jnp.stack(
+            [
+                -s(vx), -s(vy), -s(vz),
+                -s(my * vz - mz * vy),
+                -s(mz * vx - mx * vz),
+                -s(mx * vy - my * vx),
+            ]
+        )
+
+        delta = -_solve_6x6(h, g, config.damping)
+        delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
+        new_transform = G.se3_exp(delta) @ transform
+
+        n_corr = jnp.sum(corr, dtype=jnp.int32)
+        fitness = jnp.where(
+            n_corr > 0,
+            jnp.sum(dist2 * corr.astype(f)) / jnp.maximum(n_corr.astype(f), 1.0),
+            jnp.asarray(jnp.finfo(f).max, f),
+        )
+
+        rot_step = jnp.linalg.norm(delta[3:])
+        trans_step = jnp.linalg.norm(delta[:3])
+        fitness_ok = fitness < 1e10
+        plateau = (
+            (config.fitness_rel_eps > 0)
+            & fitness_ok
+            & (jnp.abs(prev_fitness - fitness) < config.fitness_rel_eps * fitness)
+        )
+        newly_done = (
+            ((rot_step < config.rotation_eps) & (trans_step < config.translation_eps))
+            | (fitness_ok & (jnp.abs(prev_fitness - fitness) < config.fitness_eps))
+            | plateau
+        ) & ~done
+        it_count = jnp.where(done, it_count, it_count + 1)
+        done = done | newly_done
+        return (new_transform, fitness, done, it_count, n_corr)
+
+    init = (
+        initial_transform.astype(f),
+        jnp.asarray(jnp.inf, f),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(carry):
+        _, _, done, it_count, _ = carry
+        return (~done) & (it_count < config.max_iterations)
+
+    transform, fitness, done, iters, n_corr = jax.lax.while_loop(
+        cond, step, init
+    )
+    return GICPResult(
+        transform=transform,
+        fitness=fitness,
+        converged=done,
+        iterations=iters,
+        num_correspondences=n_corr,
+    )
+
+
 def gicp_register_prepared(
     source_points: Array,
     source_valid: Array,
@@ -296,6 +515,13 @@ def gicp_register_prepared(
             ],
             axis=-1,
         )  # (T, 13)
+
+        if config.solver == "planar":
+            return _solve_planar(
+                src_ds, src_mask, src_cov, tgt_table,
+                tgt_grid.resolution, tgt_grid.table_size,
+                initial_transform, config, max_dist,
+            )
 
         def lookup_packed(moved):
             coords = V.voxel_coords(moved, tgt_grid.resolution)

@@ -123,3 +123,35 @@ def test_masked_points_ignored(rng):
     got = np.asarray(res.transform)
     want = np.linalg.inv(t_true)
     assert np.linalg.norm(got[:3, 3] - want[:3, 3]) < 0.02
+
+
+def test_planar_solver_matches_matrix(rng):
+    """The plane-form Gauss-Newton loop must reproduce the batched-tensor
+    loop (same math, different f32 association order)."""
+    import dataclasses
+
+    from pointcloud_depthfusion_tpu.registration.gicp import (
+        GICPConfig,
+        gicp_register,
+    )
+
+    tgt = oracles.make_bunny_like_cloud(3000)
+    t_true = known_transform(4.0, 0.05)
+    src = apply(t_true, tgt).astype(np.float32)
+    v_s = jnp.ones(src.shape[0], bool)
+    v_t = jnp.ones(tgt.shape[0], bool)
+    cfg_p = GICPConfig.create(
+        resolution=0.1, voxel_size=0.05, max_iterations=12, solver="planar",
+        kernel_width=0.0,
+    )
+    cfg_m = dataclasses.replace(cfg_p, solver="matrix")
+    guess = jnp.eye(4, dtype=jnp.float32)
+    rp = gicp_register(jnp.asarray(src), v_s, jnp.asarray(tgt), v_t, guess, cfg_p)
+    rm = gicp_register(jnp.asarray(src), v_s, jnp.asarray(tgt), v_t, guess, cfg_m)
+    np.testing.assert_allclose(
+        np.asarray(rp.transform), np.asarray(rm.transform), atol=2e-4
+    )
+    assert abs(int(rp.iterations) - int(rm.iterations)) <= 1
+    assert abs(float(rp.fitness) - float(rm.fitness)) <= 1e-6 + 0.05 * float(
+        rm.fitness
+    )

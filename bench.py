@@ -96,7 +96,11 @@ def main() -> None:
     # degrades from ~0.02 to 1-8 ms within a session, which is a tunnel
     # artifact, not device time. In-program chaining measures true device
     # throughput — the number a real (locally attached) TPU host would see.
-    INNER = 10
+    # 25 dependent frames per dispatch: the relay's per-dispatch floor
+    # varies by session (observed 0.2-27 ms); a longer in-program chain
+    # amortizes it 2.5× harder than the original 10 at zero compile cost
+    # (fori_loop trip count is not unrolled).
+    INNER = 25
 
     def chained_ms(cfg, iters):
         def frame(carry):

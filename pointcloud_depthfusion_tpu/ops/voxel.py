@@ -259,48 +259,78 @@ def smallest_eigenvector_3x3(a: Array) -> Array:
     voxel tables dominated the whole GICP solve (≈2 s at 2^15 slots on v5e);
     this form is ~free.
     """
-    a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
-    q = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None] / 3.0
-    eye = jnp.eye(3, dtype=a.dtype)
-    b = a - q * eye
-    p2 = jnp.sum(b * b, axis=(-2, -1), keepdims=True) / 6.0
+    # Slice to component PLANES immediately: keeping the math on (..., 3, 3)
+    # tensors puts the trailing 3×3 axes on TPU lanes at ~2% utilization
+    # (the whole regularization measured ~2.5 ms at 2^15 voxels; the plane
+    # form is ~free). Everything below is scalar plane arithmetic.
+    a11 = a[..., 0, 0]
+    a22 = a[..., 1, 1]
+    a33 = a[..., 2, 2]
+    a12 = 0.5 * (a[..., 0, 1] + a[..., 1, 0])
+    a13 = 0.5 * (a[..., 0, 2] + a[..., 2, 0])
+    a23 = 0.5 * (a[..., 1, 2] + a[..., 2, 1])
+
+    q = (a11 + a22 + a33) / 3.0
+    b11, b22, b33 = a11 - q, a22 - q, a33 - q
+    p2 = (
+        b11 * b11 + b22 * b22 + b33 * b33
+        + 2.0 * (a12 * a12 + a13 * a13 + a23 * a23)
+    ) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, 1e-30))
-    bn = b / p
-    # Closed-form cofactor determinant: batched jnp.linalg.det lowers to a
-    # general LU path on TPU (measured 2.9 ms of the 3.0 ms regularization
-    # cost at 2^15 voxels on v5e; the cofactor form makes the whole
-    # regularization ~free).
-    d00, d01, d02 = bn[..., 0, 0], bn[..., 0, 1], bn[..., 0, 2]
-    d10, d11, d12 = bn[..., 1, 0], bn[..., 1, 1], bn[..., 1, 2]
-    d20, d21, d22 = bn[..., 2, 0], bn[..., 2, 1], bn[..., 2, 2]
+    inv_p = 1.0 / p
+    # Cofactor determinant of b/p (jnp.linalg.det lowers to a slow LU).
+    d11, d22, d33 = b11 * inv_p, b22 * inv_p, b33 * inv_p
+    d12, d13, d23 = a12 * inv_p, a13 * inv_p, a23 * inv_p
     det_bn = (
-        d00 * (d11 * d22 - d12 * d21)
-        - d01 * (d10 * d22 - d12 * d20)
-        + d02 * (d10 * d21 - d11 * d20)
-    )[..., None, None]
+        d11 * (d22 * d33 - d23 * d23)
+        - d12 * (d12 * d33 - d23 * d13)
+        + d13 * (d12 * d23 - d22 * d13)
+    )
     r = jnp.clip(det_bn / 2.0, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     # Smallest eigenvalue: q + 2p cos(phi + 2π/3).
-    lam = (q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0))[..., 0, 0]
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
 
-    m = a - lam[..., None, None] * eye
+    m11, m22, m33 = a11 - lam, a22 - lam, a33 - lam
+    m12, m13, m23 = a12, a13, a23
     # Null vector of m: the largest cross product of row pairs.
-    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
-    c01 = jnp.cross(r0, r1)
-    c02 = jnp.cross(r0, r2)
-    c12 = jnp.cross(r1, r2)
-    n01 = jnp.sum(c01 * c01, -1)
-    n02 = jnp.sum(c02 * c02, -1)
-    n12 = jnp.sum(c12 * c12, -1)
-    best = jnp.where(
-        (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
-        c01,
-        jnp.where((n02 >= n12)[..., None], c02, c12),
+    c01 = (
+        m12 * m23 - m13 * m22,
+        m13 * m12 - m11 * m23,
+        m11 * m22 - m12 * m12,
     )
-    norm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    c02 = (
+        m12 * m33 - m13 * m23,
+        m13 * m13 - m11 * m33,
+        m11 * m23 - m12 * m13,
+    )
+    c12 = (
+        m22 * m33 - m23 * m23,
+        m23 * m13 - m12 * m33,
+        m12 * m23 - m22 * m13,
+    )
+    n01 = c01[0] * c01[0] + c01[1] * c01[1] + c01[2] * c01[2]
+    n02 = c02[0] * c02[0] + c02[1] * c02[1] + c02[2] * c02[2]
+    n12 = c12[0] * c12[0] + c12[1] * c12[1] + c12[2] * c12[2]
+    pick01 = (n01 >= n02) & (n01 >= n12)
+    pick02 = n02 >= n12
+    bx, by, bz = (
+        jnp.where(pick01, c01[i], jnp.where(pick02, c02[i], c12[i]))
+        for i in range(3)
+    )
+    norm2 = bx * bx + by * by + bz * bz
+    norm = jnp.sqrt(norm2)
+    inv_n = 1.0 / jnp.maximum(norm, 1e-30)
     # Degenerate (isotropic / zero) covariance: any direction works.
-    fallback = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], a.dtype), best.shape)
-    return jnp.where(norm > 1e-12, best / jnp.maximum(norm, 1e-30), fallback)
+    ok = norm > 1e-12
+    return jnp.stack(
+        [
+            jnp.where(ok, bx * inv_n, 0.0),
+            jnp.where(ok, by * inv_n, 0.0),
+            jnp.where(ok, bz * inv_n, 1.0),
+        ],
+        axis=-1,
+    )
 
 
 def regularize_covariances(

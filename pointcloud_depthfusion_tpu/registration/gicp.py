@@ -383,27 +383,42 @@ def _solve_planar(
         q23 = mx * p33 - mz * p13
         q33 = my * p13 - mx * p23
 
-        def s(expr):
-            return jnp.sum(w * expr)
+        # ONE (27, M) stacked reduction instead of 27 separate jnp.sum calls:
+        # each small reduce is its own kernel launch inside the while_loop
+        # and the fixed launch costs, not the FLOPs, dominated the iteration.
+        sums = jnp.sum(
+            w
+            * jnp.stack(
+                [
+                    w11, w12, w13, w22, w23, w33,
+                    p11, p12, p13, p21, p22, p23, p31, p32, p33,
+                    q11, q12, q13, q22, q23, q33,
+                    vx, vy, vz,
+                    my * vz - mz * vy,
+                    mz * vx - mx * vz,
+                    mx * vy - my * vx,
+                ]
+            ),
+            axis=1,
+        )
+        (
+            sw11, sw12, sw13, sw22, sw23, sw33,
+            sp11, sp12, sp13, sp21, sp22, sp23, sp31, sp32, sp33,
+            sq11, sq12, sq13, sq22, sq23, sq33,
+            svx, svy, svz, scx, scy, scz,
+        ) = sums
 
         h = jnp.array(
             [
-                [s(w11), s(w12), s(w13), -s(p11), -s(p12), -s(p13)],
-                [s(w12), s(w22), s(w23), -s(p21), -s(p22), -s(p23)],
-                [s(w13), s(w23), s(w33), -s(p31), -s(p32), -s(p33)],
-                [-s(p11), -s(p21), -s(p31), s(q11), s(q12), s(q13)],
-                [-s(p12), -s(p22), -s(p32), s(q12), s(q22), s(q23)],
-                [-s(p13), -s(p23), -s(p33), s(q13), s(q23), s(q33)],
+                [sw11, sw12, sw13, -sp11, -sp12, -sp13],
+                [sw12, sw22, sw23, -sp21, -sp22, -sp23],
+                [sw13, sw23, sw33, -sp31, -sp32, -sp33],
+                [-sp11, -sp21, -sp31, sq11, sq12, sq13],
+                [-sp12, -sp22, -sp32, sq12, sq22, sq23],
+                [-sp13, -sp23, -sp33, sq13, sq23, sq33],
             ]
         )
-        g = jnp.stack(
-            [
-                -s(vx), -s(vy), -s(vz),
-                -s(my * vz - mz * vy),
-                -s(mz * vx - mx * vz),
-                -s(mx * vy - my * vx),
-            ]
-        )
+        g = jnp.stack([-svx, -svy, -svz, -scx, -scy, -scz])
 
         delta = -_solve_6x6(h, g, config.damping)
         delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)

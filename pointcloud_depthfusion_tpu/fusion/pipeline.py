@@ -68,6 +68,14 @@ class FusionConfig:
         default=False, metadata=dict(static=True)
     )
     align_frames: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Static splat-box cap for align_frames (entry count — and the sorted
+    # align's sort cost — scales with its square). "auto" derives the tight
+    # pinhole bound from the intrinsics when they are concrete at trace
+    # time (ops/align.auto_footprint) and keeps 4 when they are traced;
+    # nodes that know their intrinsics host-side can pin an int.
+    align_footprint: object = dataclasses.field(
+        default="auto", metadata=dict(static=True)
+    )
     set_camera_pose: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
@@ -177,6 +185,7 @@ def _prepare_camera(
             fs.depth_intrinsics,
             fs.color_intrinsics,
             fs.depth_to_color,
+            max_footprint=config.align_footprint,
         )
     depth, valid = F.filter_depth(
         depth, fs.depth_scale, config.min_depth, config.max_depth, roi
@@ -425,7 +434,10 @@ class FusionPipeline:
             @jax.jit
             def s_filter(depth, scale, min_d, max_d, intr_d, intr_c, d2c):
                 if cfg.align_frames:
-                    depth = align_depth_to_color(depth, scale, intr_d, intr_c, d2c)
+                    depth = align_depth_to_color(
+                        depth, scale, intr_d, intr_c, d2c,
+                        max_footprint=cfg.align_footprint,
+                    )
                 return F.filter_depth(depth, scale, min_d, max_d, roi)
 
             return s_filter

@@ -68,6 +68,23 @@ class FusionNodeApp:
             params_right.color_info, legacy_int_truncation=legacy_int_truncation
         )
 
+        # Pin the align splat-box cap from the CONCRETE handshake intrinsics:
+        # inside the jitted pipeline the frameset intrinsics are traced, so
+        # "auto" would fall back to the conservative default there.
+        if self.config.align_frames and self.config.align_footprint == "auto":
+            import dataclasses as _dc
+
+            from pointcloud_depthfusion_tpu.ops.align import auto_footprint
+
+            depth_intr = camera_info_to_intrinsics(
+                params_left.depth_info,
+                legacy_int_truncation=legacy_int_truncation,
+            )
+            self.config = _dc.replace(
+                self.config,
+                align_footprint=auto_footprint(depth_intr, self.intr_left),
+            )
+
         self.pipeline = FusionPipeline(self.intr_left, self.config, donate=False)
         # Feed THROUGH the camera nodes (they are FramesetSources), not their
         # raw sources: capture() applies the rs2-equivalent temporal filter,

@@ -57,6 +57,34 @@ def _map_corner(
     return (px + 0.5).astype(jnp.int32), (py + 0.5).astype(jnp.int32)
 
 
+def auto_footprint(
+    depth_intrinsics: Intrinsics, color_intrinsics: Intrinsics
+) -> int:
+    """Tight static bound on the per-pixel splat box edge (pixels).
+
+    A depth pixel's ±0.5-px corner pair spans ``fx_c/fx_d`` color pixels
+    (plus one for the integer rounding of each corner), so for a pinhole
+    pair the true box edge never exceeds ``ceil(focal ratio) + 1``. The
+    reference walks the exact data-dependent box (kernels.cu:276-301); the
+    static cap only clips boxes beyond this bound, which the pinhole
+    geometry cannot produce. Entry count — and the sorted-mode sort cost —
+    scales with the SQUARE of this bound, so a D455-like same-resolution
+    pair (ratio ~1.5 → bound 3) cuts the 16-offset default to 9.
+    """
+    import math
+
+    try:
+        # Focal lengths must be CONCRETE to pick a static entry count; when
+        # the intrinsics are traced jit arguments (e.g. the profiled split
+        # program passes them as pytree leaves) keep the conservative
+        # default cap instead.
+        rx = float(color_intrinsics.fx) / max(float(depth_intrinsics.fx), 1e-6)
+        ry = float(color_intrinsics.fy) / max(float(depth_intrinsics.fy), 1e-6)
+    except jax.errors.ConcretizationTypeError:
+        return 4
+    return max(2, int(math.ceil(max(rx, ry))) + 1)
+
+
 def align_depth_to_color(
     depth_u16: Array,
     depth_scale,
@@ -85,6 +113,8 @@ def align_depth_to_color(
     """
     if method is None:
         method = "sorted" if jax.default_backend() == "tpu" else "scatter"
+    if max_footprint == "auto":
+        max_footprint = auto_footprint(depth_intrinsics, color_intrinsics)
     dh, dw = depth_u16.shape
     ch, cw = color_intrinsics.height, color_intrinsics.width
     n_px = cw * ch

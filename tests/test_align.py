@@ -81,3 +81,25 @@ def test_align_sorted_bit_identical(rng):
         jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="sorted"
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_footprint_matches_oracle(rng):
+    """The intrinsics-derived static footprint bound must still cover the
+    reference's full dynamic splat box (oracle has no cap)."""
+    from pointcloud_depthfusion_tpu.ops.align import auto_footprint
+
+    d_intr, c_intr, ext, rot = setup_cams()
+    assert auto_footprint(d_intr, c_intr) == 3  # ratio ~1.25 -> 3
+    depth = rng.integers(400, 3000, (24, 32)).astype(np.uint16)
+    depth[rng.random((24, 32)) < 0.2] = 0
+    got = align_depth_to_color(
+        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, max_footprint="auto"
+    )
+    want = oracles.align_depth_to_color_oracle(
+        depth, 0.001,
+        d_intr.fx, d_intr.fy, d_intr.ppx, d_intr.ppy,
+        c_intr.fx, c_intr.fy, c_intr.ppx, c_intr.ppy,
+        rot, np.array([0.015, -0.001, 0.002], np.float32),
+        c_intr.width, c_intr.height,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)

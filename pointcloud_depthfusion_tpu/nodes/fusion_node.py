@@ -76,14 +76,27 @@ class FusionNodeApp:
 
             from pointcloud_depthfusion_tpu.ops.align import auto_footprint
 
-            depth_intr = camera_info_to_intrinsics(
-                params_left.depth_info,
-                legacy_int_truncation=legacy_int_truncation,
+            from pointcloud_depthfusion_tpu.core.camera import Extrinsics
+
+            bound = max(
+                auto_footprint(
+                    camera_info_to_intrinsics(
+                        p.depth_info,
+                        legacy_int_truncation=legacy_int_truncation,
+                    ),
+                    c_intr,
+                    Extrinsics.create(
+                        np.asarray(p.extrinsic_rotation).reshape(3, 3).T,
+                        p.extrinsic_translation,
+                    ),
+                    min_depth=float(self.config.min_depth),
+                )
+                for p, c_intr in (
+                    (params_left, self.intr_left),
+                    (params_right, self.intr_right),
+                )
             )
-            self.config = _dc.replace(
-                self.config,
-                align_footprint=auto_footprint(depth_intr, self.intr_left),
-            )
+            self.config = _dc.replace(self.config, align_footprint=bound)
 
         self.pipeline = FusionPipeline(self.intr_left, self.config, donate=False)
         # Feed THROUGH the camera nodes (they are FramesetSources), not their

@@ -58,31 +58,52 @@ def _map_corner(
 
 
 def auto_footprint(
-    depth_intrinsics: Intrinsics, color_intrinsics: Intrinsics
+    depth_intrinsics: Intrinsics,
+    color_intrinsics: Intrinsics,
+    extrinsics: Extrinsics | None = None,
+    min_depth: float = 0.2,
 ) -> int:
-    """Tight static bound on the per-pixel splat box edge (pixels).
+    """Static bound on the per-pixel splat box edge (pixels).
 
-    A depth pixel's ±0.5-px corner pair spans ``fx_c/fx_d`` color pixels
-    (plus one for the integer rounding of each corner), so for a pinhole
-    pair the true box edge never exceeds ``ceil(focal ratio) + 1``. The
-    reference walks the exact data-dependent box (kernels.cu:276-301); the
-    static cap only clips boxes beyond this bound, which the pinhole
-    geometry cannot produce. Entry count — and the sorted-mode sort cost —
-    scales with the SQUARE of this bound, so a D455-like same-resolution
-    pair (ratio ~1.5 → bound 3) cuts the 16-offset default to 9.
+    A depth pixel's ±0.5-px corner pair spans ``fx_c/fx_d`` color pixels,
+    inflated by the worst-case perspective scaling of the depth→color
+    extrinsics — a color camera sitting ``|t|`` behind the depth origin
+    magnifies a point at ``z`` by up to ``z/(z − |t|)``, worst at
+    ``min_depth`` — and by ~7% for rotations up to 20°; plus one pixel for
+    the integer rounding of each corner. The reference walks the exact
+    data-dependent box (kernels.cu:276-301); this cap only clips boxes the
+    bounded geometry cannot produce. Entry count — and the sorted-mode
+    sort cost — scales with the SQUARE of the bound, so a D455-like
+    same-resolution pair (ratio ~1.5, 1.5 cm baseline → bound 3) cuts the
+    16-offset default cap to 9 entries per pixel.
     """
     import math
 
     try:
-        # Focal lengths must be CONCRETE to pick a static entry count; when
-        # the intrinsics are traced jit arguments (e.g. the profiled split
-        # program passes them as pytree leaves) keep the conservative
-        # default cap instead.
+        # All inputs must be CONCRETE to pick a static entry count; when
+        # the intrinsics are traced jit arguments (e.g. the jitted pipeline
+        # passes framesets as pytrees) keep the conservative default cap.
         rx = float(color_intrinsics.fx) / max(float(depth_intrinsics.fx), 1e-6)
         ry = float(color_intrinsics.fy) / max(float(depth_intrinsics.fy), 1e-6)
+        t_norm = 0.0
+        if extrinsics is not None:
+            import numpy as _np
+
+            t_norm = float(_np.linalg.norm(_np.asarray(extrinsics.translation)))
     except jax.errors.ConcretizationTypeError:
+        import warnings
+
+        warnings.warn(
+            "auto_footprint: traced intrinsics — falling back to the "
+            "conservative splat cap 4; pin FusionConfig.align_footprint "
+            "from concrete intrinsics to get the tight bound",
+            stacklevel=2,
+        )
         return 4
-    return max(2, int(math.ceil(max(rx, ry))) + 1)
+    z_floor = max(min_depth, 1e-3)
+    perspective = z_floor / max(z_floor - t_norm, z_floor * 0.25)
+    ratio = max(rx, ry) * perspective * 1.07  # rotation margin (≤20° toe-in)
+    return max(2, int(math.ceil(ratio)) + 1)
 
 
 def align_depth_to_color(
@@ -114,7 +135,9 @@ def align_depth_to_color(
     if method is None:
         method = "sorted" if jax.default_backend() == "tpu" else "scatter"
     if max_footprint == "auto":
-        max_footprint = auto_footprint(depth_intrinsics, color_intrinsics)
+        max_footprint = auto_footprint(
+            depth_intrinsics, color_intrinsics, depth_to_color
+        )
     dh, dw = depth_u16.shape
     ch, cw = color_intrinsics.height, color_intrinsics.width
     n_px = cw * ch
@@ -163,7 +186,11 @@ def align_depth_to_color(
             n_px,
             interpret=jax.default_backend() == "cpu",
         )
-        out = jnp.where(minz == maxi, 0, minz)
+        # Match the scatter path and the reference EXACTLY: the 0xFFFF
+        # buffer sentinel (kernels.cu:284) collides with a saturated u16
+        # depth, so a pixel whose minimum is 65535 also reads as
+        # "untouched" and becomes 0.
+        out = jnp.where((minz == maxi) | (minz == _SENTINEL), 0, minz)
         return out.astype(jnp.uint16).reshape(ch, cw)
 
     out = jnp.full((n_px + 1,), _SENTINEL, jnp.int32)

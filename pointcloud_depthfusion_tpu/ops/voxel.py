@@ -133,25 +133,23 @@ def build_voxel_grid(
             .add(values * w, mode="drop")[:table_size]
         )
 
-    count_full = jnp.zeros((table_size + 1,), jnp.float32).at[idx].add(
+    count = jnp.zeros((table_size + 1,), jnp.float32).at[idx].add(
         w, mode="drop"
-    )
+    )[:table_size]
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
-    sx, sy, sz = acc(x), acc(y), acc(z)
-    sxx, sxy, sxz = acc(x * x), acc(x * y), acc(x * z)
-    syy, syz, szz = acc(y * y), acc(y * z), acc(z * z)
-    psum = jnp.stack([sx, sy, sz], axis=-1)
-    row0 = jnp.stack([sxx, sxy, sxz], axis=-1)
-    row1 = jnp.stack([sxy, syy, syz], axis=-1)
-    row2 = jnp.stack([sxz, syz, szz], axis=-1)
-    ppsum = jnp.stack([row0, row1, row2], axis=-2)
+    psum = jnp.stack([acc(x), acc(y), acc(z)], axis=-1)
+    p6 = jnp.stack(
+        [acc(x * x), acc(x * y), acc(x * z), acc(y * y), acc(y * z),
+         acc(z * z)],
+        axis=-1,
+    )
     # Representative coords via min point index + gather: a componentwise
     # coordinate min would mix components of different colliding voxels into
     # a triple belonging to neither (dropping BOTH voxels at lookup); the
     # lowest-index member's coords keep one of them alive.
     n_pts = pts.shape[0]
     sentinel = jnp.uint32(0xFFFFFFFF)
-    rep_idx = (
+    rep_u32 = (
         jnp.full((table_size + 1,), sentinel, jnp.uint32)
         .at[idx]
         .min(
@@ -159,13 +157,35 @@ def build_voxel_grid(
             mode="drop",
         )
     )[:table_size]
-    has_rep = rep_idx != sentinel
-    safe_idx = jnp.where(has_rep, rep_idx, 0).astype(jnp.int32)
+    rep_idx = jnp.where(
+        rep_u32 != sentinel, rep_u32, jnp.uint32(0x7FFFFFFF)
+    ).astype(jnp.int32)
+    return _finalize_grid(count, psum, p6, rep_idx, coords, resolution)
+
+
+def _finalize_grid(
+    count: Array,
+    psum: Array,
+    p6: Array,
+    rep_idx: Array,
+    coords: Array,
+    resolution,
+) -> VoxelGrid:
+    """Shared grid finalization for the scatter and sorted builds: expand
+    the symmetric-6 second moment, resolve representative coords (INT32_MAX
+    rep_idx = empty slot), divide out the counts. Keeping this in ONE place
+    guarantees the two accumulation methods stay interchangeable (the tests
+    assert exact count/coords equality between them)."""
+    row0 = jnp.stack([p6[:, 0], p6[:, 1], p6[:, 2]], axis=-1)
+    row1 = jnp.stack([p6[:, 1], p6[:, 3], p6[:, 4]], axis=-1)
+    row2 = jnp.stack([p6[:, 2], p6[:, 4], p6[:, 5]], axis=-1)
+    ppsum = jnp.stack([row0, row1, row2], axis=-2)
+
+    has_rep = rep_idx != jnp.int32(0x7FFFFFFF)
+    safe_idx = jnp.where(has_rep, rep_idx, 0)
     rep = jnp.where(
         has_rep[:, None], coords[safe_idx], jnp.iinfo(jnp.int32).max
     )
-
-    count = count_full[:table_size]
 
     safe = jnp.maximum(count, 1.0)
     mean = psum / safe[:, None]
@@ -211,29 +231,8 @@ def _build_voxel_grid_sorted(
     sums, rep_idx = segsum_sorted(
         idx, chans, table_size, interpret=interpret
     )
-    count = sums[:, 0]
-    psum = sums[:, 1:4]
-    p6 = sums[:, 4:10]
-    row0 = jnp.stack([p6[:, 0], p6[:, 1], p6[:, 2]], axis=-1)
-    row1 = jnp.stack([p6[:, 1], p6[:, 3], p6[:, 4]], axis=-1)
-    row2 = jnp.stack([p6[:, 2], p6[:, 4], p6[:, 5]], axis=-1)
-    ppsum = jnp.stack([row0, row1, row2], axis=-2)
-
-    has_rep = rep_idx != jnp.int32(0x7FFFFFFF)
-    safe_idx = jnp.where(has_rep, rep_idx, 0)
-    rep = jnp.where(
-        has_rep[:, None], coords[safe_idx], jnp.iinfo(jnp.int32).max
-    )
-
-    safe = jnp.maximum(count, 1.0)
-    mean = psum / safe[:, None]
-    cov = ppsum / safe[:, None, None] - mean[:, :, None] * mean[:, None, :]
-    return VoxelGrid(
-        count=count,
-        mean=mean,
-        cov=cov,
-        coords=rep,
-        resolution=jnp.asarray(resolution, jnp.float32),
+    return _finalize_grid(
+        sums[:, 0], sums[:, 1:4], sums[:, 4:10], rep_idx, coords, resolution
     )
 
 

@@ -293,7 +293,6 @@ def _solve_planar(
     cs22 = src_cov[:, 1, 1]
     cs23 = src_cov[:, 1, 2]
     cs33 = src_cov[:, 2, 2]
-    wmask = src_mask.astype(f)
 
     def step(carry):
         transform, prev_fitness, done, it_count, _ = carry

@@ -103,3 +103,33 @@ def test_auto_footprint_matches_oracle(rng):
         c_intr.width, c_intr.height,
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_saturated_depth_maps_to_zero_both_methods():
+    """0xFFFF depth collides with the reference's buffer sentinel
+    (kernels.cu:284) and must come out 0 in BOTH resolve methods."""
+    d_intr, c_intr, ext, rot = setup_cams()
+    depth = np.full((24, 32), 0xFFFF, np.uint16)
+    a = align_depth_to_color(
+        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="scatter"
+    )
+    b = align_depth_to_color(
+        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="sorted"
+    )
+    assert int(np.asarray(a).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_footprint_extrinsics_inflation():
+    """A color camera behind the depth origin magnifies splat boxes; the
+    auto bound must grow with the translation magnitude."""
+    from pointcloud_depthfusion_tpu.ops.align import auto_footprint
+
+    d = Intrinsics.create(640, 480, fx=400.0, fy=400.0, ppx=320.0, ppy=240.0)
+    c = Intrinsics.create(640, 480, fx=560.0, fy=560.0, ppx=320.0, ppy=240.0)
+    near = Extrinsics.create(np.eye(3), [0.015, 0.0, 0.0])
+    far = Extrinsics.create(np.eye(3), [0.0, 0.0, -0.08])
+    b_near = auto_footprint(d, c, near)
+    b_far = auto_footprint(d, c, far, min_depth=0.2)
+    assert b_near == 3
+    assert b_far > b_near  # 0.2/(0.2-0.08) = 1.67x perspective inflation

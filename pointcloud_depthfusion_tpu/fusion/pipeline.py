@@ -479,6 +479,12 @@ class FusionPipeline:
                 rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b)
                 rp, gp, bp = (p.reshape(h_f, w_f) for p in (rp, gp, bp))
                 zbuf = zb.reshape(h_f, w_f)
+            elif cfg.render_mode == "tiled":
+                (rp, gp, bp), zbuf = R.project_zbuffer_tiled_planar(
+                    x, y, z, r, g, b, val, fi, mirror=cfg.mirror_image,
+                    return_planes=True,
+                    interpret=jax.default_backend() == "cpu",
+                )
             else:
                 image, zbuf = R.project_zbuffer_planar(
                     x, y, z, r, g, b, val, fi, mirror=cfg.mirror_image

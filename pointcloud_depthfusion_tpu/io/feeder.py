@@ -306,6 +306,14 @@ class DeviceFeeder:
                         host_left=hl,
                         host_right=hr,
                     )
+                    # Fence before stamping: device_put only ENQUEUES the
+                    # H2D copy, so an unfenced stamp reports dispatch time
+                    # (~1 ms) while the real transfer (~100 ms over this
+                    # environment's relay) silently lands in the consumer's
+                    # first compute stage. Fencing here keeps upload_ms
+                    # honest and still overlaps with the consumer — this is
+                    # the producer thread, one pair ahead.
+                    jax.block_until_ready((pair.left, pair.right))
                     pair.upload_ms = (time.perf_counter() - t_up) * 1e3
                     while not self._stop.is_set():
                         try:

@@ -245,10 +245,7 @@ def gauss_filter(
     out = jnp.clip(jnp.round(out), 0, float(jnp.iinfo(img.dtype).max)).astype(img.dtype)
     if squeeze:
         out = out[..., 0]
-        img_orig = img
-    else:
-        img_orig = img
-    return _interior_only(out, img_orig, radius) if interior_roi else out
+    return _interior_only(out, img, radius) if interior_roi else out
 
 
 def filter_color(color: Array, use_median: bool) -> Array:

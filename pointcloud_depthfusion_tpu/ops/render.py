@@ -38,9 +38,6 @@ from pointcloud_depthfusion_tpu.core.camera import Intrinsics
 
 Array = jax.Array
 
-_INVALID_PACKED = jnp.int32(1 << 24)  # larger than any 24-bit RGB key
-
-
 def compute_pixel_indices(
     points: Array,
     valid: Array,
@@ -240,6 +237,11 @@ def indexed_winner_planar(
     zq = jnp.clip(
         (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
     ).astype(jnp.uint32)
+    # Integer re-clamp: for zq_bits >= 25 (clouds of <= 127 points) the f32
+    # z_levels rounds UP to 2^zq_bits, so the float clip alone can emit a
+    # value whose shift wraps the key and hands the pixel to the FARTHEST
+    # point.
+    zq = jnp.minimum(zq, jnp.uint32((1 << zq_bits) - 1))
     point_id = jnp.arange(n_pts, dtype=jnp.uint32).reshape(zq.shape)
     key = (zq << idx_bits) | point_id
     key = jnp.where(ok, key, sentinel)

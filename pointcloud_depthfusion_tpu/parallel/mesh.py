@@ -103,18 +103,43 @@ def _packed_rig_body(
         return buf[:n_px]
 
     def unpack(merged):
-        covered = merged != sentinel
-        r6 = (merged >> 12) & 0x3F
-        g6 = (merged >> 6) & 0x3F
-        b6 = merged & 0x3F
-        img = jnp.stack(
-            [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
-            -1,
-        ).astype(jnp.uint8)
-        img = jnp.where(covered[:, None], img, 0)
+        img = _decode_rgb666(merged)
         return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
 
-    return local_buffer, unpack
+    return project_one, local_buffer, unpack
+
+
+def _decode_rgb666(merged):
+    """Expand a flat packed (zq14|RGB666) buffer to (n, 3) u8 colors
+    (0 where the sentinel says uncovered). One decode shared by every
+    packed-mode path — the bit layout lives in exactly two places (the
+    packer in _packed_rig_body.project_one and here)."""
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    covered = merged != sentinel
+    r6 = (merged >> 12) & 0x3F
+    g6 = (merged >> 6) & 0x3F
+    b6 = merged & 0x3F
+    img = jnp.stack(
+        [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
+        -1,
+    ).astype(jnp.uint8)
+    return jnp.where(covered[:, None], img, 0)
+
+
+def _rig_render_mode(config: FusionConfig) -> str:
+    """Resolve the rig render mode: 'exact' aliases to 'tiled' (identical
+    winner semantics — min f32 z, min-RGB tie-break — via the fast sorted
+    path); unsupported modes raise instead of silently degrading to the
+    lossy packed fold."""
+    mode = config.render_mode
+    if mode == "exact":
+        return "tiled"
+    if mode not in ("tiled", "packed"):
+        raise ValueError(
+            f"rig fusion supports render_mode 'tiled'/'exact' (bit-exact) "
+            f"or 'packed' (lossy RGB666), not {mode!r}"
+        )
+    return mode
 
 
 def _tiled_rig_body(
@@ -170,7 +195,8 @@ def _tiled_rig_body(
         )
         return pix, zbits, rgb
 
-    def entries_all(depth, color, depth_scale, cam_to_virtual):
+    def entries_all(depth, color, depth_scale, cam_to_virtual,
+                    pix_offsets=None):
         """Hand-batched (N,H,W) prep: one elementwise chain for ALL local
         cameras instead of N unrolled copies.
 
@@ -178,6 +204,10 @@ def _tiled_rig_body(
         pipelines ~10× slower on v5e; instead the shared (H, W) pixel grid
         broadcasts against per-camera scalars ((N,1,1) windows, transform
         components). Bit-identical to the per-camera chain (same f32 ops).
+
+        ``pix_offsets``: optional (N,) i32 per-camera pixel offset — the
+        batched multi-stream path routes each stream into its own slice of
+        one flat output buffer this way.
         """
         from pointcloud_depthfusion_tpu.core.camera import Distortion
         from pointcloud_depthfusion_tpu.core.geometry import (
@@ -216,6 +246,8 @@ def _tiled_rig_body(
         idx, zc, ok = R.compute_pixel_indices_planar(
             xo, yo, zo, valid, fused_intrinsics, config.mirror_image
         )
+        if pix_offsets is not None:
+            idx = idx + pix_offsets.astype(jnp.int32)[:, None, None]
         okf = ok.reshape(-1)
         pix = jnp.where(okf, idx.reshape(-1), pad_px).astype(jnp.int32)
         zbits = jnp.where(
@@ -248,7 +280,7 @@ def _tiled_rig_body(
         ).astype(jnp.uint8)
         return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
 
-    return entries_one, local_minbufs, unpack
+    return entries_one, entries_all, local_minbufs, unpack
 
 
 def rig_fuse(
@@ -266,13 +298,13 @@ def rig_fuse(
     computation). Use this for 1-chip rigs; the sharded variant when the
     camera axis actually spans devices.
 
-    ``config.render_mode == "tiled"`` selects the bit-exact sort+resolve
-    render (one sort for ALL cameras instead of per-camera scatters — the
-    path that scales past the v5e scatter floor); every other mode uses the
-    packed (zq14|RGB666) single-scatter fold.
+    ``render_mode`` "tiled" (or "exact", same winner semantics) selects the
+    bit-exact sort+resolve render (one sort for ALL cameras instead of
+    per-camera scatters — the path that scales past the v5e scatter floor);
+    "packed" the lossy (zq14|RGB666) single-scatter fold; other modes raise.
     """
-    if config.render_mode == "tiled":
-        _, local_minbufs, unpack_t = _tiled_rig_body(
+    if _rig_render_mode(config) == "tiled":
+        _, _, local_minbufs, unpack_t = _tiled_rig_body(
             intrinsics, fused_intrinsics, config
         )
 
@@ -283,7 +315,7 @@ def rig_fuse(
 
         return fn_tiled
 
-    local_buffer, unpack = _packed_rig_body(
+    _, local_buffer, unpack = _packed_rig_body(
         intrinsics, fused_intrinsics, config, z_near, z_far
     )
 
@@ -319,8 +351,8 @@ def rig_fuse_sharded(
     (exact f32 z-bits, then the RGB888 of z-winners — the deterministic
     min-RGB tie-break across devices, same semantics as single-chip).
     """
-    if config.render_mode == "tiled":
-        _, local_minbufs, unpack_t = _tiled_rig_body(
+    if _rig_render_mode(config) == "tiled":
+        _, _, local_minbufs, unpack_t = _tiled_rig_body(
             intrinsics, fused_intrinsics, config
         )
         maxi = jnp.int32(0x7FFFFFFF)
@@ -346,7 +378,7 @@ def rig_fuse_sharded(
         )
         return jax.jit(fn_t)
 
-    local_buffer, unpack = _packed_rig_body(
+    _, local_buffer, unpack = _packed_rig_body(
         intrinsics, fused_intrinsics, config, z_near, z_far
     )
 
@@ -391,88 +423,65 @@ def batched_rig_fuse(
     grid just grows with B).
     """
     n_px = fused_intrinsics.width * fused_intrinsics.height
+    h_f, w_f = fused_intrinsics.height, fused_intrinsics.width
+    stream_offsets = jnp.repeat(
+        jnp.arange(batch, dtype=jnp.int32) * n_px, cameras
+    )  # (B·C,)
 
-    if config.render_mode == "tiled":
+    if _rig_render_mode(config) == "tiled":
         from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
-            invalid_pixel_id,
             zresolve_sorted_entries,
         )
 
-        entries_one, _, _ = _tiled_rig_body(
+        _, entries_all, _, _ = _tiled_rig_body(
             intrinsics, fused_intrinsics, config
         )
         maxi = jnp.int32(0x7FFFFFFF)
         total_px = batch * n_px
-        pad_all = invalid_pixel_id(total_px)
 
         @jax.jit
         def fn_tiled(depth, color, depth_scale, cam_to_virtual):
-            ps, zs, rs = [], [], []
-            for b in range(batch):
-                for ci in range(cameras):
-                    p, z, rr = entries_one(
-                        depth[b, ci], color[b, ci], depth_scale[b, ci],
-                        cam_to_virtual[b, ci], pix_offset=b * n_px,
-                    )
-                    # entries_one routes invalids to ITS pad (n_px-grid);
-                    # remap anything outside this stream's slice to the
-                    # batch-wide pad pixel.
-                    p = jnp.where(
-                        (p >= b * n_px) & (p < (b + 1) * n_px), p, pad_all
-                    )
-                    ps.append(p)
-                    zs.append(z)
-                    rs.append(rr)
+            # ONE hand-batched prep chain over all B·C streams (the same
+            # entries_all the rig path uses), each stream routed into its
+            # own slice of the flat (B·n_px) output via pix_offsets.
+            h, w = depth.shape[-2:]
+            p, z, rr = entries_all(
+                depth.reshape(batch * cameras, h, w),
+                color.reshape(batch * cameras, h, w, 3),
+                depth_scale.reshape(-1),
+                cam_to_virtual.reshape(batch * cameras, 4, 4),
+                pix_offsets=stream_offsets,
+            )
             minz, mrgb = zresolve_sorted_entries(
-                jnp.concatenate(ps), jnp.concatenate(zs), jnp.concatenate(rs),
-                total_px, interpret=jax.default_backend() == "cpu",
+                p, z, rr, total_px,
+                interpret=jax.default_backend() == "cpu",
             )
             covered = minz != maxi
             win = jnp.where(covered, mrgb, 0)
             img = jnp.stack(
                 [(win >> 16) & 0xFF, (win >> 8) & 0xFF, win & 0xFF], -1
             ).astype(jnp.uint8)
-            return img.reshape(
-                batch, fused_intrinsics.height, fused_intrinsics.width, 3
-            )
+            return img.reshape(batch, h_f, w_f, 3)
 
         return fn_tiled
-    z_bits = 14
-    z_levels = jnp.float32((1 << z_bits) - 1)
-    sentinel = jnp.uint32(0xFFFFFFFF)
 
-    def project_one(depth1, color1, scale1, t1):
-        d, valid = F.filter_depth(
-            depth1, scale1, config.min_depth, config.max_depth
-        )
-        x, y, z, valid = G.deproject_planar(
-            d.astype(jnp.float32) * scale1, intrinsics, valid
-        )
-        x, y, z = G.transform_planar(x, y, z, t1)
-        idx, zc, ok = R.compute_pixel_indices_planar(
-            x, y, z, valid, fused_intrinsics, config.mirror_image
-        )
-        zq = jnp.clip(
-            (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
-        ).astype(jnp.uint32)
-        c = color1.astype(jnp.uint32)
-        rgb666 = (
-            ((c[..., 0] >> 2) << 12) | ((c[..., 1] >> 2) << 6) | (c[..., 2] >> 2)
-        )
-        key = jnp.where(ok, (zq << 18) | rgb666, sentinel)
-        return idx, key, ok
+    project_one, _, _ = _packed_rig_body(
+        intrinsics, fused_intrinsics, config, z_near, z_far
+    )
+    sentinel = jnp.uint32(0xFFFFFFFF)
 
     @jax.jit
     def fn(depth, color, depth_scale, cam_to_virtual):
         idxs, keys = [], []
         for b in range(batch):
             for ci in range(cameras):
-                idx, key, ok = project_one(
+                idx, key = project_one(
                     depth[b, ci], color[b, ci], depth_scale[b, ci],
                     cam_to_virtual[b, ci],
                 )
-                # Offset each stream into its own buffer slice; the dump
-                # slot stays the shared final element.
+                # Offset each stream into its own buffer slice; invalid
+                # entries (key == sentinel) go to the shared dump slot.
+                ok = key != sentinel
                 flat = jnp.where(
                     ok.reshape(-1), idx.reshape(-1) + b * n_px, batch * n_px
                 )
@@ -483,18 +492,6 @@ def batched_rig_fuse(
         buf = jnp.full((batch * n_px + 1,), sentinel, jnp.uint32)
         buf = buf.at[idx].min(key, mode="drop")
         merged = buf[: batch * n_px]
-
-        covered = merged != sentinel
-        r6 = (merged >> 12) & 0x3F
-        g6 = (merged >> 6) & 0x3F
-        b6 = merged & 0x3F
-        img = jnp.stack(
-            [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
-            -1,
-        ).astype(jnp.uint8)
-        img = jnp.where(covered[:, None], img, 0)
-        return img.reshape(
-            batch, fused_intrinsics.height, fused_intrinsics.width, 3
-        )
+        return _decode_rgb666(merged).reshape(batch, h_f, w_f, 3)
 
     return fn

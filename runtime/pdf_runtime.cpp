@@ -113,8 +113,10 @@ void pdf_render_scene(
       const int idx = v * width + u;
       double depth = 0.0;
       double cr = 0.0, cg = 0.0, cb = 0.0;
-      if (std::isfinite(s_best) && s_best < max_depth) {
-        depth = s_best;
+      // Match the numpy reference exactly (io/synthetic.py:101,122): depth
+      // is zeroed beyond max_depth but COLOR is painted for any hit.
+      if (std::isfinite(s_best)) {
+        if (s_best < max_depth) depth = s_best;
         const double px = tx + wx * s_best;
         const double py = ty + wy * s_best;
         if (obj == 0) {

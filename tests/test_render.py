@@ -287,3 +287,27 @@ def test_tiled_tiny_image_single_tile(rng):
     )
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_t))
     np.testing.assert_array_equal(np.asarray(zb_a), np.asarray(zb_t))
+
+
+def test_indexed_tiny_cloud_far_clip_no_wrap():
+    """Tiny clouds leave >=25 depth bits; f32(2^zq_bits - 1) rounds UP to
+    2^zq_bits, and without an integer re-clamp a beyond-z_far point's key
+    wrapped past the shift and STOLE the pixel from the true near winner."""
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.ops.render import (
+        indexed_winner_planar,
+    )
+
+    intr = Intrinsics.create(8, 8, fx=4.0, fy=4.0, ppx=4.0, ppy=4.0)
+    # Both points project to the center pixel; the second is far beyond
+    # z_far and must lose.
+    x = jnp.asarray([[0.0, 0.0]], jnp.float32)
+    y = jnp.asarray([[0.0, 0.0]], jnp.float32)
+    z = jnp.asarray([[1.0, 40.0]], jnp.float32)
+    valid = jnp.ones((1, 2), bool)
+    covered, widx = indexed_winner_planar(
+        x, y, z, valid, intr, z_near=0.25, z_far=4.5
+    )
+    px = 4 * 8 + 4
+    assert bool(covered[px])
+    assert int(widx[px]) == 0  # the near point, not the wrapped far one

@@ -143,3 +143,32 @@ def test_native_spatial_filter_meets_capture_budget():
         rt.spatial_filter_native(d)
     ms = (time.perf_counter() - t0) * 1e3 / 5
     assert ms < 33.0, ms
+
+
+def test_native_render_matches_numpy_grazing_pose():
+    """Grazing view: plane hits beyond max_depth have depth 0 but keep
+    their checker COLOR in the numpy reference (synthetic.py:101,122) —
+    the native path must match on those pixels too."""
+    scene = SyntheticScene()
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    # Pitch the camera nearly parallel to the plane so ray z-components
+    # are tiny and s_best exceeds max_depth for part of the image.
+    a = np.deg2rad(85.0)
+    pose = np.eye(4)
+    pose[:3, :3] = np.array(
+        [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+    )
+    fs = scene.render(intr, pose)
+    assert (
+        (np.asarray(fs.depth) == 0) & (np.asarray(fs.color).sum(-1) > 0)
+    ).any(), "pose must produce beyond-max-depth colored pixels"
+    sph = np.asarray(
+        [[s.center[0], s.center[1], s.center[2], s.radius, *s.base_color]
+         for s in scene.spheres]
+    )
+    d, c = render_scene_native(
+        64, 48, 50.0, 50.0, 32.0, 24.0, pose,
+        scene.plane_z, sph, scene.checker_period, scene.max_depth, 0.001,
+    )
+    np.testing.assert_array_equal(d, fs.depth)
+    np.testing.assert_array_equal(c, fs.color)

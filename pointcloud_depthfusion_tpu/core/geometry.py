@@ -326,7 +326,6 @@ def euler_to_matrix(angles) -> Array:
     cx, sx = jnp.cos(ax), jnp.sin(ax)
     cy, sy = jnp.cos(ay), jnp.sin(ay)
     cz, sz = jnp.cos(az), jnp.sin(az)
-    rx = jnp.array([[1, 0, 0], [0, 0, 0], [0, 0, 0]], jnp.float32)
     rx = jnp.stack(
         [
             jnp.stack([jnp.ones_like(cx), jnp.zeros_like(cx), jnp.zeros_like(cx)]),

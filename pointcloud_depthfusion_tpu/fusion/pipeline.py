@@ -35,7 +35,6 @@ import numpy as np
 
 from pointcloud_depthfusion_tpu.core import geometry as G
 from pointcloud_depthfusion_tpu.core.camera import (
-    Extrinsics,
     Intrinsics,
     fused_virtual_intrinsics,
 )
@@ -210,6 +209,12 @@ def fuse(
       fused_intrinsics: virtual-camera intrinsics
         (core.camera.fused_virtual_intrinsics).
     """
+    if config.render_mode not in ("tiled", "exact", "indexed", "packed",
+                                  "pallas"):
+        raise ValueError(
+            f"unknown render_mode {config.render_mode!r} (expected tiled/"
+            "exact/indexed/packed/pallas)"
+        )
     if config.render_mode == "pallas":
         return _fuse_pallas(left, right, right_transform, config, fused_intrinsics)
 
@@ -498,7 +503,15 @@ class FusionPipeline:
                 return F.filter_color_planar(rp, gp, bp, cfg.use_median_filter)
             return jnp.stack([rp, gp, bp], axis=-1)
 
+        @jax.jit
+        def s_virtual(right_transform):
+            # Jitted: eager slerp/quaternion math here is ~30 host
+            # dispatches per frame, and the relay's per-dispatch floor
+            # would be billed to the 'transform' stage lap.
+            return fused_camera_transform(cfg, right_transform)
+
         self._stages = dict(
+            virtual=s_virtual,
             filter_left=make_filter(cfg.roi_left),
             filter_right=make_filter(cfg.roi_right),
             deproject=s_deproject,
@@ -543,7 +556,7 @@ class FusionPipeline:
             xl, yl, zl, vl, left.color, xr, yr, zr, vr, right.color
         )
         timer.lap("fuse", x)
-        fused_t = fused_camera_transform(cfg, self.right_transform)
+        fused_t = s["virtual"](self.right_transform)
         x, y, z = s["transform"](x, y, z, fused_t)
         timer.lap("transform", x)
         rp, gp, bp, zbuf = s["project"](

@@ -366,9 +366,12 @@ class CameraNode(FramesetSource):
     # -- push-mode loop ------------------------------------------------------
 
     def spin(self, realtime: bool = True, max_frames: Optional[int] = None) -> None:
-        period = 1.0 / self.fps
         count = 0
         while not self._stop.is_set():
+            # Re-read per iteration: attach_config's ``fps`` handler retunes
+            # the loop rate of a RUNNING node (config.cpp dynamic
+            # reconfigure semantics).
+            period = 1.0 / self.fps
             t0 = time.perf_counter()
             if self.capture() is None:
                 return

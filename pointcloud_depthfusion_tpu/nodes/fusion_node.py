@@ -116,7 +116,8 @@ class FusionNodeApp:
         self.frames_processed = 0
         self.save_data_dir = save_data_dir
         self.async_readback = async_readback
-        self._pending: Optional[tuple] = None  # (result, stamp, pair)
+        # (result, stamp, pair, frame_index) awaiting async readback
+        self._pending: Optional[tuple] = None
         self._last_sync_time: Optional[float] = None
 
     # -- topic-equivalents -------------------------------------------------

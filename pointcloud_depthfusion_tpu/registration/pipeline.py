@@ -226,8 +226,11 @@ class RegistrationPipeline:
         # stalls the solver (measured: stuck at 0.34 m error).
         kernel_width = self.current_resolution / 2.0
         kernel_max_dist = 2.5 * self.current_resolution
-        # Damping follows scale like default_multiscale_configs.
-        damping = float(np.clip(0.25 * self.current_resolution / max(s.resolution, 1e-6) * s.resolution, 0.01, 0.1))
+        # Damping follows the active annealing scale (heavier Gauss-Newton
+        # damping while voxels are coarse, like default_multiscale_configs;
+        # 0.25·res hits the 0.01 floor at the 0.04 m default resolution and
+        # 0.025 at the 0.1 m annealing start).
+        damping = float(np.clip(0.25 * self.current_resolution, 0.01, 0.1))
         # Warm (post-annealing, warm-started) ticks enable the relative
         # fitness-plateau exit: in f32 the step norms jitter just above the
         # strict absolute epsilons and warm solves would burn the full
@@ -338,28 +341,7 @@ class RegistrationPipeline:
 
         # --- transform gating (registration_node.cpp:363-393) -----------
         if s.discard_transform:
-            x_lim, y_lim, z_lim = 30.0, 2.0, 2.0
-            if s.cam_upside_down:
-                y_lim = 180.0 - y_lim
-            # Host-side euler extraction (registration.cpp extractEulerAngles
-            # semantics; same math as G.extract_euler_angles) — `final` is a
-            # 4×4 numpy matrix, a device op here would be a pointless
-            # dispatch + D2H round-trip per tick.
-            r_m = final[:3, :3]
-            euler = np.rad2deg(
-                np.asarray(
-                    [
-                        np.arctan2(r_m[2, 1], r_m[2, 2]),
-                        -np.arcsin(np.clip(r_m[2, 0], -1.0, 1.0)),
-                        np.arctan2(r_m[1, 0], r_m[0, 0]),
-                    ]
-                )
-            )
-            angles_fit = (
-                abs(euler[0]) < x_lim
-                and abs(euler[1]) < y_lim
-                and abs(euler[2]) < z_lim
-            )
+            angles_fit = transform_angles_fit(final, s.cam_upside_down)
             if fitness < self.best_fitness and angles_fit:
                 self.best_fitness = fitness
             else:
@@ -445,6 +427,39 @@ class RegistrationPipeline:
 # Transform persistence (whitespace-separated 4×4 text, like
 # registration_node.cpp:742-833)
 # --------------------------------------------------------------------------
+
+
+def transform_angles_fit(final: np.ndarray, cam_upside_down: bool) -> bool:
+    """Gate a solved right→left transform by its Euler angles
+    (registration_node.cpp:363-393).
+
+    Host-side euler extraction (registration.cpp:179-185 extractEulerAngles
+    semantics) — ``final`` is a 4×4 numpy matrix; a device op here would be
+    a pointless dispatch + D2H round-trip per tick.
+
+    Deviation from the reference, documented: for an upside-down mount the
+    expected rotation is ~180° about the optical (z) axis, which this euler
+    convention reports as euler_z ≈ ±180. The reference widens the Y limit
+    to 178 (registration_node.cpp:368), but euler_y = -asin(r20) is bounded
+    to ±90 so that widening is dead, and |euler_z| ≈ 180 still fails the
+    2° z-limit — upstream, cam_upside_down discards EVERY solve. We apply
+    the evident intent instead: accept z rotations within 2° of 180.
+    """
+    x_lim, y_lim, z_lim = 30.0, 2.0, 2.0
+    r_m = final[:3, :3]
+    euler = np.rad2deg(
+        np.asarray(
+            [
+                np.arctan2(r_m[2, 1], r_m[2, 2]),
+                -np.arcsin(np.clip(r_m[2, 0], -1.0, 1.0)),
+                np.arctan2(r_m[1, 0], r_m[0, 0]),
+            ]
+        )
+    )
+    z_dev = 180.0 - abs(euler[2]) if cam_upside_down else abs(euler[2])
+    return (
+        abs(euler[0]) < x_lim and abs(euler[1]) < y_lim and z_dev < z_lim
+    )
 
 
 def save_transform_file(path: str, transform: np.ndarray) -> None:

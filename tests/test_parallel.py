@@ -246,3 +246,20 @@ def test_tiled_batched_matches_per_stream():
             jnp.asarray(depth[b]), jnp.asarray(color[b]),
             jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
         np.testing.assert_array_equal(out[b], ref)
+
+
+def test_rig_fuse_mode_validation():
+    """'exact' aliases to the (bit-identical) tiled path; unsupported
+    modes raise instead of silently degrading to lossy packed."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import _rig_render_mode
+
+    cfg = FusionConfig.create()
+    assert _rig_render_mode(dataclasses.replace(cfg, render_mode="exact")) == "tiled"
+    assert _rig_render_mode(dataclasses.replace(cfg, render_mode="tiled")) == "tiled"
+    assert _rig_render_mode(dataclasses.replace(cfg, render_mode="packed")) == "packed"
+    with _pytest.raises(ValueError):
+        _rig_render_mode(dataclasses.replace(cfg, render_mode="indexed"))

@@ -229,3 +229,27 @@ def test_warm_ticks_enable_fitness_plateau():
     )
     assert not nosched.initial_phase
     assert float(nosched._make_config().fitness_rel_eps) == 0.0
+
+
+def test_transform_angles_fit_upside_down():
+    """Upside-down gating must ACCEPT ~180-deg-about-z solves (the
+    reference widens the wrong euler axis and discards every one,
+    registration_node.cpp:368 — see transform_angles_fit docstring)."""
+    from pointcloud_depthfusion_tpu.registration.pipeline import (
+        transform_angles_fit,
+    )
+
+    def rz(deg):
+        a = np.deg2rad(deg)
+        m = np.eye(4)
+        m[:3, :3] = [
+            [np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]
+        ]
+        return m
+
+    assert transform_angles_fit(rz(179.2), cam_upside_down=True)
+    assert transform_angles_fit(rz(-179.5), cam_upside_down=True)
+    assert not transform_angles_fit(rz(170.0), cam_upside_down=True)
+    assert not transform_angles_fit(rz(1.0), cam_upside_down=True)
+    assert transform_angles_fit(rz(1.0), cam_upside_down=False)
+    assert not transform_angles_fit(rz(179.0), cam_upside_down=False)

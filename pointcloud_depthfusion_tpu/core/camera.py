@@ -206,7 +206,13 @@ def camera_info_to_intrinsics(
         ppx=cast(info.k[2]),
         ppy=cast(info.k[5]),
         model=model,
-        coeffs=tuple(float(c) for c in np.asarray(info.d)[:5]),
+        # Pad to exactly 5: ROS CameraInfo.d may carry 0 (plumb_bob with no
+        # distortion) or 8 coefficients; the distortion models index
+        # coeffs[0..4] and a short tuple would fail (and change the pytree
+        # leaf shape between sources, forcing recompiles).
+        coeffs=tuple(
+            (list(float(c) for c in np.asarray(info.d)[:5]) + [0.0] * 5)[:5]
+        ),
     )
 
 

@@ -51,7 +51,7 @@ class PointCloud:
         Pointcloud::deproject chained (fusion hot-path semantics).
         """
         depth = frameset.depth
-        if np.isfinite(max_depth) or min_depth > 0:
+        if np.isfinite(max_depth) or min_depth > 0 or roi is not None:
             depth, valid = F.filter_depth(
                 depth, frameset.depth_scale, min_depth, max_depth, roi
             )
@@ -97,10 +97,19 @@ class PointCloud:
         """Render through a camera with z-buffering (Pointcloud::project).
 
         Returns (image uint8 (H, W, 3), zbuf float32).
+
+        ``mode``: "exact" (scatter z-buffer; "tiled" aliases here — the
+        AoS debug API has no planar fast path and the winner semantics are
+        identical) or "packed" (lossy RGB666). Unknown modes raise.
         """
         if mode == "packed":
             return R.project_zbuffer_packed(
                 self.points, self.colors, self.valid, intrinsics, mirror
+            )
+        if mode not in ("exact", "tiled"):
+            raise ValueError(
+                f"PointCloud.project supports 'exact'/'tiled' or 'packed', "
+                f"not {mode!r}"
             )
         return R.project_zbuffer(
             self.points, self.colors, self.valid, intrinsics, mirror

@@ -102,12 +102,18 @@ def load_ply(path: str) -> np.ndarray:
         n = 0
         fmt = "ascii"
         props = []
+        # Track the CURRENT element while scanning: property lines belong
+        # to the most recent element declaration, so a `element face ...`
+        # section's properties must not inflate the vertex record size.
+        current_element = None
         for line in header:
             if line.startswith("format"):
                 fmt = line.split()[1]
-            elif line.startswith("element vertex"):
-                n = int(line.split()[-1])
-            elif line.startswith("property") and "vertex" in "".join(header[: header.index(line)]):
+            elif line.startswith("element"):
+                current_element = line.split()[1]
+                if current_element == "vertex":
+                    n = int(line.split()[-1])
+            elif line.startswith("property") and current_element == "vertex":
                 props.append(line.split())
         if fmt == "ascii":
             pts = []

@@ -265,6 +265,7 @@ class DeviceFeeder:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
+        self._ended = False
         self.error: Optional[BaseException] = None
 
     def _upload(self, host: HostFrameset, intr: Intrinsics) -> Frameset:
@@ -293,7 +294,15 @@ class DeviceFeeder:
                 fl = self.source_left.next_frame()
                 fr = self.source_right.next_frame()
                 if fl is None or fr is None:
-                    self._q.put(None)
+                    # Same bounded delivery as the exception path below: a
+                    # bare blocking put would pin this thread forever if
+                    # the consumer stopped draining a full queue.
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(None, timeout=0.5)
+                            return
+                        except queue.Full:
+                            continue
                     return
                 pairs = []
                 pairs += self.pairer.push(0, fl)
@@ -348,9 +357,17 @@ class DeviceFeeder:
         stream would hide errors like the decimated-depth rejection."""
         if not self._started:
             self.start()
+        if self._ended:
+            # The producer enqueues ONE sentinel and exits; keep answering
+            # None instead of blocking a second end-of-stream get() forever.
+            if self.error is not None:
+                raise RuntimeError("frameset producer failed") from self.error
+            return None
         pair = self._q.get(timeout=timeout)
-        if pair is None and self.error is not None:
-            raise RuntimeError("frameset producer failed") from self.error
+        if pair is None:
+            self._ended = True
+            if self.error is not None:
+                raise RuntimeError("frameset producer failed") from self.error
         return pair
 
     def stop(self) -> None:

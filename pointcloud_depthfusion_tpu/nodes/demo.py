@@ -68,6 +68,10 @@ def main() -> None:
     from pointcloud_depthfusion_tpu.utils import factory
 
     w, h = args.width, args.height
+    # The BENCHMARK camera model (fx=631 at 848 px, square pixels — same as
+    # __graft_entry__._build_fusion), deliberately narrower than
+    # core.camera.d455_default_intrinsics (631 at 1280): the demo renders
+    # the same workload the bench times.
     fx = 631.0 * w / 848.0
     intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
     scene = SyntheticScene()
@@ -102,20 +106,29 @@ def main() -> None:
     cam_left.attach_config(factory.camera_config("camera_left"))
     cam_right.attach_config(factory.camera_config("camera_right"))
 
-    fusion_cfg, _ = factory.fusion_config()
+    fusion_cfg, fusion_tree = factory.fusion_config()
     fusion_cfg = dataclasses.replace(fusion_cfg, vertical_image=args.vertical)
     if args.render_mode:
         fusion_cfg = dataclasses.replace(fusion_cfg, render_mode=args.render_mode)
+    elif args.cpu and fusion_cfg.render_mode == "tiled":
+        # The tiled kernel runs under the Pallas INTERPRETER off-TPU
+        # (~13× slower); "exact" is bit-identical output via XLA scatters
+        # and the right smoke-run default on CPU.
+        fusion_cfg = dataclasses.replace(fusion_cfg, render_mode="exact")
     fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg,
-                           async_readback=args.async_readback)
+                           async_readback=args.async_readback,
+                           **factory.fusion_node_kwargs_from_tree(fusion_tree))
 
-    reg_settings, _ = factory.registration_settings()
+    reg_settings, reg_tree = factory.registration_settings()
     reg_settings = dataclasses.replace(
         reg_settings,
         resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
         resolution_step=0.05, max_iterations=48,
     )
-    registration = RegistrationNodeApp(cam_left, cam_right, settings=reg_settings)
+    registration = RegistrationNodeApp(
+        cam_left, cam_right, settings=reg_settings,
+        **factory.registration_node_kwargs_from_tree(reg_tree),
+    )
     registration.subscribe_transform(fusion.on_transform)
 
     sink = ImageNode(out_dir=args.out, every_n=max(1, args.frames // 8))

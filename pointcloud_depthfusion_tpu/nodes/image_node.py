@@ -13,6 +13,7 @@ passing a custom ``display`` callable.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -46,27 +47,35 @@ class ImageNode:
         self.saved = 0
         self._counters: dict = {}
         self._saved_per_kind: dict = {}
+        # The sinks are fed from multiple threads in the composed demo (the
+        # feeder thread drives depth/frameset/small, the main loop drives
+        # fused); unsynchronized read-modify-writes would drop counts.
+        self._lock = threading.Lock()
 
     # -- shared sink plumbing ------------------------------------------------
 
     def _sink(self, kind: str, image: np.ndarray, timestamp: float) -> None:
-        n = self._counters.get(kind, 0)
-        self._counters[kind] = n + 1
-        self.received += 1
+        with self._lock:
+            n = self._counters.get(kind, 0)
+            self._counters[kind] = n + 1
+            self.received += 1
+            save = not (self.out_dir is None or n % self.every_n)
+            # max_saved budgets each sink kind independently, so auxiliary
+            # depth/frameset/small saves never starve the fused stream.
+            if save and (
+                self.max_saved is not None
+                and self._saved_per_kind.get(kind, 0) >= self.max_saved
+            ):
+                save = False
+            if save:
+                self._saved_per_kind[kind] = (
+                    self._saved_per_kind.get(kind, 0) + 1
+                )
+                self.saved += 1
         if self.display is not None:
             self.display(image, timestamp)
-        if self.out_dir is None or n % self.every_n:
-            return
-        # max_saved budgets each sink kind independently, so auxiliary
-        # depth/frameset/small saves never starve the fused-image stream.
-        if (
-            self.max_saved is not None
-            and self._saved_per_kind.get(kind, 0) >= self.max_saved
-        ):
-            return
-        save_png(os.path.join(self.out_dir, f"{kind}_{n:06d}.png"), image)
-        self._saved_per_kind[kind] = self._saved_per_kind.get(kind, 0) + 1
-        self.saved += 1
+        if save:
+            save_png(os.path.join(self.out_dir, f"{kind}_{n:06d}.png"), image)
 
     # -- the four reference callbacks ---------------------------------------
 

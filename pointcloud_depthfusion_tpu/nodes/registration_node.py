@@ -31,8 +31,13 @@ class RegistrationNodeApp:
         settings: Optional[RegistrationSettings] = None,
         spin_rate_hz: float = 0.5,
         max_sync_interval_s: float = 0.017,
+        profiling_path: Optional[str] = None,
     ):
+        """``profiling_path``: write the per-tick registration CSV
+        (fitness / icp ms / cloud sizes schema) there on stop() — the
+        reference's enable_profiling + filename parameters."""
         self.spin_rate_hz = spin_rate_hz
+        self.profiling_path = profiling_path
         intr_l = camera_left.source.intrinsics
         intr_r = camera_right.source.intrinsics
         self.pipeline = RegistrationPipeline(intr_l, intr_r, settings)
@@ -92,4 +97,6 @@ class RegistrationNodeApp:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5.0)
+        if self.profiling_path:
+            self.pipeline.write_profiling_csv(self.profiling_path)
         self.pipeline.close()

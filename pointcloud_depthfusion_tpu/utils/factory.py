@@ -45,7 +45,7 @@ def fusion_config_from_tree(cfg: ConfigTree) -> FusionConfig:
         use_median_filter=bool(cfg.get("use_median_filter", False)),
         align_frames=bool(cfg.get("align_frames", False)),
         set_camera_pose=bool(cfg.get("set_camera_pose", False)),
-        render_mode=str(cfg.get("render_mode", "indexed")),
+        render_mode=str(cfg.get("render_mode", "tiled")),
         roi_left=tuple(roi_left) if roi_left else None,
         roi_right=tuple(roi_right) if roi_right else None,
     )
@@ -83,7 +83,37 @@ def registration_settings_from_tree(cfg: ConfigTree) -> RegistrationSettings:
         transform_path=cfg.get("transform_path"),
         load_transform=bool(cfg.get("load_transform", False)),
         save_transform=bool(cfg.get("save_transform", False)),
+        publish_clouds=bool(cfg.get("publish_clouds", False)),
+        cloud_decimation=int(cfg.get("cloud_decimation", 2)),
     )
+
+
+def registration_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
+    """Node-level (non-solver) parameters: tick rate and profiling sink —
+    the keys the YAML documents that belong to RegistrationNodeApp rather
+    than RegistrationSettings."""
+    kwargs = {"spin_rate_hz": float(cfg.get("spin_rate", 0.5))}
+    if bool(cfg.get("profiling.enable_profiling", False)):
+        kwargs["profiling_path"] = str(
+            cfg.get("profiling.filename", "registration_node_profiling.txt")
+        )
+    return kwargs
+
+
+def fusion_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
+    """Node-level parameters for FusionNodeApp: sync window, profiling
+    sink, save_data directory."""
+    kwargs = {
+        "max_sync_interval_s": float(cfg.get("sync.max_interval_ms", 17.0))
+        / 1e3
+    }
+    if bool(cfg.get("profiling.enable_profiling", False)):
+        kwargs["profiling_path"] = str(
+            cfg.get("profiling.filename", "fusion_node_profiling.txt")
+        )
+    if bool(cfg.get("save_data", False)):
+        kwargs["save_data_dir"] = str(cfg.get("save_data_dir", "save_data"))
+    return kwargs
 
 
 def registration_settings(

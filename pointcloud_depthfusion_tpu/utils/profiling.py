@@ -92,6 +92,7 @@ class StageLog:
         self.fields = fields or FUSION_STAGE_FIELDS
         self.log_size = log_size
         self.rows: List[List[float]] = []
+        self._header_written = False
 
     def add(self, laps: Dict[str, float]) -> None:
         self.rows.append([laps.get(f, 0.0) for f in self.fields])
@@ -101,8 +102,13 @@ class StageLog:
     def flush(self) -> None:
         if not self.rows:
             return
-        with open(self.path, "w") as fh:
-            fh.write(",".join(self.fields) + "\n")
+        # Append across flush windows (header once): mode "w" here would
+        # overwrite every earlier window and keep only the tail of a run.
+        mode = "a" if self._header_written else "w"
+        with open(self.path, mode) as fh:
+            if not self._header_written:
+                fh.write(",".join(self.fields) + "\n")
+                self._header_written = True
             for row in self.rows:
                 fh.write(",".join(f"{v:.4f}" for v in row) + "\n")
         self.rows = []

@@ -21,7 +21,7 @@ def test_default_fusion_config_loads():
     assert float(config.min_depth) == 0.5
     assert float(config.max_depth) == 3.0
     assert config.vertical_image and config.mirror_image
-    assert config.render_mode == "indexed"
+    assert config.render_mode == "tiled"
     assert tree.get("sync.max_interval_ms") == 17.0
 
 

@@ -239,3 +239,20 @@ def test_device_stamp_epoch_precision():
     # absolute time recoverable on host
     assert abs(FS.absolute_stamp(float(fs1.timestamp), float(fs1.timestamp_epoch)) - t0) < 1e-3
     assert abs(fs1.to_host().timestamp - t0) < 1e-3
+
+
+def test_stage_log_appends_across_flush_windows(tmp_path):
+    """Multi-window logs must keep EVERY window (flush used mode 'w' and
+    only the final window survived)."""
+    from pointcloud_depthfusion_tpu.utils.profiling import StageLog
+
+    p = str(tmp_path / "stages.csv")
+    log = StageLog(p, fields=["a", "b"], log_size=2)
+    for i in range(5):
+        log.add({"a": float(i), "b": 0.0})
+    log.flush()
+    with open(p) as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0] == "a,b"
+    assert len(lines) == 6  # header + all 5 rows
+    assert [float(l.split(",")[0]) for l in lines[1:]] == [0, 1, 2, 3, 4]

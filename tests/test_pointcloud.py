@@ -103,3 +103,21 @@ def test_registration_debug_clouds():
     # 64×48 frame stride-decimated 2× (cloud_decimation default) → ~768
     # valid points; the tap must still carry a substantial compacted cloud.
     assert len(pipe.debug_clouds["target"]) > 500
+
+
+def test_deproject_roi_applies_without_depth_window(rng):
+    """roi must mask the cloud even when the depth window is the default
+    (the filter used to be skipped entirely in that case)."""
+    from pointcloud_depthfusion_tpu.core.frameset import Frameset
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.core.pointcloud import PointCloud
+
+    intr = Intrinsics.create(32, 24, fx=28.0, fy=28.0, ppx=16.0, ppy=12.0)
+    depth = rng.integers(400, 3000, (24, 32)).astype(np.uint16)
+    color = rng.integers(0, 255, (24, 32, 3)).astype(np.uint8)
+    fs = Frameset.create(depth, color, intr)
+    roi = (4, 4, 10, 10)
+    cloud = PointCloud.deproject(fs, roi=roi)
+    assert int(cloud.count()) <= 100  # 10x10 window
+    full = PointCloud.deproject(fs)
+    assert int(full.count()) == 24 * 32

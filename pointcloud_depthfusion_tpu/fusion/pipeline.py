@@ -296,14 +296,6 @@ def fuse(
     )
 
 
-def _largest_tile_rows(h: int, cap: int = 64) -> int:
-    """Largest multiple-of-8 divisor of h, capped (Mosaic tiling rule)."""
-    for cand in range(min(cap, h), 7, -1):
-        if cand % 8 == 0 and h % cand == 0:
-            return cand
-    return h  # fall back to one whole-plane tile
-
-
 def _fuse_pallas(
     left: Frameset,
     right: Frameset,
@@ -325,19 +317,16 @@ def _fuse_pallas(
     right_total = fused_t @ right_transform.astype(fused_t.dtype)
     z_near = 0.5 * config.min_depth
     z_far = config.max_depth + 1.0
-    tiles = _largest_tile_rows(left.height)
 
     i1, k1 = fuse_prep_pallas(
         left.depth, left.color, left.depth_scale, config.min_depth,
         config.max_depth, left.color_intrinsics, fused_t, fused_intrinsics,
-        config.mirror_image, z_near, z_far, tile_rows=tiles,
-        interpret=interpret,
+        config.mirror_image, z_near, z_far, interpret=interpret,
     )
     i2, k2 = fuse_prep_pallas(
         right.depth, right.color, right.depth_scale, config.min_depth,
         config.max_depth, right.color_intrinsics, right_total,
-        fused_intrinsics, config.mirror_image, z_near, z_far, tile_rows=tiles,
-        interpret=interpret,
+        fused_intrinsics, config.mirror_image, z_near, z_far, interpret=interpret,
     )
     idx = jnp.concatenate([i1.reshape(-1), i2.reshape(-1)])
     key = jnp.concatenate([k1.reshape(-1), k2.reshape(-1)])

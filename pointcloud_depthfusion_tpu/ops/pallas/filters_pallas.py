@@ -97,11 +97,16 @@ def gauss3x3_plane(plane: Array, interpret: bool = False) -> Array:
 def filter_color_pallas(
     color: Array, use_median: bool, interpret: bool = False
 ) -> Array:
-    """Drop-in Pallas variant of ops.filters.filter_color ((H, W, 3) u8)."""
-    planar = jnp.moveaxis(color, -1, 0)
+    """Drop-in Pallas variant of ops.filters.filter_color ((H, W, 3) u8).
+
+    Channels run as a Python-unrolled loop over (H, W) planes — vmapped
+    elementwise pipelines lower ~10× slower on v5e (batched-iota rule,
+    CLAUDE.md) and the stack happens once at the end.
+    """
     fn = median3x3_plane if use_median else gauss3x3_plane
-    out = jax.vmap(lambda c: fn(c, interpret=interpret))(planar)
-    return jnp.moveaxis(out, 0, -1)
+    return jnp.stack(
+        [fn(color[..., c], interpret=interpret) for c in range(3)], axis=-1
+    )
 
 
 def _shift_replicate(x, dy: int, dx: int):

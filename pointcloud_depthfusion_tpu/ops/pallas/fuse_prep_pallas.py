@@ -12,8 +12,10 @@ Tiled over row blocks with all scalars (intrinsics, transform, window,
 quantization) prefetched into SMEM. Outputs are the flat pixel index and
 the uint32 key, ready for `buf.at[idx].min(key)`.
 
-Bit-identical to the jnp path (same op order, same f32 math, same
-truncation semantics); verified in tests/test_pallas_prep.py.
+Matches the jnp path to within one zq quantization step on a small
+fraction of pixels (same op order and truncation semantics, but Mosaic may
+contract a*b+c to FMA where XLA keeps separate rounding; measured <=0.1%
+of keys off by ±1 step — see tests/test_pallas_prep.py's tolerance).
 """
 
 from __future__ import annotations
@@ -104,6 +106,14 @@ def _kernel(params_ref, depth_ref, r_ref, g_ref, b_ref, idx_ref, key_ref,
     key_ref[:] = key
 
 
+def largest_tile_rows(h: int, cap: int = 64) -> int:
+    """Largest multiple-of-8 divisor of h, capped (Mosaic tiling rule)."""
+    for cand in range(min(cap, h), 7, -1):
+        if cand % 8 == 0 and h % cand == 0:
+            return cand
+    return h  # fall back to one whole-plane tile
+
+
 def fuse_prep_pallas(
     depth_u16: Array,
     color: Array,
@@ -116,15 +126,21 @@ def fuse_prep_pallas(
     mirror: bool,
     z_near,
     z_far,
-    tile_rows: int = 64,
+    tile_rows: int | None = None,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Compute (flat index, packed key) for every pixel of one camera.
 
     Equivalent to filter_depth → deproject_planar → transform_planar →
     compute_pixel_indices_planar → pack, as one Pallas kernel.
+
+    ``tile_rows`` must divide the image height and be a multiple of 8
+    (Mosaic tiling rule); the default derives the largest such divisor —
+    a fixed 64 would reject the flagship 480-row frames (480 % 64 != 0).
     """
     h, w = depth_u16.shape
+    if tile_rows is None:
+        tile_rows = largest_tile_rows(h)
     assert h % tile_rows == 0, (h, tile_rows)
     f = jnp.float32
     z_levels = jnp.float32((1 << 14) - 1)

@@ -118,7 +118,8 @@ def zresolve_sorted_entries(
 
     Args:
       pix: (N,) i32 flat target pixel per entry; invalid entries MUST carry
-        a value >= the padded pixel count (use ``invalid_pixel_id``).
+        a value >= the padded pixel count — use ``invalid_pixel_id`` (a
+        constant past every supported pixel space).
       zbits: (N,) i32 bit pattern of the positive f32 depth (i32 order ==
         f32 order); INT32_MAX for invalid.
       rgb: (N,) i32 packed r<<16|g<<8|b; INT32_MAX for invalid. None when
@@ -137,7 +138,9 @@ def zresolve_sorted_entries(
     n2 = -(-n // chunk) * chunk
     if n2 != n:
         fill = jnp.full((n2 - n,), jnp.int32(_MAXI))
-        pix = jnp.concatenate([pix, jnp.full((n2 - n,), jnp.int32(pad_px))])
+        pix = jnp.concatenate(
+            [pix, jnp.full((n2 - n,), jnp.int32(_INVALID_PIX))]
+        )
         zbits = jnp.concatenate([zbits, fill])
         if rgb is not None:
             rgb = jnp.concatenate([rgb, fill])
@@ -183,7 +186,20 @@ def zresolve_sorted_entries(
     return minz.reshape(-1)[:n_px], mrgb.reshape(-1)[:n_px]
 
 
+# Beyond any padded pixel range (images + rig/batch offsets stay well under
+# 2^30 pixels) but far from i32 overflow in the sort.
+_INVALID_PIX = 0x40000000
+
+
 def invalid_pixel_id(n_px: int, tile_px: int = 256) -> int:
     """Pixel id that routes an entry past every tile (use for masked-out
-    points BEFORE calling zresolve_sorted_entries)."""
-    return -(-n_px // tile_px) * tile_px
+    points BEFORE calling zresolve_sorted_entries).
+
+    A large constant rather than the caller's padded pixel count: composed
+    paths (batched_rig_fuse) resolve entries built against a PER-STREAM
+    grid over a batch-wide pixel space, and a per-grid pad id would land on
+    a real pixel of the next stream — every invalid entry would then stream
+    through one tile's slab loop (measured ~2× resolve work; the output
+    stayed correct only because invalid z-bits equal the empty sentinel).
+    """
+    return _INVALID_PIX

@@ -43,8 +43,18 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                     capture_output=True,
                     timeout=120,
                 )
+            except subprocess.CalledProcessError as exc:
+                if stale:
+                    # NEVER silently load an outdated binary over newer
+                    # sources — parity tests would "verify" the wrong code.
+                    raise RuntimeError(
+                        "native runtime rebuild failed for a stale "
+                        f"libpdf_runtime.so:\n{exc.stderr.decode(errors='replace')}"
+                    ) from exc
+                _lib_failed = True
+                return None
             except Exception:
-                if not os.path.exists(_LIB_PATH):
+                if stale or not os.path.exists(_LIB_PATH):
                     _lib_failed = True
                     return None
         if not os.path.exists(_LIB_PATH):
@@ -242,12 +252,21 @@ class NativeRing:
         self._h = lib.pdf_ring_create(slot_size, n_slots)
 
     def try_write(self, data: np.ndarray) -> bool:
+        flat = np.asarray(data).reshape(-1).view(np.uint8)
+        # Validate BEFORE acquiring: an oversized payload raising mid-copy
+        # would leave the slot acquired but never committed; an undersized
+        # one would hand the reader the previous frame's tail bytes.
+        if flat.size > self.slot_size:
+            raise ValueError(
+                f"payload {flat.size} B exceeds ring slot {self.slot_size} B"
+            )
         ptr = self._lib.pdf_ring_acquire_write(self._h)
         if not ptr:
             return False
         buf = np.ctypeslib.as_array(ptr, shape=(self.slot_size,))
-        flat = np.asarray(data).reshape(-1).view(np.uint8)
         buf[: flat.size] = flat
+        if flat.size < self.slot_size:
+            buf[flat.size:] = 0
         self._lib.pdf_ring_commit_write(self._h)
         return True
 

@@ -221,14 +221,20 @@ def spatial_filter_oracle(depth, alpha=0.55, delta=20.0, magnitude=2):
     (alpha 0.55 per realsense.cpp:248)."""
     d = np.asarray(depth)
     integer_domain = np.issubdtype(d.dtype, np.integer)
-    x = d.astype(np.float64)
+    # float32 like the implementations (numpy mirror, native C++, and the
+    # reference's float math): an f64 blend rounds differently at ties —
+    # e.g. 0.55·1 + 0.45·11 is exactly 5.5 in f32 (rounds to 6) but
+    # 5.4999999999999996 in f64 (rounds to 5).
+    x = d.astype(np.float32)
     h, w = x.shape
+    alpha = np.float32(alpha)
+    one_m = np.float32(1.0) - alpha
 
     def sweep_row(row):
         for u in range(1, len(row)):
             if row[u] > 0 and row[u - 1] > 0 and abs(row[u] - row[u - 1]) <= delta:
-                v = row[u] * alpha + row[u - 1] * (1 - alpha)
-                row[u] = np.floor(v + 0.5) if integer_domain else v
+                v = row[u] * alpha + row[u - 1] * one_m
+                row[u] = np.floor(v + np.float32(0.5)) if integer_domain else v
 
     for _ in range(magnitude):
         for r in range(h):

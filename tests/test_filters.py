@@ -171,3 +171,18 @@ def test_disparity_round_trip(rng):
 
     disp_np = HF.depth_to_disparity_np(d, 0.001, 631.0, 0.095)
     np.testing.assert_allclose(np.asarray(disp), disp_np, rtol=1e-6)
+
+
+def test_spatial_filter_small_depths_tie_rounding(rng):
+    """Raw depths <= 20 exercise exact-.5 blend ties where an f64 oracle
+    rounds differently from the f32 implementations (e.g. 0.55*1+0.45*11
+    = 5.5 in f32 -> 6, but 5.4999999999999996 in f64 -> 5)."""
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    d = rng.integers(0, 25, (16, 20)).astype(np.uint16)
+    d[0, :2] = [11, 1]  # the reproduced tie pair
+    want = oracles.spatial_filter_oracle(d, 0.55, 20.0, 2)
+    np.testing.assert_array_equal(
+        np.asarray(F.spatial_filter(jnp.asarray(d), 0.55, 20.0, 2)), want
+    )
+    np.testing.assert_array_equal(HF.spatial_filter_np(d, 0.55, 20.0, 2), want)

@@ -21,10 +21,8 @@ def save_png(path: str, image: np.ndarray) -> None:
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arr = np.asarray(image)
-    if arr.dtype == np.uint16:
-        Image.fromarray(arr, mode="I;16").save(path)
-    else:
-        Image.fromarray(arr).save(path)
+    # Pillow infers "I;16" for uint16 arrays (passing mode= is deprecated).
+    Image.fromarray(arr).save(path)
 
 
 def load_png(path: str) -> np.ndarray:

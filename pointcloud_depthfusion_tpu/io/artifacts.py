@@ -88,8 +88,12 @@ def save_ply(
                 fh.write((line + "\n").encode())
 
 
-def load_ply(path: str) -> np.ndarray:
-    """Minimal PLY reader for x/y/z (float32) vertices, ascii or binary."""
+def load_ply(path: str, return_colors: bool = False):
+    """Minimal PLY reader for x/y/z (float32) vertices, ascii or binary.
+
+    ``return_colors=True`` additionally returns the (N, 3) uint8 RGB
+    properties when present (zeros otherwise).
+    """
     with open(path, "rb") as fh:
         header = []
         while True:
@@ -113,12 +117,24 @@ def load_ply(path: str) -> np.ndarray:
                     n = int(line.split()[-1])
             elif line.startswith("property") and current_element == "vertex":
                 props.append(line.split())
+        prop_names = [p[2] for p in props if len(p) == 3]
+        has_color = {"red", "green", "blue"} <= set(prop_names)
         if fmt == "ascii":
             pts = []
+            cols = []
             for _ in range(n):
                 vals = fh.readline().split()
                 pts.append([float(v) for v in vals[:3]])
-            return np.asarray(pts, np.float32)
+                if has_color:
+                    cols.append([int(v) for v in vals[3:6]])
+            xyz = np.asarray(pts, np.float32).reshape(n, 3)
+            if return_colors:
+                rgb = (
+                    np.asarray(cols, np.uint8).reshape(n, 3)
+                    if has_color else np.zeros((n, 3), np.uint8)
+                )
+                return xyz, rgb
+            return xyz
         # binary little endian: parse property list sizes
         type_sizes = {
             "float": 4, "float32": 4, "double": 8, "float64": 8,
@@ -129,9 +145,24 @@ def load_ply(path: str) -> np.ndarray:
         if not prop_types:
             prop_types = ["float", "float", "float"]
         rec_size = sum(type_sizes[t] for t in prop_types)
+        offsets = {}
+        off = 0
+        for p in props:
+            if len(p) == 3:
+                offsets[p[2]] = off
+                off += type_sizes[p[1]]
         raw = fh.read(n * rec_size)
         out = np.zeros((n, 3), np.float32)
+        rgb = np.zeros((n, 3), np.uint8)
         for i in range(n):
             off = i * rec_size
             out[i] = struct.unpack_from("<3f", raw, off)
+            if return_colors and has_color:
+                rgb[i] = [
+                    raw[off + offsets["red"]],
+                    raw[off + offsets["green"]],
+                    raw[off + offsets["blue"]],
+                ]
+        if return_colors:
+            return out, rgb
         return out

@@ -79,9 +79,12 @@ def test_warm_start_converges_faster():
     want = np.linalg.inv(t_true)
     warm_err = np.linalg.norm(np.asarray(warm.transform)[:3, 3] - want[:3, 3])
     cold_err = np.linalg.norm(np.asarray(cold.transform)[:3, 3] - want[:3, 3])
-    # The warm start must at least not end up worse than the cold start.
+    # The warm start must at least not end up worse than the cold start,
+    # AND must actually use the guess: strictly fewer iterations.
     assert warm_err <= cold_err + 5e-3, (warm_err, cold_err)
     assert warm_err < 0.02, warm_err
+    assert int(warm.iterations) < int(cold.iterations), (
+        int(warm.iterations), int(cold.iterations))
 
 
 def test_identity_registration_stays_near_identity():

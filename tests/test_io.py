@@ -256,3 +256,16 @@ def test_stage_log_appends_across_flush_windows(tmp_path):
     assert lines[0] == "a,b"
     assert len(lines) == 6  # header + all 5 rows
     assert [float(l.split(",")[0]) for l in lines[1:]] == [0, 1, 2, 3, 4]
+
+
+def test_ply_color_round_trip(tmp_path, rng):
+    from pointcloud_depthfusion_tpu.io.artifacts import load_ply, save_ply
+
+    pts = rng.normal(size=(40, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (40, 3)).astype(np.uint8)
+    for binary in (False, True):
+        p = str(tmp_path / f"c_{binary}.ply")
+        save_ply(p, pts, cols, binary=binary)
+        xyz, rgb = load_ply(p, return_colors=True)
+        np.testing.assert_allclose(xyz, pts, atol=1e-4)
+        np.testing.assert_array_equal(rgb, cols)

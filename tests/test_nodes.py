@@ -294,8 +294,6 @@ def test_fusion_node_pins_align_footprint():
     """With align_frames on, the node derives a concrete splat-box bound
     from BOTH cameras' handshake intrinsics (inside the jitted pipeline the
     traced intrinsics would silently fall back to the cap of 4)."""
-    import dataclasses
-
     from pointcloud_depthfusion_tpu.fusion.pipeline import FusionConfig
     from pointcloud_depthfusion_tpu.nodes.fusion_node import FusionNodeApp
 
@@ -304,8 +302,5 @@ def test_fusion_node_pins_align_footprint():
                               mirror_image=False)
     assert cfg.align_footprint == "auto"
     app = FusionNodeApp(cam_l, cam_r, config=cfg)
-    try:
-        bound = app.config.align_footprint
-        assert isinstance(bound, int) and 2 <= bound <= 6
-    finally:
-        app.close() if hasattr(app, "close") else None
+    bound = app.config.align_footprint
+    assert isinstance(bound, int) and 2 <= bound <= 6

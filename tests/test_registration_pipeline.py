@@ -50,7 +50,8 @@ def test_registration_converges_over_ticks():
     assert ang < 1.5, (err_t, ang)
     assert not pipe.initial_phase
     assert len(pipe.telemetry) == 5
-    assert pipe.telemetry[-1].fitness < pipe.telemetry[0].fitness * 2
+    # Annealing must end strictly better than the coarse first tick.
+    assert pipe.telemetry[-1].fitness < pipe.telemetry[0].fitness
 
 
 def test_gating_discards_implausible(tmp_path):

@@ -135,6 +135,7 @@ def test_indexed_fidelity_vs_exact(rng):
 
 
 def test_indexed_realistic_scale_12bit_z(rng):
+    assert R._index_bits_for((1 << 19) + 7) == 20  # pins the 12-bit-z premise
     """At hot-path point counts (>2^19) the key leaves 12 z bits; the
     fidelity bound (one step ≈ (far-near)/4095) must still hold."""
     intr = make_intr(64, 48)
@@ -192,9 +193,11 @@ def test_packed_variant_close_to_exact(rng):
     a = np.asarray(img).astype(int)
     b = np.asarray(img_p).astype(int)
     covered = (a.sum(-1) > 0) & (b.sum(-1) > 0)
-    # RGB565 quantization: channel error <= 8; allow small set of depth-tie flips
+    # RGB666 quantization: per-channel error <= 3 (expand (c6<<2)|(c6>>4));
+    # the 0.99 quantile tolerates the few pixels where 14-bit z-bin ties
+    # pick a different winner than the exact render.
     diff = np.abs(a - b)[covered]
-    assert np.quantile(diff, 0.99) <= 8
+    assert np.quantile(diff, 0.99) <= 3
 
 
 def test_tiled_matches_exact_bitwise(rng):
@@ -202,9 +205,6 @@ def test_tiled_matches_exact_bitwise(rng):
     (same winners, same min-RGB tie-break, exact f32 z)."""
     intr = make_intr()
     pts, cols, valid = random_cloud(rng, 5000, intr)
-    img_a, zb_a = R.project_zbuffer(
-        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr
-    )
     for mirror in (False, True):
         img_m, zb_m = R.project_zbuffer(
             jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), intr,

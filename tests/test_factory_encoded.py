@@ -88,3 +88,32 @@ def test_encoded_stream_file(tmp_path, rng):
     for a, b in zip(frames, back):
         np.testing.assert_array_equal(a.depth, b.depth)
         np.testing.assert_array_equal(a.color, b.color)
+
+
+def test_node_kwargs_from_tree(tmp_path):
+    """The node-level YAML keys (sync window, profiling, save_data,
+    spin_rate) must reach the node constructors."""
+    from pointcloud_depthfusion_tpu.utils import factory
+
+    p = tmp_path / "ov.yaml"
+    p.write_text(
+        "fusion_node:\n"
+        "  save_data: true\n"
+        "  sync:\n    max_interval_ms: 25.0\n"
+        "  profiling:\n    enable_profiling: true\n    filename: f.csv\n"
+    )
+    _, tree = factory.fusion_config(str(p))
+    kw = factory.fusion_node_kwargs_from_tree(tree)
+    assert kw["max_sync_interval_s"] == 0.025
+    assert kw["profiling_path"] == "f.csv"
+    assert kw["save_data_dir"] == "save_data"
+
+    p2 = tmp_path / "ov2.yaml"
+    p2.write_text(
+        "registration_node:\n  spin_rate: 2.0\n"
+        "  profiling:\n    enable_profiling: true\n"
+    )
+    _, rtree = factory.registration_settings(str(p2))
+    rkw = factory.registration_node_kwargs_from_tree(rtree)
+    assert rkw["spin_rate_hz"] == 2.0
+    assert rkw["profiling_path"] == "registration_node_profiling.txt"

@@ -269,3 +269,48 @@ def test_ply_color_round_trip(tmp_path, rng):
         xyz, rgb = load_ply(p, return_colors=True)
         np.testing.assert_allclose(xyz, pts, atol=1e-4)
         np.testing.assert_array_equal(rgb, cols)
+
+
+def test_feeder_end_of_stream_repeat_get():
+    """After the clean end-of-stream None, further get() calls must keep
+    returning None instead of blocking on an empty queue forever."""
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import (
+        DeviceFeeder,
+        SyntheticSource,
+    )
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        two_camera_rig,
+    )
+
+    class FiniteSource(SyntheticSource):
+        def __init__(self, *a, limit=2, **kw):
+            super().__init__(*a, **kw)
+            self._limit = limit
+            self._served = 0
+
+        def next_frame(self):
+            if self._served >= self._limit:
+                return None
+            self._served += 1
+            return super().next_frame()
+
+    intr = Intrinsics.create(32, 24, fx=28.0, fy=28.0, ppx=16.0, ppy=12.0)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig()
+    feeder = DeviceFeeder(
+        FiniteSource(scene, intr, wl, limit=2),
+        FiniteSource(scene, intr, wr, limit=2),
+    )
+    seen = 0
+    while True:
+        pair = feeder.get(timeout=10.0)
+        if pair is None:
+            break
+        seen += 1
+    assert seen >= 1
+    # Second and third end-of-stream reads: immediate None, no timeout needed.
+    assert feeder.get() is None
+    assert feeder.get() is None
+    feeder.stop()

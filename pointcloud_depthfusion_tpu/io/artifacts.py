@@ -120,13 +120,23 @@ def load_ply(path: str, return_colors: bool = False):
         prop_names = [p[2] for p in props if len(p) == 3]
         has_color = {"red", "green", "blue"} <= set(prop_names)
         if fmt == "ascii":
+            # Index properties by NAME (like the binary path's offsets):
+            # a vertex element with e.g. nx/ny/nz between xyz and the color
+            # triple would break positional vals[3:6] parsing, and float-
+            # typed color properties would raise under int().
+            if {"x", "y", "z"} <= set(prop_names):
+                xi, yi, zi = (prop_names.index(k) for k in ("x", "y", "z"))
+            else:  # header without property lines: assume x y z leading
+                xi, yi, zi = 0, 1, 2
+            if has_color:
+                ci = [prop_names.index(k) for k in ("red", "green", "blue")]
             pts = []
             cols = []
             for _ in range(n):
                 vals = fh.readline().split()
-                pts.append([float(v) for v in vals[:3]])
+                pts.append([float(vals[xi]), float(vals[yi]), float(vals[zi])])
                 if has_color:
-                    cols.append([int(v) for v in vals[3:6]])
+                    cols.append([int(float(vals[j])) for j in ci])
             xyz = np.asarray(pts, np.float32).reshape(n, 3)
             if return_colors:
                 rgb = (

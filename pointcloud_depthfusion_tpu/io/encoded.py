@@ -38,7 +38,9 @@ class EncodedFrameset:
         cbuf = _io.BytesIO()
         Image.fromarray(fs.color).save(cbuf, format="PNG", optimize=False)
         dbuf = _io.BytesIO()
-        Image.fromarray(fs.depth, mode="I;16").save(dbuf, format="PNG")
+        # No explicit mode: Pillow infers I;16 from the uint16 dtype (the
+        # mode= argument is deprecated and slated for removal in Pillow 13).
+        Image.fromarray(fs.depth).save(dbuf, format="PNG")
         return EncodedFrameset(
             depth_png=dbuf.getvalue(),
             color_png=cbuf.getvalue(),

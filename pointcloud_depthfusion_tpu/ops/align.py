@@ -86,10 +86,15 @@ def auto_footprint(
         rx = float(color_intrinsics.fx) / max(float(depth_intrinsics.fx), 1e-6)
         ry = float(color_intrinsics.fy) / max(float(depth_intrinsics.fy), 1e-6)
         t_norm = 0.0
+        rot_deg = 0.0
         if extrinsics is not None:
             import numpy as _np
 
             t_norm = float(_np.linalg.norm(_np.asarray(extrinsics.translation)))
+            tr = float(_np.trace(_np.asarray(extrinsics.rotation)))
+            rot_deg = math.degrees(
+                math.acos(min(1.0, max(-1.0, (tr - 1.0) / 2.0)))
+            )
     except jax.errors.ConcretizationTypeError:
         import warnings
 
@@ -103,7 +108,25 @@ def auto_footprint(
     z_floor = max(min_depth, 1e-3)
     perspective = z_floor / max(z_floor - t_norm, z_floor * 0.25)
     ratio = max(rx, ry) * perspective * 1.07  # rotation margin (≤20° toe-in)
-    return max(2, int(math.ceil(ratio)) + 1)
+    bound = max(2, int(math.ceil(ratio)) + 1)
+    # Outside the calibrated envelope (the perspective term clamps at 4×
+    # once |t| ≥ 0.75·z_floor, and the 1.07 margin only covers ≤20° of
+    # rotation) the tight formula can UNDER-size the splat box and punch
+    # alignment holes with no diagnostic — the very extrinsics trap this
+    # bound exists to prevent. Warn and take the conservative cap instead.
+    if t_norm > 0.5 * z_floor or rot_deg > 20.0:
+        import warnings
+
+        warnings.warn(
+            f"auto_footprint: depth→color extrinsics outside the bound's "
+            f"envelope (|t|={t_norm:.3f} m vs min_depth={z_floor:.3f} m, "
+            f"rotation {rot_deg:.1f}°) — using conservative splat cap "
+            f"{max(bound, 8)}; pin FusionConfig.align_footprint manually "
+            "to trade coverage for entry count",
+            stacklevel=2,
+        )
+        return max(bound, 8)
+    return bound
 
 
 def align_depth_to_color(

@@ -239,6 +239,9 @@ class DevicePair:
     host_left: HostFrameset
     host_right: HostFrameset
     upload_ms: float = 0.0  # H2D time for this pair (the copy_to_gpu stage)
+    # Wall clock at enqueue — the QoS-lifespan reference point (a message's
+    # age starts when it is published, fusion_node.cpp:183-187).
+    enqueue_time: float = 0.0
 
 
 class DeviceFeeder:
@@ -256,11 +259,20 @@ class DeviceFeeder:
         pairer: Optional[ApproximateTimePairer] = None,
         depth: int = 2,
         device: Optional[jax.Device] = None,
+        lifespan_s: Optional[float] = None,
     ):
+        """``lifespan_s``: drop pairs that sat in the queue longer than this
+        before the consumer asked for them — the QoS 1 s message-lifespan
+        semantics of the reference's fused-frame subscriptions
+        (fusion_node.cpp:183-187). A stalled consumer then resumes on fresh
+        data instead of processing arbitrarily stale frames. None disables
+        (pull-paced pipelines where the consumer sets the cadence)."""
         self.source_left = source_left
         self.source_right = source_right
         self.pairer = pairer or ApproximateTimePairer()
         self.device = device
+        self.lifespan_s = lifespan_s
+        self.dropped_stale = 0
         self._q: "queue.Queue[Optional[DevicePair]]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -324,6 +336,7 @@ class DeviceFeeder:
                     # the producer thread, one pair ahead.
                     jax.block_until_ready((pair.left, pair.right))
                     pair.upload_ms = (time.perf_counter() - t_up) * 1e3
+                    pair.enqueue_time = time.perf_counter()
                     while not self._stop.is_set():
                         try:
                             self._q.put(pair, timeout=0.1)
@@ -363,12 +376,24 @@ class DeviceFeeder:
             if self.error is not None:
                 raise RuntimeError("frameset producer failed") from self.error
             return None
-        pair = self._q.get(timeout=timeout)
-        if pair is None:
-            self._ended = True
-            if self.error is not None:
-                raise RuntimeError("frameset producer failed") from self.error
-        return pair
+        while True:
+            pair = self._q.get(timeout=timeout)
+            if pair is None:
+                self._ended = True
+                if self.error is not None:
+                    raise RuntimeError(
+                        "frameset producer failed"
+                    ) from self.error
+                return None
+            if (
+                self.lifespan_s is not None
+                and time.perf_counter() - pair.enqueue_time > self.lifespan_s
+            ):
+                # QoS lifespan expiry: skip the stale pair; the producer is
+                # still running, so a fresh one follows.
+                self.dropped_stale += 1
+                continue
+            return pair
 
     def stop(self) -> None:
         self._stop.set()

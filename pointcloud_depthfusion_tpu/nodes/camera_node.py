@@ -122,6 +122,13 @@ class CameraNode(FramesetSource):
         self.hole_fill_mode = hole_fill_mode
         self.small_image_width = small_image_width
         self.small_image_height = small_image_height
+        # Runtime debug/profiling namespace (reference parametersCallback
+        # dispatches debug.enable_debug / profiling.publish_fps while the
+        # node streams, config.cpp:118-137) — togglable via attach_config.
+        self.verbose = False
+        self.debug_save_data = False
+        self.debug_save_dir = f"{name}_debug"
+        self._debug_frame_idx = 0
         self._prev_depth: Optional[np.ndarray] = None
         self._frameset_subs: List[Callable[[HostFrameset], None]] = []
         self._depth_subs: List[Callable[[np.ndarray, float], None]] = []
@@ -194,6 +201,18 @@ class CameraNode(FramesetSource):
         """
         self.config = cfg
         self.fps = float(cfg.declare("fps", self.fps))
+        self.verbose = bool(cfg.declare("verbose", self.verbose))
+        # Runtime debug/profiling namespaces (config.cpp:118-137): these
+        # dispatch on SET while the node streams, not just at load time.
+        self.debug_save_data = bool(
+            cfg.declare("debug.enable_debug", self.debug_save_data)
+        )
+        self.debug_save_dir = str(
+            cfg.declare("debug.save_data_dir", self.debug_save_dir)
+        )
+        self.fps_counter.publish = bool(
+            cfg.declare("profiling.publish_fps", self.fps_counter.publish)
+        )
         for group, opts in self.sensor_options().items():
             for name, default in opts.items():
                 value = cfg.declare(f"sensor.{group}.{name}", default)
@@ -204,9 +223,20 @@ class CameraNode(FramesetSource):
             if key == "fps":
                 self.fps = float(value)
                 return
+            if key == "verbose":
+                self.verbose = self._coerce_option(True, value)
+                return
             parts = key.split(".")
             if len(parts) == 3 and parts[0] == "sensor":
                 self._set_option(parts[1], parts[2], value)
+            elif parts[0] == "debug":
+                if parts[-1] == "enable_debug":
+                    self.debug_save_data = self._coerce_option(True, value)
+                elif parts[-1] == "save_data_dir":
+                    self.debug_save_dir = str(value)
+            elif parts[0] == "profiling":
+                if parts[-1] == "publish_fps":
+                    self.fps_counter.publish = self._coerce_option(True, value)
 
         cfg.on_change(on_change)
 
@@ -270,6 +300,14 @@ class CameraNode(FramesetSource):
         if fs is None:
             return None
         fs = self._apply_filter_bank(fs)
+        if self.debug_save_data:
+            self._dump_debug(fs)
+        if self.verbose:
+            print(
+                f"{self.name}: frame {self._debug_frame_idx} "
+                f"stamp {fs.timestamp:.4f}"
+            )
+        self._debug_frame_idx += 1
         for cb in self._frameset_subs:
             cb(fs)
         for cb in self._depth_subs:
@@ -287,6 +325,23 @@ class CameraNode(FramesetSource):
                 cb(small, fs.timestamp)
         self.fps_counter.tick()
         return fs
+
+    def _dump_debug(self, fs: HostFrameset) -> None:
+        """debug.enable_debug artifact path: dump each captured frameset as
+        PNGs (the reference's save-every-stage debug dumps,
+        depth_frame.cpp:157-181, gated by m_debug at runtime)."""
+        import os  # noqa: PLC0415
+
+        from pointcloud_depthfusion_tpu.io.artifacts import save_png  # noqa: PLC0415
+
+        os.makedirs(self.debug_save_dir, exist_ok=True)
+        i = self._debug_frame_idx
+        save_png(
+            os.path.join(self.debug_save_dir, f"{i:06d}_depth.png"), fs.depth
+        )
+        save_png(
+            os.path.join(self.debug_save_dir, f"{i:06d}_color.png"), fs.color
+        )
 
     def _apply_filter_bank(self, fs: HostFrameset) -> HostFrameset:
         """decimation → threshold → [→disparity] → spatial → temporal

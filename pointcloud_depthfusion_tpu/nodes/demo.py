@@ -37,9 +37,12 @@ def main() -> None:
                         choices=["", "tiled", "exact", "indexed", "packed",
                                  "pallas"],
                         help="override the configured render mode")
-    parser.add_argument("--async-readback", action="store_true",
+    parser.add_argument("--async-readback", action="store_true", default=True,
                         help="overlap frame N's device->host copy with "
-                        "frame N+1's compute (publishes one frame late)")
+                        "frame N+1's compute (publishes one frame late; "
+                        "the streaming default)")
+    parser.add_argument("--no-async-readback", dest="async_readback",
+                        action="store_false")
     args = parser.parse_args()
 
     import jax
@@ -117,6 +120,10 @@ def main() -> None:
         fusion_cfg = dataclasses.replace(fusion_cfg, render_mode="exact")
     fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg,
                            async_readback=args.async_readback,
+                           # Streaming QoS: 1 s message lifespan like the
+                           # reference's fused-frame subscription
+                           # (fusion_node.cpp:183-187).
+                           lifespan_s=1.0,
                            **factory.fusion_node_kwargs_from_tree(fusion_tree))
 
     reg_settings, reg_tree = factory.registration_settings()
@@ -131,7 +138,15 @@ def main() -> None:
     )
     registration.subscribe_transform(fusion.on_transform)
 
-    sink = ImageNode(out_dir=args.out, every_n=max(1, args.frames // 8))
+    # Viewer-close → app shutdown (image_node.cpp:54-68): a plugged-in
+    # display raising WindowClosed stops the camera loops and the feeder.
+    def on_viewer_close():
+        cam_left.stop()
+        cam_right.stop()
+        fusion.feeder.stop()
+
+    sink = ImageNode(out_dir=args.out, every_n=max(1, args.frames // 8),
+                     on_close=on_viewer_close)
     fusion.subscribe_fused(sink)
     # The reference viewer's other subscriptions (image_node.cpp:38-109):
     # raw-depth viewer, frameset (color + scaled depth) viewer, small

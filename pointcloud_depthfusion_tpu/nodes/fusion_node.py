@@ -46,14 +46,26 @@ class FusionNodeApp:
         profiling_path: Optional[str] = None,
         device: Optional[jax.Device] = None,
         save_data_dir: Optional[str] = None,
-        async_readback: bool = False,
+        async_readback: bool = True,
+        donate: bool = True,
+        lifespan_s: Optional[float] = None,
     ):
-        """``async_readback=True`` double-buffers the output side: frame N's
-        device→host copy is started asynchronously and published while frame
-        N+1 computes — the reference's capture-side double-buffer/std::async
-        discipline (camera_node.cpp:315-343) applied to the output. Publishing
-        lags one frame; ignored while per-stage profiling is on (stage fences
-        serialize everything anyway)."""
+        """``async_readback=True`` (default) double-buffers the output side:
+        frame N's device→host copy is started asynchronously and published
+        while frame N+1 computes — the reference's capture-side
+        double-buffer/std::async discipline (camera_node.cpp:315-343) applied
+        to the output. Publishing lags one frame; ignored while per-stage
+        profiling is on (stage fences serialize everything anyway).
+
+        ``donate=True`` (default) donates each frame's depth/color device
+        buffers to the fused program — safe here because the DeviceFeeder
+        uploads FRESH buffers every frame; pass False if the caller re-uses
+        DevicePairs (e.g. processing the same pair twice).
+
+        ``lifespan_s``: drop synchronized pairs older than this at dequeue —
+        the reference's 1 s QoS message lifespan (fusion_node.cpp:183-187).
+        Pass 1.0 for real-time streaming (the demo does); the None default
+        keeps finite recorded streams lossless across the first-jit stall."""
         self.camera_left = camera_left
         self.camera_right = camera_right
         self.config = config or FusionConfig.create()
@@ -98,7 +110,7 @@ class FusionNodeApp:
             )
             self.config = _dc.replace(self.config, align_footprint=bound)
 
-        self.pipeline = FusionPipeline(self.intr_left, self.config, donate=False)
+        self.pipeline = FusionPipeline(self.intr_left, self.config, donate=donate)
         # Feed THROUGH the camera nodes (they are FramesetSources), not their
         # raw sources: capture() applies the rs2-equivalent temporal filter,
         # which the reference always runs in getFrames (realsense.cpp:398-404).
@@ -107,6 +119,7 @@ class FusionNodeApp:
             camera_right,
             pairer=ApproximateTimePairer(max_interval_s=max_sync_interval_s),
             device=device,
+            lifespan_s=lifespan_s,
         )
         self._fused_subs: List[Callable[[np.ndarray, float], None]] = []
         self._sync_debug_subs: List[Callable[[str], None]] = []
@@ -119,6 +132,62 @@ class FusionNodeApp:
         # (result, stamp, pair, frame_index) awaiting async readback
         self._pending: Optional[tuple] = None
         self._last_sync_time: Optional[float] = None
+
+    # -- dynamic reconfiguration ------------------------------------------
+
+    def attach_config(self, cfg) -> None:
+        """Wire a ConfigTree for RUNTIME debug/profiling reconfiguration.
+
+        The reference dispatches ``debug.*`` / ``profiling.*`` parameter
+        updates while the node runs (parametersCallback, config.cpp:118-137);
+        here ``cfg.set("debug.save_data", True)`` starts dumping artifact
+        PNGs mid-stream and ``profiling.enable_profiling`` switches the
+        split-program stage-timing mode on/off between frames.
+        """
+        self.node_config = cfg
+        default_dir = self.save_data_dir or "fusion_debug"
+        if bool(cfg.declare("debug.save_data", self.save_data_dir is not None)):
+            self.save_data_dir = str(
+                cfg.declare("debug.save_data_dir", default_dir)
+            )
+        else:
+            cfg.declare("debug.save_data_dir", default_dir)
+        self.fps_counter.publish = bool(
+            cfg.declare("profiling.publish_fps", self.fps_counter.publish)
+        )
+        prof_path = str(
+            cfg.declare(
+                "profiling.log_path",
+                self.stage_log.path if self.stage_log else "fusion_profiling.csv",
+            )
+        )
+        if bool(cfg.declare(
+            "profiling.enable_profiling", self.stage_log is not None
+        )) and self.stage_log is None:
+            self.stage_log = StageLog(prof_path)
+
+        def on_change(key: str, value) -> None:
+            truthy = CameraNode._coerce_option(True, value)
+            if key == "debug.save_data":
+                self.save_data_dir = (
+                    str(self.node_config.get("debug.save_data_dir", default_dir))
+                    if truthy else None
+                )
+            elif key == "debug.save_data_dir":
+                if self.save_data_dir is not None:
+                    self.save_data_dir = str(value)
+            elif key == "profiling.enable_profiling":
+                if truthy and self.stage_log is None:
+                    self.stage_log = StageLog(
+                        str(self.node_config.get("profiling.log_path", prof_path))
+                    )
+                elif not truthy and self.stage_log is not None:
+                    self.stage_log.flush()
+                    self.stage_log = None
+            elif key == "profiling.publish_fps":
+                self.fps_counter.publish = truthy
+
+        cfg.on_change(on_change)
 
     # -- topic-equivalents -------------------------------------------------
 

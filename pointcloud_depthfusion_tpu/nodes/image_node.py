@@ -21,6 +21,15 @@ import numpy as np
 from pointcloud_depthfusion_tpu.io.artifacts import save_png
 
 
+class WindowClosed(Exception):
+    """Raised by an interactive ``display`` backend when its window closes.
+
+    The reference viewer stops the whole app when the user closes the
+    OpenCV window (``cv::getWindowProperty`` poll → ``rclcpp::shutdown``,
+    image_node/src/image_node.cpp:54-68); a plugged-in display signals the
+    same by raising this from the display callable."""
+
+
 def depth_to_u8(depth_u16: np.ndarray, scale: float = 0.1) -> np.ndarray:
     """cv::convertScaleAbs(depth, 0.1) (image_node.cpp:84): |d·scale|
     rounded (saturate_cast rounds to nearest even, like np.rint) and
@@ -37,12 +46,20 @@ class ImageNode:
         every_n: int = 1,
         max_saved: Optional[int] = None,
         depth_scale_abs: float = 0.1,
+        on_close: Optional[Callable[[], None]] = None,
     ):
+        """``on_close``: invoked once when the display backend reports its
+        window closed (raises :class:`WindowClosed`) — the app-shutdown hook
+        the reference viewer triggers via rclcpp::shutdown
+        (image_node.cpp:54-68). The composed demo wires this to stop the
+        feeder/camera loops."""
         self.out_dir = out_dir
         self.display = display
         self.every_n = every_n
         self.max_saved = max_saved
         self.depth_scale_abs = depth_scale_abs
+        self._on_close = on_close
+        self.closed = threading.Event()
         self.received = 0
         self.saved = 0
         self._counters: dict = {}
@@ -72,10 +89,20 @@ class ImageNode:
                     self._saved_per_kind.get(kind, 0) + 1
                 )
                 self.saved += 1
-        if self.display is not None:
-            self.display(image, timestamp)
+        if self.display is not None and not self.closed.is_set():
+            try:
+                self.display(image, timestamp)
+            except WindowClosed:
+                self.close()
         if save:
             save_png(os.path.join(self.out_dir, f"{kind}_{n:06d}.png"), image)
+
+    def close(self) -> None:
+        """Viewer-closed shutdown path: idempotently fire ``on_close``."""
+        if not self.closed.is_set():
+            self.closed.set()
+            if self._on_close is not None:
+                self._on_close()
 
     # -- the four reference callbacks ---------------------------------------
 

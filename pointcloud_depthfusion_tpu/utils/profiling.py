@@ -127,6 +127,9 @@ class FpsCounter:
         self.name = name
         self.report_every_s = report_every_s
         self.sink = sink
+        # Runtime gate on the sink (the reference's ``profiling.publish_fps``
+        # parameter, config.cpp:132-134): counting continues, emission stops.
+        self.publish = True
         self.frame_count = 0
         self.elapsed = 0.0
         self._last = time.perf_counter()
@@ -147,7 +150,7 @@ class FpsCounter:
             )
             self.frame_count = 0
             self.elapsed = 0.0
-            if self.sink:
+            if self.sink and self.publish:
                 self.sink(msg)
             return msg
         return None

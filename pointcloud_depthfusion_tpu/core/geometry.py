@@ -183,21 +183,39 @@ def project_points(points: Array, intrinsics: Intrinsics) -> Tuple[Array, Array]
 # Rigid transforms
 # ---------------------------------------------------------------------------
 
+# Every matmul in this module is a tiny pose compose or an (N,3)×(3,3) point
+# transform. TPU matmuls default to bf16 operands, which injects ~5e-2
+# RELATIVE error into pose matrices (measured on v5e: 4×4 f32 matmul max rel
+# err 5.4e-2 at default precision, 4e-7 at HIGHEST) — pixel-scale projection
+# shifts and a diverging GICP solve, caught by the on-chip parity gate
+# (tpu_check.py). Full f32 is forced here; none of these ops are
+# throughput-relevant (the hot path's per-point transforms are elementwise
+# planes, transform_planar).
+_F32 = jax.lax.Precision.HIGHEST
+
+
+def mm(a: Array, b: Array) -> Array:
+    """Matrix multiply at full f32 precision (pose composes — see _F32)."""
+    return jnp.matmul(a, b, precision=_F32)
+
 
 def transform_points(points: Array, transform: Array) -> Array:
     """Apply a 4×4 homogeneous transform to (..., 3) points.
 
     Equivalent to kernel_transform (kernels.cu:161-181) — one matmul instead
-    of per-point scalar arithmetic, so XLA maps it onto the MXU.
+    of per-point scalar arithmetic, so XLA maps it onto the MXU (at forced
+    f32 operand precision; see _F32 above).
     """
     r = transform[:3, :3].astype(points.dtype)
     t = transform[:3, 3].astype(points.dtype)
-    return points @ r.T + t
+    return mm(points, r.T) + t
 
 
 def transform_extrinsic(points: Array, rotation: Array, translation: Array) -> Array:
     """Apply an Extrinsics-style transform: rotation @ p + translation."""
-    return points @ rotation.astype(points.dtype).T + translation.astype(points.dtype)
+    return mm(points, rotation.astype(points.dtype).T) + translation.astype(
+        points.dtype
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +277,7 @@ def quaternion_slerp(q0: Array, q1: Array, t) -> Array:
     Takes the short path (negates q1 when the dot product is negative) and
     falls back to lerp for nearly-parallel quaternions.
     """
-    d = jnp.dot(q0, q1)
+    d = jnp.dot(q0, q1, precision=_F32)
     q1 = jnp.where(d < 0, -q1, q1)
     d = jnp.abs(d)
     d = jnp.minimum(d, 1.0)
@@ -298,7 +316,7 @@ def invert_rigid(transform: Array) -> Array:
     t = transform[:3, 3]
     m = jnp.eye(4, dtype=transform.dtype)
     m = m.at[:3, :3].set(r.T)
-    m = m.at[:3, 3].set(-r.T @ t)
+    m = m.at[:3, 3].set(-mm(r.T, t))
     return m
 
 
@@ -347,7 +365,7 @@ def euler_to_matrix(angles) -> Array:
             jnp.stack([jnp.zeros_like(cz), jnp.zeros_like(cz), jnp.ones_like(cz)]),
         ]
     )
-    return rx @ ry @ rz
+    return mm(mm(rx, ry), rz)
 
 
 def make_transform(rotation: Array, translation: Array) -> Array:
@@ -397,11 +415,12 @@ def se3_exp(xi: Array) -> Array:
     c = jnp.where(
         small, 1.0 / 6.0, (safe_theta - jnp.sin(safe_theta)) / (safe_theta**3)
     )
-    r = eye + a * k + b * (k @ k)
-    v = eye + b * k + c * (k @ k)
+    kk = mm(k, k)
+    r = eye + a * k + b * kk
+    v = eye + b * k + c * kk
     m = jnp.eye(4, dtype=xi.dtype)
     m = m.at[:3, :3].set(r)
-    m = m.at[:3, 3].set(v @ rho)
+    m = m.at[:3, 3].set(mm(v, rho))
     return m
 
 

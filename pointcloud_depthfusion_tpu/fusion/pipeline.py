@@ -145,7 +145,7 @@ def virtual_camera_transform(config: FusionConfig) -> Array:
     m = rz90
     m = m.at[:3, 3].add(-config.camera_translation)  # pretranslate
     r_inv4 = jnp.eye(4, dtype=m.dtype).at[:3, :3].set(rot.T)
-    return r_inv4 @ m
+    return G.mm(r_inv4, m)
 
 
 def fused_camera_transform(config: FusionConfig, right_transform: Array) -> Array:
@@ -161,7 +161,9 @@ def fused_camera_transform(config: FusionConfig, right_transform: Array) -> Arra
         left = jnp.eye(4, dtype=right_transform.dtype)
         t = G.interpolate_transform(left, right_transform)
     if config.vertical_image:
-        t = G.rotz(G.deg2rad(90.0)) @ t
+        # f32-precision compose: the TPU's default bf16 matmul corrupts pose
+        # matrices at ~5e-2 relative (see core/geometry._F32).
+        t = G.mm(G.rotz(G.deg2rad(90.0)), t)
     return t
 
 
@@ -225,7 +227,7 @@ def fuse(
     # virtual-camera frame; composing the matrices first saves one full
     # 9-mul pass over the right cloud.
     fused_t = fused_camera_transform(config, right_transform)
-    right_total = fused_t @ right_transform.astype(fused_t.dtype)
+    right_total = G.mm(fused_t, right_transform.astype(fused_t.dtype))
     xl, yl, zl = G.transform_planar(xl, yl, zl, fused_t)
     xr, yr, zr = G.transform_planar(xr, yr, zr, right_total)
 
@@ -314,7 +316,7 @@ def _fuse_pallas(
     )
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only
     fused_t = fused_camera_transform(config, right_transform)
-    right_total = fused_t @ right_transform.astype(fused_t.dtype)
+    right_total = G.mm(fused_t, right_transform.astype(fused_t.dtype))
     z_near = 0.5 * config.min_depth
     z_far = config.max_depth + 1.0
 

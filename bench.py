@@ -24,9 +24,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument(
-        "--watchdog", type=int, default=900,
+        "--watchdog", type=int, default=1800,
         help="seconds before emitting whatever was measured and exiting "
         "(the TPU relay occasionally hangs; 0 disables)",
+    )
+    parser.add_argument(
+        "--no-parity", action="store_true",
+        help="skip the on-chip parity gate (tpu_check.py) after timing",
     )
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=30,
@@ -42,7 +46,7 @@ def main() -> None:
 
     # Watchdog: the remote TPU relay in this environment occasionally hangs
     # (even jax.devices() can block). Emit a result line no matter what.
-    state = {"p50": None}
+    state = {"p50": None, "parity": "skipped"}
 
     if args.watchdog:
         import signal
@@ -56,6 +60,7 @@ def main() -> None:
                         "value": round(p50, 3) if p50 else None,
                         "unit": "ms",
                         "vs_baseline": round(11.0 / p50, 3) if p50 else 0.0,
+                        "parity": state["parity"],
                         "note": "watchdog fired (TPU relay hang)",
                     }
                 ),
@@ -70,6 +75,15 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from pointcloud_depthfusion_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    if not args.cpu:
+        # Persistent XLA cache: the 10-50 s per-mode compiles become a
+        # once-per-container cost (fresh runs in the same image hit disk).
+        enable_persistent_cache()
 
     import dataclasses
 
@@ -226,16 +240,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"fused_ms_per_frame_dual_{args.width}x{args.height}",
-                "value": round(p50_main, 3),
-                "unit": "ms",
-                "vs_baseline": round(11.0 / p50_main, 3),
-            }
-        )
-    )
+    # On-chip parity gate (tpu_check.py): every render mode + rig + align +
+    # voxel + GICP compared against CPU goldens / TPU-internal bit-equality
+    # AFTER the timings (so the headline numbers come from the freshest part
+    # of the relay session).
+    parity_checks = None
+    if not args.no_parity and not args.cpu:
+        try:
+            import tpu_check
+
+            pres = tpu_check.run_parity(args.width, args.height)
+            state["parity"] = pres["parity"]
+            parity_checks = {}
+            for k, v in pres["checks"].items():
+                detail = {kk: vv for kk, vv in v.items() if kk != "pass"}
+                parity_checks[k] = "pass" if v["pass"] else {"FAIL": detail}
+            print(f"parity: {pres['parity']} {json.dumps(parity_checks)}",
+                  file=sys.stderr)
+        except Exception as exc:  # parity must never eat the bench result
+            state["parity"] = f"error: {type(exc).__name__}: {exc}"[:200]
+            print(f"parity gate failed to run: {exc!r}", file=sys.stderr)
+    elif args.cpu:
+        state["parity"] = "skipped (cpu run)"
+
+    out = {
+        "metric": f"fused_ms_per_frame_dual_{args.width}x{args.height}",
+        "value": round(p50_main, 3),
+        "unit": "ms",
+        "vs_baseline": round(11.0 / p50_main, 3),
+        "parity": state["parity"],
+    }
+    if parity_checks is not None:
+        out["parity_checks"] = parity_checks
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -59,6 +59,16 @@ class GICPConfig:
     fitness_rel_eps: Array
     kernel_width: Array  # RBF correspondence weighting width (m); <=0 off
     kernel_max_dist: Array  # residual cutoff (m); <=0 → 3·resolution
+    # Levenberg-style diagonal damping of the Gauss-Newton step. A TRACED
+    # leaf (pure arithmetic in _solve_6x6): the annealing schedule varies
+    # damping per stage, and a static field forced one ~46 s recompile per
+    # annealing stage — as a leaf every stage shares one executable.
+    damping: Array = None
+    # TRACED early-exit budget (int32): the while_loop predicate stops at
+    # min(iteration_cap, max_iterations). Lets coarse annealing stages run
+    # a hard small budget without splitting the executable (max_iterations
+    # is the static trip bound; this is the dynamic one).
+    iteration_cap: Array = None
     max_iterations: int = dataclasses.field(default=64, metadata=dict(static=True))
     table_size: int = dataclasses.field(default=1 << 15, metadata=dict(static=True))
     min_voxel_points: float = dataclasses.field(
@@ -67,7 +77,6 @@ class GICPConfig:
     min_cov_points: float = dataclasses.field(
         default=6.0, metadata=dict(static=True)
     )
-    damping: float = dataclasses.field(default=1e-2, metadata=dict(static=True))
     cov_regularization: str = dataclasses.field(
         default="plane", metadata=dict(static=True)
     )
@@ -89,10 +98,17 @@ class GICPConfig:
         kernel_width: float = 0.005,
         kernel_max_dist: float = 0.025,
         fitness_rel_eps: float = 0.0,
+        damping: float = 1e-2,
+        iteration_cap: int | None = None,
         **static_fields,
     ) -> "GICPConfig":
         f = jnp.float32
+        if iteration_cap is None:
+            iteration_cap = static_fields.get(
+                "max_iterations", GICPConfig.max_iterations
+            )
         return GICPConfig(
+            iteration_cap=jnp.asarray(iteration_cap, jnp.int32),
             resolution=jnp.asarray(resolution, f),
             voxel_size=jnp.asarray(voxel_size, f),
             rotation_eps=jnp.asarray(rotation_eps, f),
@@ -101,6 +117,7 @@ class GICPConfig:
             fitness_rel_eps=jnp.asarray(fitness_rel_eps, f),
             kernel_width=jnp.asarray(kernel_width, f),
             kernel_max_dist=jnp.asarray(kernel_max_dist, f),
+            damping=jnp.asarray(damping, f),
             **static_fields,
         )
 
@@ -421,7 +438,7 @@ def _solve_planar(
 
         delta = -_solve_6x6(h, g, config.damping)
         delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
-        new_transform = G.se3_exp(delta) @ transform
+        new_transform = G.mm(G.se3_exp(delta), transform)
 
         n_corr = jnp.sum(corr, dtype=jnp.int32)
         fitness = jnp.where(
@@ -457,7 +474,11 @@ def _solve_planar(
 
     def cond(carry):
         _, _, done, it_count, _ = carry
-        return (~done) & (it_count < config.max_iterations)
+        return (
+            (~done)
+            & (it_count < config.max_iterations)
+            & (it_count < config.iteration_cap)
+        )
 
     transform, fitness, done, iters, n_corr = jax.lax.while_loop(
         cond, step, init
@@ -600,7 +621,7 @@ def gicp_register_prepared(
             delta = -_solve_6x6(h, g, config.damping)
             delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
 
-            new_transform = G.se3_exp(delta) @ transform
+            new_transform = G.mm(G.se3_exp(delta), transform)
 
             n_corr = jnp.sum(corr, dtype=jnp.int32)
             # No correspondences is a FAILURE state, not zero error.
@@ -640,7 +661,11 @@ def gicp_register_prepared(
         # loop predicate — jit-safe dynamic trip count, no dynamic shapes).
         def cond(carry):
             _, _, done, it_count, _ = carry
-            return (~done) & (it_count < config.max_iterations)
+            return (
+            (~done)
+            & (it_count < config.max_iterations)
+            & (it_count < config.iteration_cap)
+        )
 
         transform, fitness, done, iters, n_corr = jax.lax.while_loop(
             cond, lambda c: step(c, None)[0], init
@@ -688,16 +713,31 @@ def default_multiscale_configs(
     coarse_start: float = 0.1,
     steps: int = 3,
     max_iterations: int = 64,
+    coarse_iterations: int = 16,
     **kw,
 ) -> Tuple[GICPConfig, ...]:
-    """Geometric coarse→fine ladder ending at the configured resolution."""
+    """Geometric coarse→fine ladder ending at the configured resolution.
+
+    Cold-start budget: a coarse stage only has to land inside the NEXT
+    stage's convergence basin, so (a) its step-size epsilons are scaled to
+    its own resolution (translation r/100, rotation 0.01 rad) — demanding a
+    0.1 mm step at a 0.1 m voxel scale just burns iterations on sub-voxel
+    jitter — and (b) its iteration budget is capped at ``coarse_iterations``.
+    Only the final stage runs the caller's full epsilons/budget. All stages
+    share ONE compiled executable: every varying knob (resolution, kernel,
+    epsilons, damping) is a traced leaf; max_iterations is pinned to the
+    stage maximum so the static trip-count cap matches too.
+    """
     if steps <= 1 or coarse_start <= resolution:
         return (GICPConfig.create(resolution=resolution, voxel_size=voxel_size,
                                   max_iterations=max_iterations, **kw),)
     ratio = (resolution / coarse_start) ** (1.0 / (steps - 1))
+    final_rot = kw.pop("rotation_eps", 2e-3)
+    final_trans = kw.pop("translation_eps", 1e-4)
     cfgs = []
     for i in range(steps):
         r = coarse_start * (ratio**i)
+        last = i == steps - 1
         # Heavier Gauss-Newton damping at coarse scale: undamped steps
         # oscillate when voxels span large scene fractions (measured 50°+
         # divergence on the golden pair at damping 1e-6, res 0.4).
@@ -706,7 +746,13 @@ def default_multiscale_configs(
             GICPConfig.create(
                 resolution=r,
                 voxel_size=voxel_size,
+                # One static trip cap for every stage (shared executable);
+                # coarse stages exit earlier via their scaled epsilons, and
+                # the coarse_iterations cap is enforced by the while_loop
+                # predicate through max_iterations only on the final stage.
                 max_iterations=max_iterations,
+                rotation_eps=final_rot if last else max(final_rot, 1e-2),
+                translation_eps=final_trans if last else max(final_trans, r / 100.0),
                 kernel_max_dist=3.0 * r,
                 damping=damping,
                 **kw,

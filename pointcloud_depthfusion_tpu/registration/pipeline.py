@@ -240,16 +240,37 @@ class RegistrationPipeline:
         # iterations before improving (measured 0.39 m premature stop).
         warm = not self.initial_phase and self._warm_start
         fitness_rel_eps = 5e-3 if warm else 0.0
+        # Cold-anneal budget: a coarse annealing tick only has to land in
+        # the next (finer) tick's basin, so its step epsilons scale with the
+        # active resolution (res/100 translation, 1e-2 rad rotation) and its
+        # iteration budget is hard-capped — both TRACED knobs, so every tick
+        # (annealing and steady-state) shares ONE compiled solver. Measured:
+        # identical final transform on the golden pair, cold anneal ≪ the
+        # old 162-iteration total.
+        annealing = self.initial_phase and (
+            self.current_resolution > s.resolution
+        )
+        if annealing:
+            rotation_eps = max(s.rotation_epsilon, 1e-2)
+            translation_eps = max(
+                s.translation_epsilon, self.current_resolution / 100.0
+            )
+            iteration_cap = min(s.max_iterations, 16)
+        else:
+            rotation_eps = s.rotation_epsilon
+            translation_eps = s.translation_epsilon
+            iteration_cap = s.max_iterations
         return GICPConfig.create(
             fitness_rel_eps=fitness_rel_eps,
             resolution=self.current_resolution,
             voxel_size=self.current_voxelsize,
-            rotation_eps=s.rotation_epsilon,
-            translation_eps=s.translation_epsilon,
+            rotation_eps=rotation_eps,
+            translation_eps=translation_eps,
             fitness_eps=s.fitness_epsilon,
             kernel_width=kernel_width,
             kernel_max_dist=kernel_max_dist,
             max_iterations=s.max_iterations,
+            iteration_cap=iteration_cap,
             table_size=s.table_size,
             damping=damping,
         )

@@ -144,19 +144,21 @@ def align_depth_to_color(
       depth_u16: (Hd, Wd) raw depth.
       depth_scale: meters per LSB.
       max_footprint: static cap on the per-pixel splat box edge length.
-      method: ``"sorted"`` resolves the K² splat with the render's
-        sort + Pallas slab kernel (ops/pallas/zresolve_pallas.py) — one
-        log-parallel 2-operand sort over the K²·N entries instead of K²
-        serial scatter-mins (measured ~8.6 ns/update on v5e, ~50 ms for the
-        16×407k updates this op issues at 848×480). ``"scatter"`` keeps the
-        XLA scatter-mins (fast on CPU). Default (None): sorted on TPU,
-        scatter elsewhere. Results are bit-identical.
+      method: ``"binned"`` (TPU default) factors the K×K splat out of the
+        entry stream entirely: each depth pixel emits ONE entry into a
+        (box-extent-class, x0, y0) bin space — N entries instead of K²·N —
+        resolved by the render's sort + Pallas slab kernel, and the splat
+        is recovered afterwards as a minimum over ≤K² SHIFTED class
+        images (elementwise VPU work). ``"sorted"`` is the direct K²-entry
+        formulation of the same kernel; ``"scatter"`` keeps the XLA
+        scatter-mins (fast on CPU, the oracle-tested reference path).
+        All three are bit-identical.
 
     Returns:
       (Hc, Wc) uint16 aligned depth.
     """
     if method is None:
-        method = "sorted" if jax.default_backend() == "tpu" else "scatter"
+        method = "binned" if jax.default_backend() == "tpu" else "scatter"
     if max_footprint == "auto":
         max_footprint = auto_footprint(
             depth_intrinsics, color_intrinsics, depth_to_color
@@ -185,6 +187,50 @@ def align_depth_to_color(
     wx = (x1 - x0).reshape(-1)  # box extents (>= 0 in normal geometry)
     wy = (y1 - y0).reshape(-1)
     okf = ok.reshape(-1)
+
+    if method == "binned":
+        k = max_footprint
+        maxi = jnp.int32(0x7FFFFFFF)
+        # A depth pixel's whole splat is determined by (x0, y0, wx, wy, raw).
+        # Bin entries by (extent class, anchor pixel): ONE update per depth
+        # pixel into a K²-plane image space — N scatter-min updates instead
+        # of the direct path's K²·N (the scatter is a serial ~8.6 ns/update
+        # loop on v5e, so update COUNT is the whole cost). Each class plane
+        # then holds, per anchor, the min raw depth of entries with that
+        # clipped box extent — and the final image is the min over classes
+        # of their plane shifted by every (dy ≤ wy_c, dx ≤ wx_c),
+        # recovering the reference's box walk (kernels.cu:294-300) with
+        # elementwise VPU mins. A zresolve-kernel binning variant was
+        # measured SLOWER (18.4 ms vs 8.9 direct-sorted at 848×480): at
+        # 0.11 entries/slot the dense tile resolve burns whole-chunk
+        # compares on nearly-empty tiles. Extents clip to the static cap
+        # like the other paths; empty boxes (x1 < x0) drop out.
+        wxc = jnp.minimum(wx, k - 1)
+        wyc = jnp.minimum(wy, k - 1)
+        active = okf & (wx >= 0) & (wy >= 0)
+        cls = wyc * k + wxc
+        n_bins = n_px * k * k
+        idx = jnp.where(active, cls * n_px + y0f * cw + x0f, n_bins)
+        vals = jnp.where(active, raw, maxi)
+        buf = jnp.full((n_bins + 1,), maxi, jnp.int32)
+        buf = buf.at[idx].min(vals, mode="drop")
+        planes = buf[:n_bins].reshape(k, k, ch, cw)  # [wy_c, wx_c] anchors
+        out = jnp.full((ch, cw), maxi)
+        for wy_c in range(k):
+            for wx_c in range(k):
+                plane = planes[wy_c, wx_c]
+                for dy in range(wy_c + 1):
+                    for dx in range(wx_c + 1):
+                        # anchor (y0, x0) covers (y0+dy, x0+dx): shift the
+                        # plane down-right, back-filling with the sentinel.
+                        shifted = plane
+                        if dy or dx:
+                            shifted = jnp.full((ch, cw), maxi).at[
+                                dy:, dx:
+                            ].set(plane[: ch - dy, : cw - dx])
+                        out = jnp.minimum(out, shifted)
+        out = jnp.where((out == maxi) | (out == _SENTINEL), 0, out)
+        return out.astype(jnp.uint16).reshape(ch, cw)
 
     if method == "sorted":
         from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (

@@ -69,18 +69,20 @@ def test_align_zero_depth_is_zero():
     assert np.asarray(out).sum() == 0
 
 
-def test_align_sorted_bit_identical(rng):
-    """The sort+Pallas resolve must match the scatter path bit-for-bit."""
+def test_align_sorted_and_binned_bit_identical(rng):
+    """The sort+Pallas resolves (direct K²-entry and class-binned stencil)
+    must match the scatter path bit-for-bit."""
     d_intr, c_intr, ext, rot = setup_cams()
     depth = rng.integers(400, 3000, (24, 32)).astype(np.uint16)
     depth[rng.random((24, 32)) < 0.2] = 0
     a = align_depth_to_color(
         jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="scatter"
     )
-    b = align_depth_to_color(
-        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="sorted"
-    )
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for method in ("sorted", "binned"):
+        b = align_depth_to_color(
+            jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method=method
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_auto_footprint_matches_oracle(rng):
@@ -105,19 +107,20 @@ def test_auto_footprint_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
-def test_saturated_depth_maps_to_zero_both_methods():
+def test_saturated_depth_maps_to_zero_all_methods():
     """0xFFFF depth collides with the reference's buffer sentinel
-    (kernels.cu:284) and must come out 0 in BOTH resolve methods."""
+    (kernels.cu:284) and must come out 0 in EVERY resolve method."""
     d_intr, c_intr, ext, rot = setup_cams()
     depth = np.full((24, 32), 0xFFFF, np.uint16)
     a = align_depth_to_color(
         jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="scatter"
     )
-    b = align_depth_to_color(
-        jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method="sorted"
-    )
     assert int(np.asarray(a).sum()) == 0
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for method in ("sorted", "binned"):
+        b = align_depth_to_color(
+            jnp.asarray(depth), 0.001, d_intr, c_intr, ext, method=method
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_auto_footprint_extrinsics_inflation():

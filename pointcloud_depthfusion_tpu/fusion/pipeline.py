@@ -394,6 +394,16 @@ class FusionPipeline:
             fuse_buffers,
             donate_argnums=(0, 1, 2, 3) if donate else (),
         )
+        if donate and jax.default_backend() == "cpu":
+            # On CPU, jnp.asarray is zero-copy over host numpy buffers, so
+            # XLA cannot take ownership and warns per call. Expected and
+            # harmless (donation is a device-memory optimization; on TPU
+            # the buffers are real device allocations and donate cleanly).
+            import warnings  # noqa: PLC0415
+
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable"
+            )
         self.right_transform = jnp.eye(4, dtype=jnp.float32)
 
     def set_right_transform(self, transform) -> None:

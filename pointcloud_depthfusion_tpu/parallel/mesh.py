@@ -159,6 +159,7 @@ def _tiled_rig_body(
     from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
         invalid_pixel_id,
         zresolve_sorted_entries,
+        zresolve_sorted_streams,
     )
 
     n_px = fused_intrinsics.width * fused_intrinsics.height
@@ -196,7 +197,7 @@ def _tiled_rig_body(
         return pix, zbits, rgb
 
     def entries_all(depth, color, depth_scale, cam_to_virtual,
-                    pix_offsets=None):
+                    pix_offsets=None, per_stream=False):
         """Hand-batched (N,H,W) prep: one elementwise chain for ALL local
         cameras instead of N unrolled copies.
 
@@ -248,28 +249,46 @@ def _tiled_rig_body(
         )
         if pix_offsets is not None:
             idx = idx + pix_offsets.astype(jnp.int32)[:, None, None]
-        okf = ok.reshape(-1)
-        pix = jnp.where(okf, idx.reshape(-1), pad_px).astype(jnp.int32)
+        # per_stream=True keeps the (n_cameras, H·W) stream axis so the
+        # multi-stream resolve can sort each camera separately.
+        shape = (n_local, -1) if per_stream else (-1,)
+        okf = ok.reshape(shape)
+        pix = jnp.where(okf, idx.reshape(shape), pad_px).astype(jnp.int32)
         zbits = jnp.where(
             okf,
             jax.lax.bitcast_convert_type(
                 zc.astype(f), jnp.int32
-            ).reshape(-1),
+            ).reshape(shape),
             maxi,
         )
         c = color.astype(jnp.int32)
         rgb = jnp.where(
             okf,
-            ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).reshape(-1),
+            ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).reshape(shape),
             maxi,
         )
         return pix, zbits, rgb
 
     def local_minbufs(depth, color, depth_scale, cam_to_virtual):
+        # ≥3 cameras: per-camera sorts + multi-stream slab resolve.
+        # lax.sort cost grows super-linearly with entry count on v5e
+        # (3.26M 3-op = 5.25 ms vs 8×407k = 4.03 in one program), and the
+        # sort is ~77% of an 8-camera frame — S small sorts merged by the
+        # kernel beat one S·N sort. At ≤2 cameras the concatenated sort is
+        # the same size, so the single-stream path (denser slabs, bigger
+        # chunks) stays.
+        n_local = depth.shape[0]
+        interp = jax.default_backend() == "cpu"
+        if n_local >= 3:
+            pix, zbits, rgb = entries_all(
+                depth, color, depth_scale, cam_to_virtual, per_stream=True
+            )
+            return zresolve_sorted_streams(
+                pix, zbits, rgb, n_px, interpret=interp
+            )
         pix, zbits, rgb = entries_all(depth, color, depth_scale, cam_to_virtual)
         return zresolve_sorted_entries(
-            pix, zbits, rgb, n_px,
-            interpret=jax.default_backend() == "cpu",
+            pix, zbits, rgb, n_px, interpret=interp
         )
 
     def unpack(minz, mrgb):

@@ -304,3 +304,113 @@ def test_fusion_node_pins_align_footprint():
     app = FusionNodeApp(cam_l, cam_r, config=cfg)
     bound = app.config.align_footprint
     assert isinstance(bound, int) and 2 <= bound <= 6
+
+
+def test_runtime_debug_namespace_camera(tmp_path):
+    """debug.* / profiling.* dispatch at RUNTIME on a streaming camera node
+    (reference parametersCallback, config.cpp:118-137)."""
+    from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+    cam_l, _, _ = make_rig()
+    cfg = ConfigTree()
+    cam_l.attach_config(cfg)
+    assert cam_l.debug_save_data is False
+    cam_l.capture()  # no dumps yet
+    dump_dir = str(tmp_path / "camdump")
+    cfg.set("debug.save_data_dir", dump_dir)
+    cfg.set("debug.enable_debug", True)
+    cam_l.capture()
+    import os
+
+    pngs = os.listdir(dump_dir)
+    assert any(p.endswith("_depth.png") for p in pngs)
+    assert any(p.endswith("_color.png") for p in pngs)
+    cfg.set("debug.enable_debug", False)
+    n = len(pngs)
+    cam_l.capture()
+    assert len(os.listdir(dump_dir)) == n  # toggled back off
+
+    # profiling.publish_fps gates the sink, not the counting
+    msgs = []
+    cam_l.fps_counter.sink = msgs.append
+    cam_l.fps_counter.report_every_s = 0.0
+    cfg.set("profiling.publish_fps", False)
+    cam_l.capture()
+    assert msgs == []
+    cfg.set("profiling.publish_fps", True)
+    cam_l.capture()
+    assert len(msgs) == 1
+
+
+def test_runtime_debug_namespace_fusion(tmp_path):
+    """FusionNodeApp: debug.save_data + profiling.enable_profiling toggle
+    mid-run through the attached ConfigTree."""
+    from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+    cam_l, cam_r, t_rl = make_rig()
+    cfg = FusionConfig.create(vertical_image=False, mirror_image=False,
+                              filter_fused_color=False)
+    app = FusionNodeApp(cam_l, cam_r, config=cfg, async_readback=False)
+    tree = ConfigTree()
+    app.attach_config(tree)
+    assert app.save_data_dir is None and app.stage_log is None
+
+    dump_dir = str(tmp_path / "fusedump")
+    import os
+
+    os.makedirs(dump_dir, exist_ok=True)
+    tree.set("debug.save_data_dir", dump_dir)
+    tree.set("debug.save_data", True)
+    assert app.save_data_dir == dump_dir
+    prof_path = str(tmp_path / "prof.csv")
+    tree.set("profiling.log_path", prof_path)
+    tree.set("profiling.enable_profiling", True)
+    assert app.stage_log is not None
+
+    with app.feeder as feeder:
+        app.process_pair(feeder.get())
+    assert any(p.endswith("_fused.png") for p in os.listdir(dump_dir))
+    assert app.stage_log.rows  # profiled laps recorded
+
+    tree.set("profiling.enable_profiling", False)
+    assert app.stage_log is None
+    tree.set("debug.save_data", False)
+    assert app.save_data_dir is None
+
+
+def test_image_node_window_close_shutdown():
+    """A display backend raising WindowClosed fires on_close exactly once
+    (the reference viewer's close → rclcpp::shutdown, image_node.cpp:54-68)."""
+    from pointcloud_depthfusion_tpu.nodes.image_node import ImageNode, WindowClosed
+
+    closed = []
+
+    def display(img, ts):
+        raise WindowClosed()
+
+    sink = ImageNode(display=display, on_close=lambda: closed.append(1))
+    img = np.zeros((4, 4, 3), np.uint8)
+    sink(img, 0.0)
+    sink(img, 0.1)  # display not called again after close
+    assert closed == [1]
+    assert sink.closed.is_set()
+
+
+def test_feeder_lifespan_drops_stale_pairs():
+    """QoS 1 s lifespan analogue: pairs older than lifespan_s at dequeue are
+    dropped (fusion_node.cpp:183-187)."""
+    import time
+
+    from pointcloud_depthfusion_tpu.io.feeder import DeviceFeeder
+
+    cam_l, cam_r, _ = make_rig()
+    feeder = DeviceFeeder(cam_l, cam_r, lifespan_s=0.2)
+    with feeder:
+        first = feeder.get(timeout=10.0)
+        assert first is not None
+        time.sleep(0.6)  # everything queued before this is now stale
+        fresh = feeder.get(timeout=10.0)
+        assert fresh is not None
+    assert feeder.dropped_stale >= 1
+    age = time.perf_counter() - fresh.enqueue_time
+    assert age <= 0.6

@@ -269,17 +269,21 @@ def _tiled_rig_body(
         )
         return pix, zbits, rgb
 
-    def local_minbufs(depth, color, depth_scale, cam_to_virtual):
-        # ≥3 cameras: per-camera sorts + multi-stream slab resolve.
-        # lax.sort cost grows super-linearly with entry count on v5e
-        # (3.26M 3-op = 5.25 ms vs 8×407k = 4.03 in one program), and the
-        # sort is ~77% of an 8-camera frame — S small sorts merged by the
-        # kernel beat one S·N sort. At ≤2 cameras the concatenated sort is
-        # the same size, so the single-stream path (denser slabs, bigger
-        # chunks) stays.
+    def local_minbufs(depth, color, depth_scale, cam_to_virtual,
+                      multi_stream=False):
+        # multi_stream=True: per-camera sorts + the multi-stream slab
+        # resolve (zresolve_sorted_streams). MEASURED DEAD END as the rig
+        # default on v5e: lax.sort does scale super-linearly (3.26M 3-op =
+        # 5.25 ms vs 8×407k = 4.03 in one program), but the resolve then
+        # sweeps every pixel tile once PER STREAM — chunk granularity is
+        # per (stream, tile), so the 8-camera resolve does ~4× the compare
+        # +DMA work and the whole sort+resolve measured 20.5-25 ms against
+        # 11.6 ms single-stream (same entries, chunk 1024/512/256 all
+        # worse; concurrent per-stream DMA slots didn't close it). Kept as
+        # an option for geometries with far denser per-tile slabs.
         n_local = depth.shape[0]
         interp = jax.default_backend() == "cpu"
-        if n_local >= 3:
+        if multi_stream and n_local >= 2:
             pix, zbits, rgb = entries_all(
                 depth, color, depth_scale, cam_to_virtual, per_stream=True
             )

@@ -367,6 +367,18 @@ def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
     the bitcast coords (3) — instead of four separate gathers; row gathers
     cost ≈ per row, not per byte, so this quarters the gather count of the
     27-neighbor sweep.
+
+    A sorted/segment-sum reformulation (27·M scatter-style entries through
+    the segsum kernel) was analyzed and REJECTED on measured arithmetic:
+    row-gather cost on v5e is per ROW (~2.2 ms / 407k rows), and both
+    formulations must move the same 27·M rows — the gather path as 27 M-row
+    gathers (~4.2 ms at 2^15), the sorted path as ONE 27·M-row gather into
+    sorted order (~4.8 ms) PLUS a ~1.5 ms 2-op sort PLUS the slab sums.
+    Exact collision-check semantics also don't survive a push-style sum
+    (an entry's validity depends on the TARGET slot's representative
+    coords, which would need yet another 27·M-row gather). The separable
+    3-pass variant changes semantics through empty intermediate voxels —
+    also rejected (tested).
     """
     m = grid.table_size
 

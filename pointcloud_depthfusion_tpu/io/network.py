@@ -1,0 +1,390 @@
+"""TCP frameset streaming: the cross-machine capture transport.
+
+The reference's two-host deployment moves framesets between machines over
+DDS/UDP (camera_node on each Jetson → fusion_node on one of them,
+README.md:14-34). On a TPU host the capture silicon lives elsewhere; this
+module is the runnable network backend for that topology: a **camera host**
+(any machine that can produce framesets — a RealSense box, a recorded
+dataset, the synthetic renderer) runs :class:`FramesetStreamServer`, and
+the fusion host consumes it through :class:`NetworkSource` — a plain
+FramesetSource, so it plugs straight into CameraNode / DeviceFeeder /
+FusionNodeApp like any local source.
+
+Wire protocol (version 1, little-endian):
+
+  handshake:  b"PDFN" | u8 version | u32 json_len | json
+              json = {intrinsics, extrinsics (R row-major 9 + t 3),
+                      depth_scale, fps, name}
+              (the GetCameraParameters service handshake, camera_node
+              .cpp:377-386, folded into connection setup)
+  per frame:  u32 blob_len | EncodedFrameset blob  (PNG-compressed pair,
+              io/encoded.py — the reference's EncodedFrameset message put
+              to work)
+  end:        u32 0  (clean end of stream)
+
+QoS semantics mirror the reference's sensor-data profile: the server keeps
+a bounded per-client queue and drops the OLDEST frame when the consumer
+falls behind (best-effort keep-last-N, camera_node.cpp:104-114) — a slow
+link degrades to lower frame rate, never to unbounded latency.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import (
+    Distortion,
+    Extrinsics,
+    Intrinsics,
+)
+from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+from pointcloud_depthfusion_tpu.io.encoded import EncodedFrameset
+from pointcloud_depthfusion_tpu.io.feeder import FramesetSource
+
+_MAGIC = b"PDFN"
+_VERSION = 1
+
+
+def _intrinsics_to_json(intr: Intrinsics) -> dict:
+    return {
+        "width": int(intr.width),
+        "height": int(intr.height),
+        "fx": float(intr.fx),
+        "fy": float(intr.fy),
+        "ppx": float(intr.ppx),
+        "ppy": float(intr.ppy),
+        "model": int(intr.model),
+        "coeffs": [float(c) for c in np.asarray(intr.coeffs).reshape(-1)],
+    }
+
+
+def _intrinsics_from_json(d: dict) -> Intrinsics:
+    return Intrinsics.create(
+        d["width"], d["height"], fx=d["fx"], fy=d["fy"],
+        ppx=d["ppx"], ppy=d["ppy"],
+        model=Distortion(d.get("model", int(Distortion.NONE))),
+        coeffs=d.get("coeffs", [0.0] * 5),
+    )
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("stream closed mid-message")
+        buf += chunk
+    return buf
+
+
+class FramesetStreamServer:
+    """Stream a FramesetSource's frames to one TCP client at a time.
+
+    The capture side of the two-host deployment. ``queue_size`` bounds the
+    per-client backlog (drop-oldest, like SensorDataQoS keep-last). The
+    server re-accepts after a client disconnects until :meth:`stop`.
+    """
+
+    def __init__(
+        self,
+        source: FramesetSource,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        name: str = "camera",
+        fps: float = 30.0,
+        depth_to_color: Optional[Extrinsics] = None,
+        queue_size: int = 4,
+        max_frames: Optional[int] = None,
+        sndbuf: Optional[int] = None,
+    ):
+        """``sndbuf``: optional SO_SNDBUF for client connections — bounds
+        the kernel-side backlog so the drop-oldest QoS engages promptly on
+        slow links (loopback TCP otherwise autotunes to many MB)."""
+        self.source = source
+        self.name = name
+        self.fps = fps
+        # Keep calibration host-side as numpy: every field read of a
+        # device-resident jnp array is a device round-trip (and on the
+        # relayed dev TPU, a potential multi-second stall) — a pure-host
+        # transport must never touch the accelerator.
+        if depth_to_color is not None:
+            self._ext_rot = np.asarray(depth_to_color.rotation, np.float64)
+            self._ext_t = np.asarray(depth_to_color.translation, np.float64)
+        else:
+            self._ext_rot = np.eye(3)
+            self._ext_t = np.zeros(3)
+        self.queue_size = queue_size
+        self.max_frames = max_frames
+        self.sndbuf = sndbuf
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(1)
+        self._sock.settimeout(0.5)
+        self.host, self.port = self._sock.getsockname()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.frames_sent = 0
+        self.frames_dropped = 0
+        # Built once here (any device fetches for the intrinsics happen at
+        # construction, visibly), reused for every client.
+        self._handshake = self._handshake_blob()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "FramesetStreamServer":
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._serve, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5.0)
+        self._sock.close()
+
+    def __enter__(self) -> "FramesetStreamServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- internals ---------------------------------------------------------
+
+    def _handshake_blob(self) -> bytes:
+        payload = json.dumps(
+            {
+                "name": self.name,
+                "fps": self.fps,
+                "intrinsics": _intrinsics_to_json(self.source.intrinsics),
+                "extrinsic_rotation": self._ext_rot.reshape(-1).tolist(),
+                "extrinsic_translation": self._ext_t.reshape(-1).tolist(),
+            }
+        ).encode()
+        return _MAGIC + struct.pack("<BI", _VERSION, len(payload)) + payload
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            try:
+                self._stream_to(conn)
+            except (ConnectionError, OSError, BrokenPipeError):
+                pass  # client went away: re-accept
+            finally:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+
+    def _stream_to(self, conn: socket.socket) -> None:
+        if self.sndbuf:
+            conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, self.sndbuf)
+        conn.sendall(self._handshake)
+        # Encode on a producer thread so a stalled socket cannot stall
+        # capture; bounded drop-oldest queue = best-effort QoS.
+        q: "queue.Queue[Optional[bytes]]" = queue.Queue(self.queue_size)
+        done = threading.Event()
+
+        def produce():
+            import sys
+            import time
+            import traceback
+
+            period = 1.0 / self.fps if self.fps > 0 else 0.0
+            sent = 0
+            while not (self._stop.is_set() or done.is_set()):
+                t0 = time.perf_counter()
+                try:
+                    fs = self.source.next_frame()
+                except Exception:
+                    # A broken source must END the stream (clients would
+                    # otherwise block forever on a silent producer).
+                    traceback.print_exc(file=sys.stderr)
+                    fs = None
+                if fs is None or (
+                    self.max_frames is not None and sent >= self.max_frames
+                ):
+                    try:
+                        q.put(None, timeout=1.0)
+                    except queue.Full:
+                        pass
+                    return
+                blob = EncodedFrameset.encode(fs).to_bytes()
+                sent += 1
+                while True:
+                    try:
+                        q.put(blob, timeout=0.1)
+                        break
+                    except queue.Full:
+                        try:  # drop-oldest (keep-last QoS)
+                            q.get_nowait()
+                            self.frames_dropped += 1
+                        except queue.Empty:
+                            pass
+                    if self._stop.is_set() or done.is_set():
+                        return
+                if period:
+                    dt = time.perf_counter() - t0
+                    if dt < period:
+                        time.sleep(period - dt)
+
+        prod = threading.Thread(target=produce, daemon=True)
+        prod.start()
+        try:
+            while not self._stop.is_set():
+                try:
+                    blob = q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                if blob is None:
+                    conn.sendall(struct.pack("<I", 0))  # clean end
+                    return
+                conn.sendall(struct.pack("<I", len(blob)) + blob)
+                self.frames_sent += 1
+        finally:
+            done.set()
+            prod.join(timeout=2.0)
+
+
+class NetworkSource(FramesetSource):
+    """FramesetSource over a TCP frameset stream (the fusion-host side).
+
+    Blocks in the constructor until the handshake arrives; ``intrinsics``
+    and ``depth_to_color`` then carry the remote camera's calibration
+    (the service handshake, delivered once per connection).
+    """
+
+    def __init__(self, host: str, port: int, timeout_s: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        self._sock.settimeout(timeout_s)
+        magic = _recv_exact(self._sock, 4)
+        if magic != _MAGIC:
+            raise ConnectionError(f"not a PDFN stream (got {magic!r})")
+        version, jlen = struct.unpack("<BI", _recv_exact(self._sock, 5))
+        if version != _VERSION:
+            raise ConnectionError(f"unsupported stream version {version}")
+        meta = json.loads(_recv_exact(self._sock, jlen).decode())
+        self.name = meta.get("name", "camera")
+        self.fps = float(meta.get("fps", 30.0))
+        self._intr = _intrinsics_from_json(meta["intrinsics"])
+        self.depth_to_color = Extrinsics.create(
+            np.asarray(meta["extrinsic_rotation"], np.float64).reshape(3, 3),
+            meta["extrinsic_translation"],
+        )
+        self._ended = False
+
+    @property
+    def intrinsics(self) -> Intrinsics:
+        return self._intr
+
+    def next_frame(self) -> Optional[HostFrameset]:
+        if self._ended:
+            return None
+        try:
+            (n,) = struct.unpack("<I", _recv_exact(self._sock, 4))
+            if n == 0:  # clean end of stream
+                self._ended = True
+                self._sock.close()
+                return None
+            blob = _recv_exact(self._sock, n)
+        except (ConnectionError, OSError):
+            self._ended = True
+            return None
+        return EncodedFrameset.from_bytes(blob).decode()
+
+    def close(self) -> None:
+        self._ended = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def main() -> None:
+    """Serve a camera over TCP (the camera-host process).
+
+    ``python -m pointcloud_depthfusion_tpu.io.network --name camera_left
+    --port 7447`` streams the synthetic camera; ``--dataset rec.npz``
+    replays a recording instead.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--name", default="camera_left",
+                        choices=["camera_left", "camera_right"])
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=7447)
+    parser.add_argument("--width", type=int, default=848)
+    parser.add_argument("--height", type=int, default=480)
+    parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--frames", type=int, default=0,
+                        help="stop after N frames per client (0 = endless)")
+    parser.add_argument("--dataset", default="",
+                        help="replay a recorded .npz dataset (carries its "
+                        "own intrinsics) instead of the synthetic camera")
+    args = parser.parse_args()
+
+    # The camera-host process is pure-host work; keep jax off the
+    # accelerator so calibration field reads never ride a device link.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    if args.dataset:
+        from pointcloud_depthfusion_tpu.io.recorded import RecordedSource
+
+        source: FramesetSource = RecordedSource(args.dataset, loop=True)
+    else:
+        from pointcloud_depthfusion_tpu.io.feeder import (
+            NativeSyntheticSource,
+            SyntheticSource,
+        )
+        from pointcloud_depthfusion_tpu.io.synthetic import (
+            SyntheticScene,
+            two_camera_rig,
+        )
+        from pointcloud_depthfusion_tpu.runtime import is_available
+
+        w, h = args.width, args.height
+        fx = 631.0 * w / 848.0
+        intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
+        wl, wr = two_camera_rig()
+        pose = wl if args.name == "camera_left" else wr
+        cls = NativeSyntheticSource if is_available() else SyntheticSource
+        # The source always needs a timestamp cadence; --fps 0 only
+        # disables the SERVER's send pacing.
+        source = cls(SyntheticScene(), intr, pose, fps=args.fps or 30.0,
+                     depth_noise_std=0.002, hole_fraction=0.01)
+
+    server = FramesetStreamServer(
+        source, host=args.host, port=args.port, name=args.name,
+        fps=args.fps, max_frames=args.frames or None,
+    )
+    server.start()
+    print(f"{args.name}: serving framesets on {server.host}:{server.port} "
+          f"({args.fps} FPS)")
+    try:
+        import time
+
+        while True:
+            time.sleep(5)
+            print(f"sent {server.frames_sent} dropped {server.frames_dropped}")
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

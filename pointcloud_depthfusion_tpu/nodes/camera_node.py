@@ -426,7 +426,7 @@ class CameraNode(FramesetSource):
             # Re-read per iteration: attach_config's ``fps`` handler retunes
             # the loop rate of a RUNNING node (config.cpp dynamic
             # reconfigure semantics).
-            period = 1.0 / self.fps
+            period = 1.0 / self.fps if self.fps > 0 else 0.0
             t0 = time.perf_counter()
             if self.capture() is None:
                 return
@@ -473,9 +473,20 @@ def main() -> None:
     parser.add_argument("--out", default="",
                         help="output dataset (.npz or .pdfe); empty = none")
     parser.add_argument("--fps", type=float, default=0.0)
+    parser.add_argument("--source", default="",
+                        help="tcp://host:port — front a remote frameset "
+                        "stream (io/network.py server on the camera host) "
+                        "instead of the local synthetic camera")
     args = parser.parse_args()
 
     import numpy as np  # noqa: PLC0415
+
+    # Capture/record is pure host work; keep jax off the accelerator (the
+    # dev TPU relay can stall for minutes on backend init, and calibration
+    # field reads would each ride the link).
+    import jax  # noqa: PLC0415
+
+    jax.config.update("jax_platforms", "cpu")
 
     from pointcloud_depthfusion_tpu.core.camera import (  # noqa: PLC0415
         Intrinsics,
@@ -498,15 +509,24 @@ def main() -> None:
     if args.height:
         h = args.height
     fps = args.fps or preset["fps"]
-    fx = 631.0 * w / 1280.0
-    intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
-    wl, wr = two_camera_rig()
-    pose = wl if args.name == "camera_left" else wr
-    src_cls = NativeSyntheticSource if is_available() else SyntheticSource
-    source = src_cls(
-        SyntheticScene(), intr, pose, fps=fps,
-        depth_noise_std=0.002, hole_fraction=0.01,
-    )
+    if args.source.startswith("tcp://"):
+        from pointcloud_depthfusion_tpu.io.network import NetworkSource  # noqa: PLC0415
+
+        host, _, port = args.source[len("tcp://"):].partition(":")
+        source = NetworkSource(host, int(port or 7447))
+        intr = source.intrinsics
+        w, h = intr.width, intr.height
+        fps = args.fps or source.fps or 30.0
+    else:
+        fx = 631.0 * w / 1280.0
+        intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
+        wl, wr = two_camera_rig()
+        pose = wl if args.name == "camera_left" else wr
+        src_cls = NativeSyntheticSource if is_available() else SyntheticSource
+        source = src_cls(
+            SyntheticScene(), intr, pose, fps=fps,
+            depth_noise_std=0.002, hole_fraction=0.01,
+        )
     node = CameraNode(args.name, source, fps=fps)
 
     frames = []

@@ -1,0 +1,136 @@
+"""TCP frameset streaming tests (loopback): the cross-machine capture
+transport (the reference's DDS/UDP hop between the two Jetson hosts,
+README.md:14-34, exercised over a real socket)."""
+
+import threading
+import time
+
+import numpy as np
+
+from pointcloud_depthfusion_tpu.core.camera import Extrinsics, Intrinsics
+from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+from pointcloud_depthfusion_tpu.io.network import (
+    FramesetStreamServer,
+    NetworkSource,
+)
+from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene, two_camera_rig
+
+W, H = 48, 36
+
+
+def make_source(seed=1, pose=None, w=W, h=H):
+    intr = Intrinsics.create(w, h, fx=40.0 * w / W, fy=40.0 * w / W,
+                             ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    return SyntheticSource(scene, intr, pose if pose is not None else wl,
+                           seed=seed, depth_noise_std=0.001), intr
+
+
+def test_stream_round_trip_bit_exact():
+    """Frames received over the socket decode bit-identically to the
+    source frames (PNG compression is lossless for u16 depth + rgb8)."""
+    src, intr = make_source(seed=7)
+    ref, _ = make_source(seed=7)  # identical twin for expected frames
+    rot = np.eye(3)
+    rot[0, 1] = 1e-3  # non-trivial extrinsics survive the handshake
+    ext = Extrinsics.create(rot, [0.015, 0.0, -0.001])
+    with FramesetStreamServer(src, fps=0.0, name="camera_left",
+                              depth_to_color=ext, max_frames=5) as server:
+        client = NetworkSource("127.0.0.1", server.port)
+        assert client.name == "camera_left"
+        np.testing.assert_allclose(
+            np.asarray(client.intrinsics.fx), np.asarray(intr.fx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(client.depth_to_color.translation),
+            [0.015, 0.0, -0.001], atol=1e-7,
+        )
+        got = []
+        while True:
+            fs = client.next_frame()
+            if fs is None:
+                break
+            got.append(fs)
+    assert len(got) == 5
+    for fs in got:
+        want = ref.next_frame()
+        np.testing.assert_array_equal(fs.depth, want.depth)
+        np.testing.assert_array_equal(fs.color, want.color)
+        assert abs(fs.timestamp - want.timestamp) < 1e-9
+    assert client.next_frame() is None  # stays ended
+
+
+def test_network_source_feeds_camera_node_and_feeder():
+    """A NetworkSource is a first-class FramesetSource: CameraNode +
+    DeviceFeeder pair two remote streams end to end."""
+    from pointcloud_depthfusion_tpu.io.feeder import DeviceFeeder
+    from pointcloud_depthfusion_tpu.nodes.camera_node import CameraNode
+
+    wl, wr = two_camera_rig(baseline=0.3)
+    src_l, _ = make_source(seed=1, pose=wl)
+    src_r, _ = make_source(seed=2, pose=wr)
+    with FramesetStreamServer(src_l, fps=0.0, max_frames=6) as sl, \
+            FramesetStreamServer(src_r, fps=0.0, max_frames=6) as sr:
+        cam_l = CameraNode("camera_left",
+                           NetworkSource("127.0.0.1", sl.port),
+                           temporal_filter=False)
+        cam_r = CameraNode("camera_right",
+                           NetworkSource("127.0.0.1", sr.port),
+                           temporal_filter=False)
+        params = cam_l.get_camera_parameters()
+        assert params.color_info.width == W
+        feeder = DeviceFeeder(cam_l, cam_r)
+        pairs = 0
+        with feeder:
+            while True:
+                pair = feeder.get(timeout=20.0)
+                if pair is None:
+                    break
+                assert pair.left.depth.shape == (H, W)
+                pairs += 1
+    assert pairs >= 4  # both streams stamped identically → all pairable
+
+
+def test_server_drops_oldest_when_client_stalls():
+    """Best-effort QoS: a stalled consumer loses old frames, not liveness.
+
+    Frames must be large enough that the kernel's TCP buffers cannot absorb
+    the whole stream (otherwise sendall never blocks and nothing drops)."""
+    src, _ = make_source(seed=3, w=320, h=240)
+    server = FramesetStreamServer(src, fps=0.0, queue_size=2, max_frames=40,
+                                  sndbuf=16384)
+    server.start()
+    try:
+        client = NetworkSource("127.0.0.1", server.port)
+        time.sleep(2.0)  # don't read: the producer must keep going
+        got = 0
+        while client.next_frame() is not None:
+            got += 1
+        # some frames arrived, and the backlog was bounded
+        assert got >= 1
+        assert server.frames_dropped > 0
+        assert got + server.frames_dropped <= 40 + 2
+    finally:
+        server.stop()
+
+
+def test_server_reaccepts_after_disconnect():
+    src, _ = make_source(seed=4)
+    server = FramesetStreamServer(src, fps=0.0, max_frames=3)
+    server.start()
+    try:
+        c1 = NetworkSource("127.0.0.1", server.port)
+        assert c1.next_frame() is not None
+        c1.close()  # drop mid-stream
+        deadline = time.time() + 10.0
+        c2 = None
+        while time.time() < deadline:
+            try:
+                c2 = NetworkSource("127.0.0.1", server.port, timeout_s=2.0)
+                break
+            except (ConnectionError, OSError):
+                time.sleep(0.1)
+        assert c2 is not None and c2.next_frame() is not None
+    finally:
+        server.stop()

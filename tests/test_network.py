@@ -134,3 +134,19 @@ def test_server_reaccepts_after_disconnect():
         assert c2 is not None and c2.next_frame() is not None
     finally:
         server.stop()
+
+
+def test_realsense_bridge_guarded_absent():
+    """The live-sensor bridge degrades with a clear error on hosts without
+    pyrealsense2 (TPU hosts) instead of failing at import time."""
+    import pytest
+
+    from pointcloud_depthfusion_tpu.io import realsense_host
+
+    try:
+        import pyrealsense2  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="pyrealsense2"):
+            realsense_host.RealsenseSource()
+    # mapping table covers every rs2 distortion id 0-5
+    assert set(realsense_host._RS_DISTORTION) == set(range(6))

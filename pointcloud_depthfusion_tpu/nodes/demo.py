@@ -118,13 +118,13 @@ def main() -> None:
         # (~13× slower); "exact" is bit-identical output via XLA scatters
         # and the right smoke-run default on CPU.
         fusion_cfg = dataclasses.replace(fusion_cfg, render_mode="exact")
+    node_kwargs = factory.fusion_node_kwargs_from_tree(fusion_tree)
+    node_kwargs["async_readback"] = args.async_readback
+    # Streaming QoS: 1 s message lifespan like the reference's fused-frame
+    # subscription (fusion_node.cpp:183-187), unless the config overrides.
+    node_kwargs.setdefault("lifespan_s", 1.0)
     fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg,
-                           async_readback=args.async_readback,
-                           # Streaming QoS: 1 s message lifespan like the
-                           # reference's fused-frame subscription
-                           # (fusion_node.cpp:183-187).
-                           lifespan_s=1.0,
-                           **factory.fusion_node_kwargs_from_tree(fusion_tree))
+                           **node_kwargs)
 
     reg_settings, reg_tree = factory.registration_settings()
     reg_settings = dataclasses.replace(

@@ -105,8 +105,13 @@ def fusion_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
     sink, save_data directory."""
     kwargs = {
         "max_sync_interval_s": float(cfg.get("sync.max_interval_ms", 17.0))
-        / 1e3
+        / 1e3,
+        "donate": bool(cfg.get("donate", True)),
+        "async_readback": bool(cfg.get("async_readback", True)),
     }
+    lifespan = float(cfg.get("qos.lifespan_s", 0.0))
+    if lifespan > 0:
+        kwargs["lifespan_s"] = lifespan
     if bool(cfg.get("profiling.enable_profiling", False)):
         kwargs["profiling_path"] = str(
             cfg.get("profiling.filename", "fusion_node_profiling.txt")

@@ -394,11 +394,16 @@ class FusionPipeline:
             fuse_buffers,
             donate_argnums=(0, 1, 2, 3) if donate else (),
         )
-        if donate and jax.default_backend() == "cpu":
-            # On CPU, jnp.asarray is zero-copy over host numpy buffers, so
-            # XLA cannot take ownership and warns per call. Expected and
-            # harmless (donation is a device-memory optimization; on TPU
-            # the buffers are real device allocations and donate cleanly).
+        if donate:
+            # The donation warning is EXPECTED here and filtered:
+            # - on CPU, jnp.asarray is zero-copy over host numpy buffers,
+            #   so XLA cannot take ownership at all;
+            # - on TPU, donation only ALIASES when an output matches a
+            #   donated input's shape+dtype — the vertical-image fuse maps
+            #   (H, W, 3) u8 color to a (W, H, 3) image, so inputs degrade
+            #   to early-free (still the point: the per-frame input
+            #   buffers are released as soon as the program consumes them
+            #   instead of surviving until the host drops the Frameset).
             import warnings  # noqa: PLC0415
 
             warnings.filterwarnings(

@@ -746,11 +746,13 @@ def default_multiscale_configs(
             GICPConfig.create(
                 resolution=r,
                 voxel_size=voxel_size,
-                # One static trip cap for every stage (shared executable);
-                # coarse stages exit earlier via their scaled epsilons, and
-                # the coarse_iterations cap is enforced by the while_loop
-                # predicate through max_iterations only on the final stage.
+                # One STATIC trip bound for every stage (shared
+                # executable); the coarse stages' hard budget rides the
+                # TRACED iteration_cap leaf instead.
                 max_iterations=max_iterations,
+                iteration_cap=max_iterations if last else min(
+                    coarse_iterations, max_iterations
+                ),
                 rotation_eps=final_rot if last else max(final_rot, 1e-2),
                 translation_eps=final_trans if last else max(final_trans, r / 100.0),
                 kernel_max_dist=3.0 * r,

@@ -693,8 +693,10 @@ def gicp_register_multiscale(
     start with a large pose offset needs coarse voxels first. This is the
     library-level form of the reference's `adjust_resolution` schedule
     (registration_node.cpp:485-530: initial resolution 0.1 stepping down by
-    0.05 toward the configured value, voxel = 0.1·resolution). Each stage is
-    its own jitted scan; the chain warm-starts from the previous stage.
+    0.05 toward the configured value, voxel = 0.1·resolution). The chain
+    warm-starts each stage from the previous one, and — because every
+    stage knob (resolution, kernel, epsilons, damping, iteration cap) is a
+    traced leaf — all stages share ONE compiled executable.
     """
     result = None
     transform = initial_transform

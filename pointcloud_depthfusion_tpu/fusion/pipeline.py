@@ -394,7 +394,8 @@ class FusionPipeline:
             fuse_buffers,
             donate_argnums=(0, 1, 2, 3) if donate else (),
         )
-        if donate:
+        if donate and not getattr(FusionPipeline, "_donate_warn_filtered", False):
+            FusionPipeline._donate_warn_filtered = True  # filter ONCE
             # The donation warning is EXPECTED here and filtered:
             # - on CPU, jnp.asarray is zero-copy over host numpy buffers,
             #   so XLA cannot take ownership at all;

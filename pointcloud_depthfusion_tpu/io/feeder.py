@@ -376,8 +376,27 @@ class DeviceFeeder:
             if self.error is not None:
                 raise RuntimeError("frameset producer failed") from self.error
             return None
+        deadline = (
+            None if timeout is None else time.perf_counter() + timeout
+        )
         while True:
-            pair = self._q.get(timeout=timeout)
+            # Poll in short slices so an out-of-band stop() (e.g. the
+            # viewer-close shutdown hook) unblocks a waiting consumer —
+            # stop() drains the queue, so the producer's None sentinel can
+            # be lost and a bare blocking get() would hang forever.
+            if self._stop.is_set():
+                self._ended = True
+                return None
+            slice_s = 0.2
+            if deadline is not None:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    raise queue.Empty
+                slice_s = min(slice_s, remaining)
+            try:
+                pair = self._q.get(timeout=slice_s)
+            except queue.Empty:
+                continue
             if pair is None:
                 self._ended = True
                 if self.error is not None:
@@ -402,7 +421,10 @@ class DeviceFeeder:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        if self._started:
+        # stop() can be invoked FROM the producer thread (a frameset
+        # subscriber raising through capture() — e.g. the viewer-close
+        # shutdown hook); joining the current thread would raise.
+        if self._started and self._thread is not threading.current_thread():
             self._thread.join(timeout=2.0)
 
     def __enter__(self) -> "DeviceFeeder":

@@ -13,10 +13,11 @@ FusionNodeApp like any local source.
 Wire protocol (version 1, little-endian):
 
   handshake:  b"PDFN" | u8 version | u32 json_len | json
-              json = {intrinsics, extrinsics (R row-major 9 + t 3),
-                      depth_scale, fps, name}
+              json = {name, fps, intrinsics, extrinsic_rotation (row-major
+              9), extrinsic_translation (3)}
               (the GetCameraParameters service handshake, camera_node
-              .cpp:377-386, folded into connection setup)
+              .cpp:377-386, folded into connection setup; depth_scale
+              rides per-frame in the EncodedFrameset blob)
   per frame:  u32 blob_len | EncodedFrameset blob  (PNG-compressed pair,
               io/encoded.py — the reference's EncodedFrameset message put
               to work)
@@ -217,10 +218,20 @@ class FramesetStreamServer:
                 if fs is None or (
                     self.max_frames is not None and sent >= self.max_frames
                 ):
-                    try:
-                        q.put(None, timeout=1.0)
-                    except queue.Full:
-                        pass
+                    # The end sentinel MUST reach the sender even through a
+                    # full queue (drop-oldest like the frame path) — a lost
+                    # sentinel leaves the consumer thread waiting and the
+                    # client hanging instead of a clean end-of-stream.
+                    while not (self._stop.is_set() or done.is_set()):
+                        try:
+                            q.put(None, timeout=0.1)
+                            return
+                        except queue.Full:
+                            try:
+                                q.get_nowait()
+                                self.frames_dropped += 1
+                            except queue.Empty:
+                                pass
                     return
                 blob = EncodedFrameset.encode(fs).to_bytes()
                 sent += 1
@@ -248,6 +259,11 @@ class FramesetStreamServer:
                 try:
                     blob = q.get(timeout=0.5)
                 except queue.Empty:
+                    if not prod.is_alive():
+                        # Producer died without a reachable sentinel (it
+                        # crashed mid-drop): end the stream cleanly anyway.
+                        conn.sendall(struct.pack("<I", 0))
+                        return
                     continue
                 if blob is None:
                     conn.sendall(struct.pack("<I", 0))  # clean end
@@ -300,8 +316,18 @@ class NetworkSource(FramesetSource):
                 self._sock.close()
                 return None
             blob = _recv_exact(self._sock, n)
+        except socket.timeout:
+            # A frame gap beyond timeout_s is an ERROR, not a clean end —
+            # silently returning None here would shut the whole fusion
+            # pipeline down mid-capture with no diagnostic. Slow-cadence
+            # servers should be consumed with a larger timeout_s.
+            self.close()
+            raise TimeoutError(
+                f"no frame from {self.name} within the socket timeout — "
+                "raise NetworkSource(timeout_s=...) for slow senders"
+            )
         except (ConnectionError, OSError):
-            self._ended = True
+            self.close()
             return None
         return EncodedFrameset.from_bytes(blob).decode()
 

@@ -147,7 +147,6 @@ class RealsenseSource(FramesetSource):
         return self._intr
 
     def next_frame(self) -> Optional[HostFrameset]:  # pragma: no cover
-        rs = _require_rs2()
         try:
             frames = self._pipe.wait_for_frames(self.timeout_ms)
         except RuntimeError:

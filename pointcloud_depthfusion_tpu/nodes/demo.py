@@ -37,10 +37,10 @@ def main() -> None:
                         choices=["", "tiled", "exact", "indexed", "packed",
                                  "pallas"],
                         help="override the configured render mode")
-    parser.add_argument("--async-readback", action="store_true", default=True,
+    parser.add_argument("--async-readback", action="store_true", default=None,
                         help="overlap frame N's device->host copy with "
                         "frame N+1's compute (publishes one frame late; "
-                        "the streaming default)")
+                        "the streaming default — flags override the YAML)")
     parser.add_argument("--no-async-readback", dest="async_readback",
                         action="store_false")
     args = parser.parse_args()
@@ -118,11 +118,11 @@ def main() -> None:
         # (~13× slower); "exact" is bit-identical output via XLA scatters
         # and the right smoke-run default on CPU.
         fusion_cfg = dataclasses.replace(fusion_cfg, render_mode="exact")
+    # Streaming defaults (donate/async_readback/qos.lifespan_s) come from
+    # the YAML tier; explicit CLI flags override.
     node_kwargs = factory.fusion_node_kwargs_from_tree(fusion_tree)
-    node_kwargs["async_readback"] = args.async_readback
-    # Streaming QoS: 1 s message lifespan like the reference's fused-frame
-    # subscription (fusion_node.cpp:183-187), unless the config overrides.
-    node_kwargs.setdefault("lifespan_s", 1.0)
+    if args.async_readback is not None:
+        node_kwargs["async_readback"] = args.async_readback
     fusion = FusionNodeApp(cam_left, cam_right, config=fusion_cfg,
                            **node_kwargs)
 

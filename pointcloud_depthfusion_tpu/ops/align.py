@@ -157,12 +157,19 @@ def align_depth_to_color(
     Returns:
       (Hc, Wc) uint16 aligned depth.
     """
-    if method is None:
-        method = "binned" if jax.default_backend() == "tpu" else "scatter"
     if max_footprint == "auto":
         max_footprint = auto_footprint(
             depth_intrinsics, color_intrinsics, depth_to_color
         )
+    if method is None:
+        # binned cost scales as k² in scatter-buffer memory and ~(k²)²/4 in
+        # unrolled stencil passes; past k=4 (the conservative-envelope
+        # fallback can return 8) the direct K²-entry sort stays the safer
+        # program shape.
+        if jax.default_backend() == "tpu":
+            method = "binned" if max_footprint <= 4 else "sorted"
+        else:
+            method = "scatter"
     dh, dw = depth_u16.shape
     ch, cw = color_intrinsics.height, color_intrinsics.width
     n_px = cw * ch

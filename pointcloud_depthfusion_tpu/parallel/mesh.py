@@ -312,6 +312,7 @@ def rig_fuse(
     config: FusionConfig,
     z_near: float = 0.25,
     z_far: float = 4.5,
+    multi_stream: bool = False,
 ):
     """Single-device N-camera rig fusion (no mesh/collectives).
 
@@ -325,6 +326,10 @@ def rig_fuse(
     bit-exact sort+resolve render (one sort for ALL cameras instead of
     per-camera scatters — the path that scales past the v5e scatter floor);
     "packed" the lossy (zq14|RGB666) single-scatter fold; other modes raise.
+
+    ``multi_stream=True`` sorts per camera and merges the sorted slabs in
+    the resolve kernel — measured SLOWER at the default geometry (see
+    _tiled_rig_body.local_minbufs), exposed for denser-slab workloads.
     """
     if _rig_render_mode(config) == "tiled":
         _, _, local_minbufs, unpack_t = _tiled_rig_body(
@@ -333,7 +338,10 @@ def rig_fuse(
 
         @jax.jit
         def fn_tiled(depth, color, depth_scale, cam_to_virtual):
-            minz, mrgb = local_minbufs(depth, color, depth_scale, cam_to_virtual)
+            minz, mrgb = local_minbufs(
+                depth, color, depth_scale, cam_to_virtual,
+                multi_stream=multi_stream,
+            )
             return unpack_t(minz, mrgb)
 
         return fn_tiled

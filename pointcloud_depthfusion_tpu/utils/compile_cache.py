@@ -28,13 +28,16 @@ def enable_persistent_cache(path: str | None = None) -> str:
         "PDF_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "pdf_tpu_xla"),
     )
-    os.makedirs(path, exist_ok=True)
     try:
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # Cache every compilation that takes over a second — the hot-path
         # programs are all well past this; tiny test jits stay out.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
-        pass  # older jax without these flags: cache is best-effort
+        # Best-effort by contract: unwritable cache locations or older jax
+        # without these flags must never break the caller (the driver's
+        # entry() runs this unconditionally).
+        pass
     return path

@@ -110,8 +110,9 @@ def fusion_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
         "async_readback": bool(cfg.get("async_readback", True)),
     }
     lifespan = float(cfg.get("qos.lifespan_s", 0.0))
-    if lifespan > 0:
-        kwargs["lifespan_s"] = lifespan
+    # Always emit the key: an explicit 0 in the YAML must DISABLE the drop
+    # (None), not fall through to some caller-side default.
+    kwargs["lifespan_s"] = lifespan if lifespan > 0 else None
     if bool(cfg.get("profiling.enable_profiling", False)):
         kwargs["profiling_path"] = str(
             cfg.get("profiling.filename", "fusion_node_profiling.txt")

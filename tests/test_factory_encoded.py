@@ -107,19 +107,20 @@ def test_node_kwargs_from_tree(tmp_path):
     assert kw["max_sync_interval_s"] == 0.025
     assert kw["profiling_path"] == "f.csv"
     assert kw["save_data_dir"] == "save_data"
-    # streaming defaults ride the tree too
+    # streaming defaults ride the tree too (default YAML: 1 s lifespan)
     assert kw["donate"] is True and kw["async_readback"] is True
-    assert "lifespan_s" not in kw  # default 0 = disabled
+    assert kw["lifespan_s"] == 1.0
 
     p1b = tmp_path / "ov1b.yaml"
     p1b.write_text(
         "fusion_node:\n  donate: false\n  async_readback: false\n"
-        "  qos:\n    lifespan_s: 1.5\n"
+        "  qos:\n    lifespan_s: 0.0\n"
     )
     _, tree1b = factory.fusion_config(str(p1b))
     kw1b = factory.fusion_node_kwargs_from_tree(tree1b)
     assert kw1b["donate"] is False and kw1b["async_readback"] is False
-    assert kw1b["lifespan_s"] == 1.5
+    # explicit 0 DISABLES the drop (must not fall back to any default)
+    assert kw1b["lifespan_s"] is None
 
     p2 = tmp_path / "ov2.yaml"
     p2.write_text(

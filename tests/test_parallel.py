@@ -263,3 +263,29 @@ def test_rig_fuse_mode_validation():
     assert _rig_render_mode(dataclasses.replace(cfg, render_mode="packed")) == "packed"
     with _pytest.raises(ValueError):
         _rig_render_mode(dataclasses.replace(cfg, render_mode="indexed"))
+
+
+def test_rig_fuse_multi_stream_matches_default():
+    """The per-camera-sort multi-stream resolve (rig_fuse(multi_stream=True))
+    is bit-identical to the default single-sort path."""
+    import jax.numpy as jnp
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 3
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.3)
+    fs = [scene.render(intr, p) for p in poses]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    args = (
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    )
+    a = np.asarray(rig_fuse(intr, intr, config)(*args))
+    b = np.asarray(rig_fuse(intr, intr, config, multi_stream=True)(*args))
+    np.testing.assert_array_equal(a, b)

@@ -213,6 +213,43 @@ def compute_results(width: int, height: int, modes=RENDER_MODES,
     print(f"[{'cpu' if on_cpu else 'tpu'}] align done", file=sys.stderr,
           flush=True)
 
+    # Multi-stream slab resolve vs single-stream on identical entries
+    # (TPU-internal; keeps the off-default zresolve_sorted_streams kernel
+    # honest on real Mosaic, not just under the interpreter).
+    if not on_cpu:
+        rng = np.random.default_rng(11)
+        s_n, n_e, n_p = 4, 40960, 16384
+        from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+            invalid_pixel_id,
+            zresolve_sorted_entries,
+            zresolve_sorted_streams,
+        )
+
+        sp = rng.integers(0, n_p, (s_n, n_e)).astype(np.int32)
+        bad = rng.random((s_n, n_e)) < 0.2
+        sp[bad] = invalid_pixel_id(n_p)
+        sz = rng.integers(1, 1 << 30, (s_n, n_e)).astype(np.int32)
+        sr = rng.integers(0, 1 << 24, (s_n, n_e)).astype(np.int32)
+        sz[bad] = 0x7FFFFFFF
+        sr[bad] = 0x7FFFFFFF
+
+        @jax.jit
+        def both(p, z, r):
+            a = zresolve_sorted_entries(
+                p.reshape(-1), z.reshape(-1), r.reshape(-1), n_p
+            )
+            b = zresolve_sorted_streams(p, z, r, n_p)
+            return a, b
+
+        (a_z, a_r), (b_z, b_r) = both(
+            jnp.asarray(sp), jnp.asarray(sz), jnp.asarray(sr)
+        )
+        out["streams_single_z"] = np.asarray(a_z)
+        out["streams_single_r"] = np.asarray(a_r)
+        out["streams_multi_z"] = np.asarray(b_z)
+        out["streams_multi_r"] = np.asarray(b_r)
+        print("[tpu] streams done", file=sys.stderr, flush=True)
+
     # Voxel-grid build: sorted (Pallas segment-sum) vs scatter, TPU-internal.
     if not on_cpu:
         src, sv, tgt, tv = _build_gicp_inputs()
@@ -283,6 +320,15 @@ def compare(tpu: dict, cpu: dict, width: int, height: int) -> dict:
                 mismatch=_frac_mismatch(tpu[f"align_{variant}"],
                                         tpu["align_scatter"]),
             )
+    if "streams_multi_z" in tpu:
+        add(
+            "zresolve_streams_vs_single_tpu",
+            np.array_equal(tpu["streams_multi_z"], tpu["streams_single_z"])
+            and np.array_equal(tpu["streams_multi_r"],
+                               tpu["streams_single_r"]),
+            z_mismatch=_frac_mismatch(tpu["streams_multi_z"],
+                                      tpu["streams_single_z"]),
+        )
     if "voxel_sorted_count" in tpu:
         counts_eq = np.array_equal(tpu["voxel_sorted_count"],
                                    tpu["voxel_scatter_count"])

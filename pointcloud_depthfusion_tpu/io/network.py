@@ -18,10 +18,19 @@ Wire protocol (version 1, little-endian):
               (the GetCameraParameters service handshake, camera_node
               .cpp:377-386, folded into connection setup; depth_scale
               rides per-frame in the EncodedFrameset blob)
-  per frame:  u32 blob_len | EncodedFrameset blob  (PNG-compressed pair,
-              io/encoded.py — the reference's EncodedFrameset message put
-              to work)
+  per frame:  u32 blob_len | frame blob
   end:        u32 0  (clean end of stream)
+
+Two frame codecs, negotiated via the handshake's ``codec`` field:
+
+  "png"  (default) — EncodedFrameset blob (PNG-compressed pair,
+         io/encoded.py — the reference's EncodedFrameset message put to
+         work); ~10× smaller, costs a PNG encode per frame.
+  "raw"  — uncompressed little-endian pair (what the reference's DDS
+         DepthFrameset actually carries): u32 h | u32 w | f64 timestamp |
+         f32 depth_scale | h·w u16 depth | h·w·3 u8 color. Zero encode
+         cost; ~4.6 MB/frame at 1280×720 (~1.1 Gbps at 30 FPS — wired-LAN
+         territory).
 
 QoS semantics mirror the reference's sensor-data profile: the server keeps
 a bounded per-client queue and drops the OLDEST frame when the consumer
@@ -75,6 +84,30 @@ def _intrinsics_from_json(d: dict) -> Intrinsics:
     )
 
 
+def _encode_raw(fs: HostFrameset) -> bytes:
+    depth = np.ascontiguousarray(fs.depth, dtype="<u2")
+    color = np.ascontiguousarray(fs.color, dtype=np.uint8)
+    h, w = depth.shape
+    header = struct.pack("<IIdf", h, w, fs.timestamp, fs.depth_scale)
+    return header + depth.tobytes() + color.tobytes()
+
+
+def _decode_raw(blob: bytes) -> HostFrameset:
+    hdr = struct.calcsize("<IIdf")
+    h, w, ts, scale = struct.unpack("<IIdf", blob[:hdr])
+    n_d = h * w * 2
+    depth = np.frombuffer(blob, dtype="<u2", count=h * w, offset=hdr).reshape(
+        h, w
+    )
+    color = np.frombuffer(
+        blob, dtype=np.uint8, count=h * w * 3, offset=hdr + n_d
+    ).reshape(h, w, 3)
+    return HostFrameset(
+        depth=depth.copy(), color=color.copy(), timestamp=ts,
+        depth_scale=scale,
+    )
+
+
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = b""
     while len(buf) < n:
@@ -104,10 +137,17 @@ class FramesetStreamServer:
         queue_size: int = 4,
         max_frames: Optional[int] = None,
         sndbuf: Optional[int] = None,
+        codec: str = "png",
     ):
         """``sndbuf``: optional SO_SNDBUF for client connections — bounds
         the kernel-side backlog so the drop-oldest QoS engages promptly on
-        slow links (loopback TCP otherwise autotunes to many MB)."""
+        slow links (loopback TCP otherwise autotunes to many MB).
+
+        ``codec``: "png" (compressed, thin links) or "raw" (zero encode
+        cost, the reference's uncompressed-DDS parity — wired LAN)."""
+        if codec not in ("png", "raw"):
+            raise ValueError(f"codec must be 'png' or 'raw', not {codec!r}")
+        self.codec = codec
         self.source = source
         self.name = name
         self.fps = fps
@@ -165,6 +205,7 @@ class FramesetStreamServer:
             {
                 "name": self.name,
                 "fps": self.fps,
+                "codec": self.codec,
                 "intrinsics": _intrinsics_to_json(self.source.intrinsics),
                 "extrinsic_rotation": self._ext_rot.reshape(-1).tolist(),
                 "extrinsic_translation": self._ext_t.reshape(-1).tolist(),
@@ -233,7 +274,10 @@ class FramesetStreamServer:
                             except queue.Empty:
                                 pass
                     return
-                blob = EncodedFrameset.encode(fs).to_bytes()
+                blob = (
+                    _encode_raw(fs) if self.codec == "raw"
+                    else EncodedFrameset.encode(fs).to_bytes()
+                )
                 sent += 1
                 while True:
                     try:
@@ -295,6 +339,7 @@ class NetworkSource(FramesetSource):
         meta = json.loads(_recv_exact(self._sock, jlen).decode())
         self.name = meta.get("name", "camera")
         self.fps = float(meta.get("fps", 30.0))
+        self.codec = meta.get("codec", "png")
         self._intr = _intrinsics_from_json(meta["intrinsics"])
         self.depth_to_color = Extrinsics.create(
             np.asarray(meta["extrinsic_rotation"], np.float64).reshape(3, 3),
@@ -329,6 +374,8 @@ class NetworkSource(FramesetSource):
         except (ConnectionError, OSError):
             self.close()
             return None
+        if self.codec == "raw":
+            return _decode_raw(blob)
         return EncodedFrameset.from_bytes(blob).decode()
 
     def close(self) -> None:
@@ -358,6 +405,9 @@ def main() -> None:
     parser.add_argument("--fps", type=float, default=30.0)
     parser.add_argument("--frames", type=int, default=0,
                         help="stop after N frames per client (0 = endless)")
+    parser.add_argument("--codec", default="png", choices=["png", "raw"],
+                        help="frame codec: png (compressed) or raw "
+                        "(reference DDS parity, wired LAN)")
     parser.add_argument("--dataset", default="",
                         help="replay a recorded .npz dataset (carries its "
                         "own intrinsics) instead of the synthetic camera")
@@ -397,7 +447,7 @@ def main() -> None:
 
     server = FramesetStreamServer(
         source, host=args.host, port=args.port, name=args.name,
-        fps=args.fps, max_frames=args.frames or None,
+        fps=args.fps, max_frames=args.frames or None, codec=args.codec,
     )
     server.start()
     print(f"{args.name}: serving framesets on {server.host}:{server.port} "

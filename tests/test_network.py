@@ -150,3 +150,27 @@ def test_realsense_bridge_guarded_absent():
             realsense_host.RealsenseSource()
     # mapping table covers every rs2 distortion id 0-5
     assert set(realsense_host._RS_DISTORTION) == set(range(6))
+
+
+def test_raw_codec_round_trip_bit_exact():
+    """The raw (uncompressed) wire codec — the reference's DDS-parity
+    format — round-trips bit-identically, including stamps and scale."""
+    src, intr = make_source(seed=9)
+    ref, _ = make_source(seed=9)
+    with FramesetStreamServer(src, fps=0.0, max_frames=4,
+                              codec="raw") as server:
+        client = NetworkSource("127.0.0.1", server.port)
+        assert client.codec == "raw"
+        got = []
+        while True:
+            fs = client.next_frame()
+            if fs is None:
+                break
+            got.append(fs)
+    assert len(got) == 4
+    for fs in got:
+        want = ref.next_frame()
+        np.testing.assert_array_equal(fs.depth, want.depth)
+        np.testing.assert_array_equal(fs.color, want.color)
+        assert abs(fs.timestamp - want.timestamp) < 1e-9
+        assert fs.depth_scale == np.float32(want.depth_scale)

@@ -394,22 +394,18 @@ class FusionPipeline:
             fuse_buffers,
             donate_argnums=(0, 1, 2, 3) if donate else (),
         )
-        if donate and not getattr(FusionPipeline, "_donate_warn_filtered", False):
-            FusionPipeline._donate_warn_filtered = True  # filter ONCE
-            # The donation warning is EXPECTED here and filtered:
-            # - on CPU, jnp.asarray is zero-copy over host numpy buffers,
-            #   so XLA cannot take ownership at all;
-            # - on TPU, donation only ALIASES when an output matches a
-            #   donated input's shape+dtype — the vertical-image fuse maps
-            #   (H, W, 3) u8 color to a (W, H, 3) image, so inputs degrade
-            #   to early-free (still the point: the per-frame input
-            #   buffers are released as soon as the program consumes them
-            #   instead of surviving until the host drops the Frameset).
-            import warnings  # noqa: PLC0415
-
-            warnings.filterwarnings(
-                "ignore", message="Some donated buffers were not usable"
-            )
+        # The donation warning is EXPECTED for this program and suppressed
+        # PER CALL in process() (never globally — a process-wide filter
+        # would hide genuine donation misuse in unrelated user code):
+        # - on CPU, jnp.asarray is zero-copy over host numpy buffers,
+        #   so XLA cannot take ownership at all;
+        # - on TPU, donation only ALIASES when an output matches a
+        #   donated input's shape+dtype — the vertical-image fuse maps
+        #   (H, W, 3) u8 color to a (W, H, 3) image, so inputs degrade
+        #   to early-free (still the point: the per-frame input
+        #   buffers are released as soon as the program consumes them
+        #   instead of surviving until the host drops the Frameset).
+        self._donate = donate
         self.right_transform = jnp.eye(4, dtype=jnp.float32)
 
     def set_right_transform(self, transform) -> None:
@@ -589,6 +585,20 @@ class FusionPipeline:
         zero = jnp.zeros((), jnp.uint8)
         left_rest = dataclasses.replace(left, depth=zero, color=zero)
         right_rest = dataclasses.replace(right, depth=zero, color=zero)
+        if self._donate:
+            import warnings  # noqa: PLC0415
+
+            # Scoped to THIS dispatch: the unusable-donation warning is
+            # expected here (see __init__) but must stay visible for every
+            # other jitted program in the process.
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message="Some donated buffers were not usable"
+                )
+                return self._fuse_impl(
+                    left.depth, left.color, right.depth, right.color,
+                    left_rest, right_rest, self.right_transform, self.config,
+                )
         return self._fuse_impl(
             left.depth, left.color, right.depth, right.color,
             left_rest, right_rest, self.right_transform, self.config,

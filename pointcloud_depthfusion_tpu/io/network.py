@@ -60,6 +60,11 @@ from pointcloud_depthfusion_tpu.io.feeder import FramesetSource
 
 _MAGIC = b"PDFN"
 _VERSION = 1
+# Wire sanity caps: the u32 length fields come from the peer; a desynced,
+# corrupt, or hostile sender must not drive a multi-GB allocation or an
+# unbounded buffering stall on the fusion host.
+_MAX_HANDSHAKE_BYTES = 1 << 20  # 1 MB of calibration JSON
+_MAX_FRAME_BYTES = 64 << 20  # 64 MB/frame (4K raw pair is ~41 MB)
 
 
 def _intrinsics_to_json(intr: Intrinsics) -> dict:
@@ -94,8 +99,19 @@ def _encode_raw(fs: HostFrameset) -> bytes:
 
 def _decode_raw(blob: bytes) -> HostFrameset:
     hdr = struct.calcsize("<IIdf")
+    if len(blob) < hdr:
+        raise ConnectionError(f"raw frame truncated ({len(blob)} bytes)")
     h, w, ts, scale = struct.unpack("<IIdf", blob[:hdr])
     n_d = h * w * 2
+    # h/w come from the wire: check the declared geometry against the blob
+    # before frombuffer (an attacker-controlled h*w must not out-of-bounds
+    # or allocate absurdly).
+    if h == 0 or w == 0 or h > 16384 or w > 16384:
+        raise ConnectionError(f"implausible raw frame geometry {h}x{w}")
+    if len(blob) != hdr + n_d + h * w * 3:
+        raise ConnectionError(
+            f"raw frame size mismatch: {len(blob)} bytes for {h}x{w}"
+        )
     depth = np.frombuffer(blob, dtype="<u2", count=h * w, offset=hdr).reshape(
         h, w
     )
@@ -172,6 +188,9 @@ class FramesetStreamServer:
         self.host, self.port = self._sock.getsockname()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # Incremented from the producer AND sender threads; tests assert on
+        # these, so guard them (unsynchronized += can under-count).
+        self._stats_lock = threading.Lock()
         self.frames_sent = 0
         self.frames_dropped = 0
         # Built once here (any device fetches for the intrinsics happen at
@@ -270,7 +289,8 @@ class FramesetStreamServer:
                         except queue.Full:
                             try:
                                 q.get_nowait()
-                                self.frames_dropped += 1
+                                with self._stats_lock:
+                                    self.frames_dropped += 1
                             except queue.Empty:
                                 pass
                     return
@@ -286,7 +306,8 @@ class FramesetStreamServer:
                     except queue.Full:
                         try:  # drop-oldest (keep-last QoS)
                             q.get_nowait()
-                            self.frames_dropped += 1
+                            with self._stats_lock:
+                                self.frames_dropped += 1
                         except queue.Empty:
                             pass
                     if self._stop.is_set() or done.is_set():
@@ -313,7 +334,8 @@ class FramesetStreamServer:
                     conn.sendall(struct.pack("<I", 0))  # clean end
                     return
                 conn.sendall(struct.pack("<I", len(blob)) + blob)
-                self.frames_sent += 1
+                with self._stats_lock:
+                    self.frames_sent += 1
         finally:
             done.set()
             prod.join(timeout=2.0)
@@ -336,6 +358,11 @@ class NetworkSource(FramesetSource):
         version, jlen = struct.unpack("<BI", _recv_exact(self._sock, 5))
         if version != _VERSION:
             raise ConnectionError(f"unsupported stream version {version}")
+        if jlen > _MAX_HANDSHAKE_BYTES:
+            raise ConnectionError(
+                f"handshake length {jlen} exceeds the {_MAX_HANDSHAKE_BYTES}"
+                " byte cap (desynced or hostile peer)"
+            )
         meta = json.loads(_recv_exact(self._sock, jlen).decode())
         self.name = meta.get("name", "camera")
         self.fps = float(meta.get("fps", 30.0))
@@ -360,6 +387,12 @@ class NetworkSource(FramesetSource):
                 self._ended = True
                 self._sock.close()
                 return None
+            if n > _MAX_FRAME_BYTES:
+                self.close()
+                raise ConnectionError(
+                    f"frame length {n} exceeds the {_MAX_FRAME_BYTES} byte "
+                    "cap (desynced or hostile peer)"
+                )
             blob = _recv_exact(self._sock, n)
         except socket.timeout:
             # A frame gap beyond timeout_s is an ERROR, not a clean end —

@@ -46,21 +46,28 @@ class FusionNodeApp:
         profiling_path: Optional[str] = None,
         device: Optional[jax.Device] = None,
         save_data_dir: Optional[str] = None,
-        async_readback: bool = True,
-        donate: bool = True,
+        async_readback: bool = False,
+        donate: bool = False,
         lifespan_s: Optional[float] = None,
     ):
-        """``async_readback=True`` (default) double-buffers the output side:
+        """``async_readback=True`` double-buffers the output side:
         frame N's device→host copy is started asynchronously and published
         while frame N+1 computes — the reference's capture-side
         double-buffer/std::async discipline (camera_node.cpp:315-343) applied
-        to the output. Publishing lags one frame; ignored while per-stage
-        profiling is on (stage fences serialize everything anyway).
+        to the output. Publishing lags one frame (``run()`` drains the last
+        frame via :meth:`flush_pending`; callers driving
+        :meth:`process_pair` directly must call it themselves); ignored
+        while per-stage profiling is on (stage fences serialize everything
+        anyway).
 
-        ``donate=True`` (default) donates each frame's depth/color device
+        ``donate=True`` donates each frame's depth/color device
         buffers to the fused program — safe here because the DeviceFeeder
-        uploads FRESH buffers every frame; pass False if the caller re-uses
+        uploads FRESH buffers every frame; keep False if the caller re-uses
         DevicePairs (e.g. processing the same pair twice).
+
+        Both default False (conservative library contract); the streaming
+        application tier opts in via configs/fusion_default.yaml
+        (donate/async_readback keys, read by utils/factory.py).
 
         ``lifespan_s``: drop synchronized pairs older than this at dequeue —
         the reference's 1 s QoS message lifespan (fusion_node.cpp:183-187).

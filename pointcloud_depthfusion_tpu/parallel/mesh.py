@@ -47,8 +47,133 @@ def make_camera_mesh(n_cameras: Optional[int] = None, axis: str = "cam") -> Mesh
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
 
 
+class _RigCalibration:
+    """Shared-or-per-camera source calibration for the rig bodies.
+
+    The reference rig is per-camera calibrated — each camera's handshake
+    delivers its own intrinsics (fusion_node.cpp:92-148) — so the N-camera
+    paths accept either ONE shared :class:`Intrinsics` (homogeneous rig,
+    the cheap broadcast case) or a sequence of N (heterogeneous rig).
+    Per-camera values become (C,) traced leaves that broadcast against the
+    hand-batched (N, H, W) prep as (N, 1, 1) windows; static fields
+    (width/height/distortion model) must agree across cameras — they fix
+    array shapes and program structure.
+
+    Optional per-camera ``rois`` ([x, y, w, h] or None per camera) apply
+    the reference's ROI'd validity mask (kernels.cu:379-384) per camera,
+    like the dual path's roi_left/roi_right.
+    """
+
+    def __init__(self, intrinsics, rois=None):
+        if isinstance(intrinsics, Intrinsics):
+            self.ref = intrinsics
+            self.seq = None
+        else:
+            seq = tuple(intrinsics)
+            if not seq:
+                raise ValueError("need at least one camera's intrinsics")
+            self.ref = seq[0]
+            for it in seq[1:]:
+                if (it.width, it.height, it.model) != (
+                    self.ref.width, self.ref.height, self.ref.model
+                ):
+                    raise ValueError(
+                        "per-camera intrinsics must share width/height/"
+                        "distortion model (they are static shape/program "
+                        "parameters); traced leaves (fx/fy/ppx/ppy/coeffs) "
+                        "may differ freely"
+                    )
+            self.seq = seq
+            f = jnp.float32
+            self.ppx = jnp.stack([it.ppx for it in seq]).astype(f)  # (C,)
+            self.ppy = jnp.stack([it.ppy for it in seq]).astype(f)
+            self.fx = jnp.stack([it.fx for it in seq]).astype(f)
+            self.fy = jnp.stack([it.fy for it in seq]).astype(f)
+            # (5, C): coeffs[k] indexes the polynomial term, matching the
+            # shared case's coeffs[k] scalar (geometry.py:50-61).
+            self.coeffs = jnp.stack(
+                [it.coeffs for it in seq], axis=1
+            ).astype(f)
+        if rois is not None:
+            import numpy as _np
+
+            from pointcloud_depthfusion_tpu.ops.filters import roi_mask
+
+            self.roi_masks = jnp.asarray(_np.stack([
+                _np.asarray(roi_mask(self.ref.height, self.ref.width, r))
+                for r in rois
+            ]))  # (C, H, W) bool
+        else:
+            self.roi_masks = None
+
+    @property
+    def per_camera(self) -> bool:
+        return self.seq is not None or self.roi_masks is not None
+
+    def _take(self, arr, n_local: int, cam_offset):
+        """(..., C) → (..., n_local): slice at a traced device offset
+        (sharded path) or tile to a multiple (batched path)."""
+        c = arr.shape[-1]
+        if cam_offset is not None:
+            return jax.lax.dynamic_slice_in_dim(arr, cam_offset, n_local, -1)
+        if c == n_local:
+            return arr
+        if n_local % c:
+            raise ValueError(
+                f"{n_local} local cameras is not a multiple of the "
+                f"{c} calibrated cameras"
+            )
+        reps = (1,) * (arr.ndim - 1) + (n_local // c,)
+        return jnp.tile(arr, reps)
+
+    def windows(self, n_local: int, cam_offset=None):
+        """Broadcastable (ppx, ppy, fx, fy, coeffs) against (N, H, W)."""
+        if self.seq is None:
+            i = self.ref
+            return i.ppx, i.ppy, i.fx, i.fy, i.coeffs
+        e = lambda a: self._take(a, n_local, cam_offset)[..., :, None, None]
+        return (
+            e(self.ppx), e(self.ppy), e(self.fx), e(self.fy), e(self.coeffs)
+        )
+
+    def valid_roi(self, valid, cam_offset=None):
+        """AND the per-camera ROI masks into an (N, H, W) validity mask."""
+        if self.roi_masks is None:
+            return valid
+        masks = self._take(
+            jnp.moveaxis(self.roi_masks, 0, -1), valid.shape[0], cam_offset
+        )
+        return valid & jnp.moveaxis(masks, -1, 0)
+
+    def at(self, i: int, cam_offset=None) -> Intrinsics:
+        """Camera i's Intrinsics (i local; cam_offset shifts into the
+        global camera axis on sharded paths)."""
+        if self.seq is None:
+            return self.ref
+        if cam_offset is None:
+            return self.seq[i]
+        import dataclasses as _dc
+
+        g = lambda a: jax.lax.dynamic_index_in_dim(
+            a, cam_offset + i, axis=-1, keepdims=False
+        )
+        return _dc.replace(
+            self.ref, ppx=g(self.ppx), ppy=g(self.ppy), fx=g(self.fx),
+            fy=g(self.fy), coeffs=g(self.coeffs),
+        )
+
+    def roi_at(self, i: int, cam_offset=None):
+        if self.roi_masks is None:
+            return None
+        if cam_offset is None:
+            return self.roi_masks[i]
+        return jax.lax.dynamic_index_in_dim(
+            self.roi_masks, cam_offset + i, axis=0, keepdims=False
+        )
+
+
 def _packed_rig_body(
-    intrinsics: Intrinsics,
+    intrinsics,
     fused_intrinsics: Intrinsics,
     config: FusionConfig,
     z_near: float,
@@ -56,18 +181,29 @@ def _packed_rig_body(
 ):
     """Shared per-device rig projection body: all local cameras fold into
     one flat packed-key scatter; returns the local packed buffer plus an
-    unpack helper."""
+    unpack helper.
+
+    ``intrinsics``: one shared Intrinsics or a per-camera sequence
+    (heterogeneous rig — the reference's per-camera handshake calibration,
+    fusion_node.cpp:92-148)."""
+    calib = (
+        intrinsics if isinstance(intrinsics, _RigCalibration)
+        else _RigCalibration(intrinsics)
+    )
     n_px = fused_intrinsics.width * fused_intrinsics.height
     z_bits = 14
     z_levels = jnp.float32((1 << z_bits) - 1)
     sentinel = jnp.uint32(0xFFFFFFFF)
 
-    def project_one(depth1, color1, scale1, t1):
+    def project_one(depth1, color1, scale1, t1, intr1=None, roi1=None):
         d, valid = F.filter_depth(
             depth1, scale1, config.min_depth, config.max_depth
         )
+        if roi1 is not None:
+            valid = valid & roi1
         x, y, z, valid = G.deproject_planar(
-            d.astype(jnp.float32) * scale1, intrinsics, valid
+            d.astype(jnp.float32) * scale1,
+            intr1 if intr1 is not None else calib.ref, valid
         )
         x, y, z = G.transform_planar(x, y, z, t1)
         idx, zc, ok = R.compute_pixel_indices_planar(
@@ -83,7 +219,8 @@ def _packed_rig_body(
         key = jnp.where(ok, (zq << 18) | rgb666, sentinel)
         return idx, key
 
-    def local_buffer(depth, color, depth_scale, cam_to_virtual):
+    def local_buffer(depth, color, depth_scale, cam_to_virtual,
+                     cam_offset=None):
         # Unroll the local-camera loop: vmap of this (purely elementwise)
         # math measured 10× slower than the unrolled form on v5e (188 ms vs
         # 19 ms at 4 cameras) — batched iota/transcendental lowering is
@@ -92,7 +229,9 @@ def _packed_rig_body(
         idxs, keys = [], []
         for i in range(n_local):
             a, k = project_one(
-                depth[i], color[i], depth_scale[i], cam_to_virtual[i]
+                depth[i], color[i], depth_scale[i], cam_to_virtual[i],
+                intr1=calib.at(i, cam_offset),
+                roi1=calib.roi_at(i, cam_offset),
             )
             idxs.append(a.reshape(-1))
             keys.append(k.reshape(-1))
@@ -143,7 +282,7 @@ def _rig_render_mode(config: FusionConfig) -> str:
 
 
 def _tiled_rig_body(
-    intrinsics: Intrinsics,
+    intrinsics,
     fused_intrinsics: Intrinsics,
     config: FusionConfig,
 ):
@@ -162,16 +301,24 @@ def _tiled_rig_body(
         zresolve_sorted_streams,
     )
 
+    calib = (
+        intrinsics if isinstance(intrinsics, _RigCalibration)
+        else _RigCalibration(intrinsics)
+    )
     n_px = fused_intrinsics.width * fused_intrinsics.height
     maxi = jnp.int32(0x7FFFFFFF)
     pad_px = invalid_pixel_id(n_px)
 
-    def entries_one(depth1, color1, scale1, t1, pix_offset=0):
+    def entries_one(depth1, color1, scale1, t1, pix_offset=0, intr1=None,
+                    roi1=None):
         d, valid = F.filter_depth(
             depth1, scale1, config.min_depth, config.max_depth
         )
+        if roi1 is not None:
+            valid = valid & roi1
         x, y, z, valid = G.deproject_planar(
-            d.astype(jnp.float32) * scale1, intrinsics, valid
+            d.astype(jnp.float32) * scale1,
+            intr1 if intr1 is not None else calib.ref, valid
         )
         x, y, z = G.transform_planar(x, y, z, t1)
         idx, zc, ok = R.compute_pixel_indices_planar(
@@ -197,7 +344,7 @@ def _tiled_rig_body(
         return pix, zbits, rgb
 
     def entries_all(depth, color, depth_scale, cam_to_virtual,
-                    pix_offsets=None, per_stream=False):
+                    pix_offsets=None, per_stream=False, cam_offset=None):
         """Hand-batched (N,H,W) prep: one elementwise chain for ALL local
         cameras instead of N unrolled copies.
 
@@ -209,6 +356,10 @@ def _tiled_rig_body(
         ``pix_offsets``: optional (N,) i32 per-camera pixel offset — the
         batched multi-stream path routes each stream into its own slice of
         one flat output buffer this way.
+
+        ``cam_offset``: traced index of this shard's first camera on the
+        global calibration axis (sharded heterogeneous rigs); None selects
+        tile-to-batch resolution instead.
         """
         from pointcloud_depthfusion_tpu.core.camera import Distortion
         from pointcloud_depthfusion_tpu.core.geometry import (
@@ -229,12 +380,16 @@ def _tiled_rig_body(
         ]
         keep = (depth >= lo) & (depth <= hi)
         valid = keep & (depth > 0)
+        valid = calib.valid_roi(valid, cam_offset)
         dm = jnp.where(keep, depth, 0).astype(f) * scale
         u, v = pixel_grid(h, w, f)  # shared across cameras (unbatched iota)
-        nx = (u - intrinsics.ppx) / intrinsics.fx
-        ny = (v - intrinsics.ppy) / intrinsics.fy
-        if intrinsics.model == Distortion.INVERSE_BROWN_CONRADY:
-            nx, ny = _undistort_inverse_brown_conrady(nx, ny, intrinsics.coeffs)
+        # Per-camera calibration broadcasts as (N, 1, 1) windows against the
+        # shared pixel grid (shared rigs keep plain scalars — free).
+        c_ppx, c_ppy, c_fx, c_fy, c_coeffs = calib.windows(n_local, cam_offset)
+        nx = (u - c_ppx) / c_fx
+        ny = (v - c_ppy) / c_fy
+        if calib.ref.model == Distortion.INVERSE_BROWN_CONRADY:
+            nx, ny = _undistort_inverse_brown_conrady(nx, ny, c_coeffs)
         x, y, z = dm * nx, dm * ny, dm
         t = cam_to_virtual.astype(f)
 
@@ -270,7 +425,7 @@ def _tiled_rig_body(
         return pix, zbits, rgb
 
     def local_minbufs(depth, color, depth_scale, cam_to_virtual,
-                      multi_stream=False):
+                      multi_stream=False, cam_offset=None):
         # multi_stream=True: per-camera sorts + the multi-stream slab
         # resolve (zresolve_sorted_streams). MEASURED DEAD END as the rig
         # default on v5e: lax.sort does scale super-linearly (3.26M 3-op =
@@ -285,12 +440,14 @@ def _tiled_rig_body(
         interp = jax.default_backend() == "cpu"
         if multi_stream and n_local >= 2:
             pix, zbits, rgb = entries_all(
-                depth, color, depth_scale, cam_to_virtual, per_stream=True
+                depth, color, depth_scale, cam_to_virtual, per_stream=True,
+                cam_offset=cam_offset,
             )
             return zresolve_sorted_streams(
                 pix, zbits, rgb, n_px, interpret=interp
             )
-        pix, zbits, rgb = entries_all(depth, color, depth_scale, cam_to_virtual)
+        pix, zbits, rgb = entries_all(depth, color, depth_scale, cam_to_virtual,
+                                      cam_offset=cam_offset)
         return zresolve_sorted_entries(
             pix, zbits, rgb, n_px, interpret=interp
         )
@@ -307,12 +464,13 @@ def _tiled_rig_body(
 
 
 def rig_fuse(
-    intrinsics: Intrinsics,
+    intrinsics,
     fused_intrinsics: Intrinsics,
     config: FusionConfig,
     z_near: float = 0.25,
     z_far: float = 4.5,
     multi_stream: bool = False,
+    rois=None,
 ):
     """Single-device N-camera rig fusion (no mesh/collectives).
 
@@ -321,6 +479,15 @@ def rig_fuse(
     single-device backends (measured 300+ ms vs 19 ms for the identical
     computation). Use this for 1-chip rigs; the sharded variant when the
     camera axis actually spans devices.
+
+    ``intrinsics``: one shared Intrinsics (homogeneous rig) or a
+    per-camera sequence — the reference rig is per-camera calibrated via
+    each camera's parameter handshake (fusion_node.cpp:92-148); width/
+    height/distortion model must agree (static shapes), fx/fy/ppx/ppy/
+    coeffs may differ per camera. ``rois``: optional per-camera
+    [x, y, w, h] validity ROIs (None entries = full frame). Depth is
+    expected pre-aligned to color, as the reference's camera nodes deliver
+    (rs2::align runs at capture, realsense.cpp:373-376).
 
     ``render_mode`` "tiled" (or "exact", same winner semantics) selects the
     bit-exact sort+resolve render (one sort for ALL cameras instead of
@@ -331,9 +498,10 @@ def rig_fuse(
     the resolve kernel — measured SLOWER at the default geometry (see
     _tiled_rig_body.local_minbufs), exposed for denser-slab workloads.
     """
+    calib = _RigCalibration(intrinsics, rois)
     if _rig_render_mode(config) == "tiled":
         _, _, local_minbufs, unpack_t = _tiled_rig_body(
-            intrinsics, fused_intrinsics, config
+            calib, fused_intrinsics, config
         )
 
         @jax.jit
@@ -347,7 +515,7 @@ def rig_fuse(
         return fn_tiled
 
     _, local_buffer, unpack = _packed_rig_body(
-        intrinsics, fused_intrinsics, config, z_near, z_far
+        calib, fused_intrinsics, config, z_near, z_far
     )
 
     @jax.jit
@@ -359,12 +527,13 @@ def rig_fuse(
 
 def rig_fuse_sharded(
     mesh: Mesh,
-    intrinsics: Intrinsics,
+    intrinsics,
     fused_intrinsics: Intrinsics,
     config: FusionConfig,
     axis: str = "cam",
     z_near: float = 0.25,
     z_far: float = 4.5,
+    rois=None,
 ):
     """Build the jitted camera-sharded rig fusion step.
 
@@ -381,15 +550,32 @@ def rig_fuse_sharded(
     bit-exact sort+resolve path and the merge to TWO pmin collectives
     (exact f32 z-bits, then the RGB888 of z-winners — the deterministic
     min-RGB tie-break across devices, same semantics as single-chip).
+
+    ``intrinsics``/``rois`` accept per-camera sequences like
+    :func:`rig_fuse`; each shard reads its own cameras' calibration by
+    mesh position (``axis_index``-offset slices of the replicated
+    calibration leaves).
     """
+    calib = _RigCalibration(intrinsics, rois)
+
+    def _cam_offset(n_local):
+        # First global camera of this shard: shard i holds cameras
+        # [i·C_local, (i+1)·C_local). Only needed for per-camera leaves.
+        if not calib.per_camera:
+            return None
+        return jax.lax.axis_index(axis) * n_local
+
     if _rig_render_mode(config) == "tiled":
         _, _, local_minbufs, unpack_t = _tiled_rig_body(
-            intrinsics, fused_intrinsics, config
+            calib, fused_intrinsics, config
         )
         maxi = jnp.int32(0x7FFFFFFF)
 
         def per_device_tiled(depth, color, depth_scale, cam_to_virtual):
-            minz, mrgb = local_minbufs(depth, color, depth_scale, cam_to_virtual)
+            minz, mrgb = local_minbufs(
+                depth, color, depth_scale, cam_to_virtual,
+                cam_offset=_cam_offset(depth.shape[0]),
+            )
             # Exact two-collective merge: global min z-bits, then min RGB
             # among the devices holding that winner depth.
             gz = jax.lax.pmin(minz, axis)
@@ -410,12 +596,13 @@ def rig_fuse_sharded(
         return jax.jit(fn_t)
 
     _, local_buffer, unpack = _packed_rig_body(
-        intrinsics, fused_intrinsics, config, z_near, z_far
+        calib, fused_intrinsics, config, z_near, z_far
     )
 
     def per_device(depth, color, depth_scale, cam_to_virtual):
         # Local shard shapes: (C, H, W), (C, H, W, 3), (C,), (C, 4, 4).
-        local = local_buffer(depth, color, depth_scale, cam_to_virtual)
+        local = local_buffer(depth, color, depth_scale, cam_to_virtual,
+                             cam_offset=_cam_offset(depth.shape[0]))
         # One collective merges depth + color (key order = z-major).
         merged = jax.lax.pmin(local, axis)
         return unpack(merged)
@@ -430,15 +617,20 @@ def rig_fuse_sharded(
 
 
 def batched_rig_fuse(
-    intrinsics: Intrinsics,
+    intrinsics,
     fused_intrinsics: Intrinsics,
     config: FusionConfig,
     batch: int,
     cameras: int,
     z_near: float = 0.25,
     z_far: float = 4.5,
+    rois=None,
 ):
     """Throughput mode: fuse B independent rigs (streams) in one program.
+
+    ``intrinsics``/``rois``: shared, or per-camera sequences of length
+    ``cameras`` (every stream fuses the same physical rig — the traced
+    calibration leaves tile across the batch).
 
     vmapping the renderer would batch the scatter (slow); instead every
     stream scatters into its own slice of ONE flat (B·H·W,) buffer by
@@ -453,6 +645,7 @@ def batched_rig_fuse(
     B·C cameras' entries against a (B·H·W)-pixel output (the kernel's tile
     grid just grows with B).
     """
+    calib = _RigCalibration(intrinsics, rois)
     n_px = fused_intrinsics.width * fused_intrinsics.height
     h_f, w_f = fused_intrinsics.height, fused_intrinsics.width
     stream_offsets = jnp.repeat(
@@ -465,7 +658,7 @@ def batched_rig_fuse(
         )
 
         _, entries_all, _, _ = _tiled_rig_body(
-            intrinsics, fused_intrinsics, config
+            calib, fused_intrinsics, config
         )
         maxi = jnp.int32(0x7FFFFFFF)
         total_px = batch * n_px
@@ -497,7 +690,7 @@ def batched_rig_fuse(
         return fn_tiled
 
     project_one, _, _ = _packed_rig_body(
-        intrinsics, fused_intrinsics, config, z_near, z_far
+        calib, fused_intrinsics, config, z_near, z_far
     )
     sentinel = jnp.uint32(0xFFFFFFFF)
 
@@ -509,6 +702,7 @@ def batched_rig_fuse(
                 idx, key = project_one(
                     depth[b, ci], color[b, ci], depth_scale[b, ci],
                     cam_to_virtual[b, ci],
+                    intr1=calib.at(ci), roi1=calib.roi_at(ci),
                 )
                 # Offset each stream into its own buffer slice; invalid
                 # entries (key == sentinel) go to the shared dump slot.

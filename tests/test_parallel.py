@@ -289,3 +289,166 @@ def test_rig_fuse_multi_stream_matches_default():
     a = np.asarray(rig_fuse(intr, intr, config)(*args))
     b = np.asarray(rig_fuse(intr, intr, config, multi_stream=True)(*args))
     np.testing.assert_array_equal(a, b)
+
+
+def _het_intrinsics(n, w, h):
+    """Per-camera intrinsics with genuinely different fx/fy/ppx/ppy."""
+    return [
+        Intrinsics.create(
+            w, h, fx=45.0 + 4.0 * i, fy=48.0 + 3.0 * i,
+            ppx=w / 2 + (i - 1) * 1.5, ppy=h / 2 - i,
+        )
+        for i in range(n)
+    ]
+
+
+def _het_rig_oracle(fs, poses, intrs, config, fused_intr, rois=None):
+    """N independent per-camera renders merged by the exact z-buffer —
+    the 'N single-camera renders' reference for heterogeneous rigs."""
+    from pointcloud_depthfusion_tpu.core import geometry as G
+    from pointcloud_depthfusion_tpu.ops import filters as F
+    from pointcloud_depthfusion_tpu.ops import render as R
+
+    pts, cols, vals = [], [], []
+    for i, (f, pose, intr) in enumerate(zip(fs, poses, intrs)):
+        roi = None if rois is None else rois[i]
+        d, valid = F.filter_depth(
+            jnp.asarray(f.depth), 0.001, config.min_depth, config.max_depth,
+            roi,
+        )
+        x, y, z, valid = G.deproject_planar(
+            d.astype(jnp.float32) * 0.001, intr, valid
+        )
+        x, y, z = G.transform_planar(x, y, z, jnp.asarray(pose, jnp.float32))
+        pts.append(np.stack(
+            [np.asarray(x).ravel(), np.asarray(y).ravel(),
+             np.asarray(z).ravel()], -1))
+        cols.append(np.asarray(f.color).reshape(-1, 3))
+        vals.append(np.asarray(valid).ravel())
+    img, _ = R.project_zbuffer(
+        jnp.asarray(np.concatenate(pts)),
+        jnp.asarray(np.concatenate(cols)),
+        jnp.asarray(np.concatenate(vals)),
+        fused_intr,
+    )
+    return np.asarray(img)
+
+
+def test_heterogeneous_rig_matches_independent_renders():
+    """Per-camera calibrated rig fusion == N independent single-camera
+    renders merged by z, bit-exactly (VGA-class mixed-calibration rig)."""
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 3
+    w, h = 64, 48
+    intrs = _het_intrinsics(n, w, h)
+    fused_intr = intrs[0]
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.3)
+    fs = [scene.render(intr, p) for intr, p in zip(intrs, poses)]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    img = np.asarray(rig_fuse(intrs, fused_intr, config)(
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    ))
+    ref = _het_rig_oracle(fs, poses, intrs, config, fused_intr)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_heterogeneous_rig_sharded_matches_single():
+    """Sharded heterogeneous rig (per-shard calibration slices) == plain
+    single-device heterogeneous rig, bit for bit, tiled AND packed."""
+    import dataclasses
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 4
+    w, h = 64, 48
+    intrs = _het_intrinsics(n, w, h)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.35)
+    fs = [scene.render(intr, p) for intr, p in zip(intrs, poses)]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    args = (
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    )
+    for mode in ("tiled", "packed"):
+        cfg = dataclasses.replace(config, render_mode=mode)
+        sharded = np.asarray(
+            rig_fuse_sharded(make_camera_mesh(2), intrs, intrs[0], cfg)(*args)
+        )
+        single = np.asarray(rig_fuse(intrs, intrs[0], cfg)(*args))
+        np.testing.assert_array_equal(sharded, single)
+
+
+def test_heterogeneous_batched_matches_per_stream():
+    from pointcloud_depthfusion_tpu.parallel.mesh import batched_rig_fuse, rig_fuse
+
+    w, h = 64, 48
+    B, C = 2, 2
+    intrs = _het_intrinsics(C, w, h)
+    scene = SyntheticScene()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    poses = np.stack(
+        [np.stack(rig_poses(C, radius=0.2 + 0.1 * b)) for b in range(B)])
+    depth = np.zeros((B, C, h, w), np.uint16)
+    color = np.zeros((B, C, h, w, 3), np.uint8)
+    for b in range(B):
+        for c in range(C):
+            f = scene.render(intrs[c], poses[b, c])
+            depth[b, c] = f.depth
+            color[b, c] = f.color
+    scale = np.full((B, C), 0.001, np.float32)
+    fn = batched_rig_fuse(intrs, intrs[0], config, batch=B, cameras=C)
+    out = np.asarray(fn(jnp.asarray(depth), jnp.asarray(color),
+                        jnp.asarray(scale), jnp.asarray(poses, np.float32)))
+    one = rig_fuse(intrs, intrs[0], config)
+    for b in range(B):
+        ref = np.asarray(one(
+            jnp.asarray(depth[b]), jnp.asarray(color[b]),
+            jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_rig_per_camera_roi():
+    """Per-camera ROIs mask each camera's contribution exactly like
+    filter_depth's ROI'd validity in independent renders."""
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 2
+    w, h = 64, 48
+    intrs = _het_intrinsics(n, w, h)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.3)
+    fs = [scene.render(intr, p) for intr, p in zip(intrs, poses)]
+    rois = [(8, 4, 40, 32), None]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    img = np.asarray(rig_fuse(intrs, intrs[0], config, rois=rois)(
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    ))
+    ref = _het_rig_oracle(fs, poses, intrs, config, intrs[0], rois=rois)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_rig_intrinsics_static_mismatch_raises():
+    import pytest as _pytest
+
+    w, h = 64, 48
+    a = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    b = Intrinsics.create(w, h - 8, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    with _pytest.raises(ValueError, match="static"):
+        rig_fuse([a, b], a, FusionConfig.create(render_mode="tiled"))

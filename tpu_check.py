@@ -425,6 +425,34 @@ def _oracle_main(path: str, width: int, height: int) -> None:
     np.savez_compressed(path, **res)
 
 
+def _source_fingerprint() -> str:
+    """Short hash over the package + gate sources (path, size, mtime).
+
+    Keys the default golden-npz cache so a code change always recomputes
+    the CPU goldens; cheaper than hashing contents and still revision-
+    sensitive (editors/git touch mtimes on any change)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha1()
+    targets = [os.path.join(root, "pointcloud_depthfusion_tpu"),
+               os.path.abspath(__file__)]
+    for target in targets:
+        if os.path.isfile(target):
+            st = os.stat(target)
+            h.update(f"{target}:{st.st_size}:{st.st_mtime_ns}".encode())
+            continue
+        for dirpath, _, files in sorted(os.walk(target)):
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                p = os.path.join(dirpath, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, root)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def run_parity(width: int = 848, height: int = 480,
                oracle_path: str | None = None) -> dict:
     """Full gate: spawn the CPU-golden subprocess, run on-chip, compare.
@@ -439,10 +467,13 @@ def run_parity(width: int = 848, height: int = 480,
     enable_persistent_cache()
 
     reuse = oracle_path is not None and os.path.exists(oracle_path)
-    # v-tag in the default cache name: bump when the gated programs/configs
-    # change so a stale golden npz can never silently fail a good build.
+    # Default cache name keyed by a SOURCE FINGERPRINT (not a hand-bumped
+    # tag): goldens from an older code revision can neither mask a
+    # regression nor fail a good build. Explicit --oracle-cache paths skip
+    # the fingerprint (the caller owns staleness).
     path = oracle_path or os.path.join(
-        tempfile.gettempdir(), f"pdf_tpu_oracle_v2_{width}x{height}.npz"
+        tempfile.gettempdir(),
+        f"pdf_tpu_oracle_{_source_fingerprint()}_{width}x{height}.npz",
     )
     if not reuse and not os.path.exists(path):
         print(f"parity: computing CPU goldens → {path}", file=sys.stderr,

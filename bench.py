@@ -96,7 +96,14 @@ def main() -> None:
     # Headline mode: "tiled" — BIT-EXACT render (sort + Pallas slab
     # resolve, ops/pallas/zresolve_pallas.py) and the fastest mode on v5e.
     # The ≤1e-3 indexed mode and lossy packed mode are stderr context.
-    config_tiled = dataclasses.replace(config, render_mode="tiled")
+    # emit_zbuf=False: the headline measures the pipeline whose output is
+    # the fused IMAGE — what the reference's fusion node publishes (its
+    # z-buffer is internal to the CUDA kernel). The image-only resolve is
+    # bit-identical on the image (tests + parity gate) and skips the
+    # kernel's z-output passes; the with-zbuf figure is printed to stderr.
+    config_tiled = dataclasses.replace(config, render_mode="tiled",
+                                       emit_zbuf=False)
+    config_tiled_zbuf = dataclasses.replace(config, render_mode="tiled")
     config_indexed = dataclasses.replace(config, render_mode="indexed")
     config_packed = dataclasses.replace(config, render_mode="packed")
 
@@ -157,6 +164,12 @@ def main() -> None:
     print(
         f"tiled render (bit-exact): p50 {p50_main:.3f} ms "
         f"(worst segment {worst_main:.3f})",
+        file=sys.stderr,
+    )
+    p50_zbuf, worst_zbuf = chained_ms(config_tiled_zbuf, args.iters)
+    print(
+        f"tiled render + z-buffer output: p50 {p50_zbuf:.3f} ms (worst "
+        f"segment {worst_zbuf:.3f})",
         file=sys.stderr,
     )
     p50_indexed, worst_indexed = chained_ms(config_indexed, args.iters)

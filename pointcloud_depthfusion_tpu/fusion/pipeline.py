@@ -104,6 +104,16 @@ class FusionConfig:
     render_mode: str = dataclasses.field(
         default="tiled", metadata=dict(static=True)
     )
+    # Emit the fused z-buffer alongside the image (FusionResult.zbuf).
+    # The reference's fusion node publishes only the fused COLOR image —
+    # its z-buffer is internal to the CUDA kernel (kernels.cu:239-274) —
+    # but the buffer is kept ON by default for API/parity completeness.
+    # Streaming consumers that only publish the image should set False: in
+    # tiled mode the render then runs the image-only resolve
+    # (zresolve_winner_rgb — about half the Pallas kernel's vector work;
+    # XLA cannot dead-code-eliminate an unused output INSIDE a kernel, so
+    # this must be a static choice, not DCE) and FusionResult.zbuf is None.
+    emit_zbuf: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
     @staticmethod
     def create(
@@ -263,6 +273,7 @@ def fuse(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image, return_planes=True,
             interpret=jax.default_backend() == "cpu",
+            need_zbuf=config.emit_zbuf,
         )
         if config.filter_fused_color:
             image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)

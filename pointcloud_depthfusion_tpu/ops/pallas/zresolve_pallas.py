@@ -105,6 +105,253 @@ def _resolve_kernel(cs_ref, ce_ref, ent_hbm, minz_ref, rgb_ref, buf, sem,
     rgb_ref[:] = mrgb
 
 
+def _resolve3_kernel(cs_ref, ce_ref, sp_hbm, sz_hbm, sr_hbm, minz_ref,
+                     rgb_ref, buf, sem, *, tile_px: int, chunk: int):
+    """Three-operand variant of :func:`_resolve_kernel`: the sorted
+    (pixel, z-bits, RGB) arrays arrive as separate (C, 1, chunk) HBM
+    operands — no (4, N) stack materialization on the XLA side. Winner
+    semantics identical (min z-bits, ties → min packed RGB).
+
+    buf: VMEM (2, 3, 1, chunk) — double-buffered slots × operand rows.
+    sem: (2, 3) DMA semaphores (one per slot × operand; the three per-chunk
+    copies are issued back-to-back and land concurrently).
+
+    The tie-break select drops the original kernel's ``match &`` AND-pass:
+    rsel compares zsel against zc' = (zc == MAX ? −1 : zc); −1 is never a
+    z-bit pattern (valid depths are positive i32, invalid = MAX), so a
+    no-match chunk contributes nothing without re-testing match.
+    """
+    t = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0) + t * tile_px
+    maxi = jnp.int32(_MAXI)
+    cs = cs_ref[t]
+    ce = ce_ref[t]
+
+    def dma(slot, ci):
+        off = pl.multiple_of(ci, 1)
+        return [
+            pltpu.make_async_copy(
+                src.at[off], buf.at[slot, i], sem.at[slot, i]
+            )
+            for i, src in enumerate((sp_hbm, sz_hbm, sr_hbm))
+        ]
+
+    @pl.when(cs < ce)
+    def _():
+        for c in dma(0, cs):
+            c.start()
+
+    def body(ci, carry):
+        minz, mrgb = carry
+        slot = (ci - cs) & jnp.int32(1)
+
+        @pl.when(ci + 1 < ce)
+        def _():
+            for c in dma(1 - slot, ci + 1):
+                c.start()
+
+        for c in dma(slot, ci):
+            c.wait()
+        pix = buf[slot, 0, 0:1, :]
+        zz = buf[slot, 1, 0:1, :]
+        rr = buf[slot, 2, 0:1, :]
+        zsel = jnp.where(pix == rows, zz, maxi)
+        zc = jnp.min(zsel, axis=1, keepdims=True)
+        zcp = jnp.where(zc == maxi, jnp.int32(-1), zc)
+        rsel = jnp.where(zsel == zcp, rr, maxi)
+        rc = jnp.min(rsel, axis=1, keepdims=True)
+        better = zc < minz
+        tie = zc == minz
+        mrgb = jnp.where(better, rc, jnp.where(tie, jnp.minimum(mrgb, rc), mrgb))
+        minz = jnp.minimum(minz, zc)
+        return minz, mrgb
+
+    init = (
+        jnp.full((tile_px, 1), maxi, jnp.int32),
+        jnp.full((tile_px, 1), maxi, jnp.int32),
+    )
+    minz, mrgb = jax.lax.fori_loop(cs, ce, body, init)
+    minz_ref[:] = minz
+    rgb_ref[:] = mrgb
+
+
+def _resolve_rgb_kernel(cs_ref, ce_ref, sp_hbm, sr_hbm, rgb_ref, buf, sem,
+                        *, tile_px: int, chunk: int):
+    """Image-only resolve: ONE select+min pass per chunk.
+
+    Callers pre-reduce the winner search to a 3-key sort (pixel, z-bits,
+    RGB) + first-of-run mask (see :func:`zresolve_winner_rgb`): each pixel
+    then has AT MOST ONE entry whose pix id is valid, and that entry is the
+    lexicographic (min z, tie -> min RGB) winner. The kernel only has to
+    route it to its row — ``min(pix == row ? rgb : MAX)`` — so the full
+    kernel (z-select + z-min + tie-select + rgb-min, 2 operand rows) drops
+    to one select + one min over each (tile_px, chunk) block with 2 DMA'd
+    operands instead of 3. Measured motivation: the resolve tail is
+    proportional VPU work on the (P, C) blocks (double-resolve probe:
+    +2.55 ms for a second resolve, r4), so halving the per-chunk passes is
+    the one lever left after prefetch/geometry/sub-tiling all measured flat.
+    """
+    t = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0) + t * tile_px
+    maxi = jnp.int32(_MAXI)
+    cs = cs_ref[t]
+    ce = ce_ref[t]
+
+    def dma(slot, ci):
+        off = pl.multiple_of(ci, 1)
+        return [
+            pltpu.make_async_copy(
+                src.at[off], buf.at[slot, i], sem.at[slot, i]
+            )
+            for i, src in enumerate((sp_hbm, sr_hbm))
+        ]
+
+    @pl.when(cs < ce)
+    def _():
+        for c in dma(0, cs):
+            c.start()
+
+    def body(ci, mrgb):
+        slot = (ci - cs) & jnp.int32(1)
+
+        @pl.when(ci + 1 < ce)
+        def _():
+            for c in dma(1 - slot, ci + 1):
+                c.start()
+
+        for c in dma(slot, ci):
+            c.wait()
+        pix = buf[slot, 0, 0:1, :]
+        rr = buf[slot, 1, 0:1, :]
+        rsel = jnp.where(pix == rows, rr, maxi)
+        return jnp.minimum(mrgb, jnp.min(rsel, axis=1, keepdims=True))
+
+    init = jnp.full((tile_px, 1), maxi, jnp.int32)
+    rgb_ref[:] = jax.lax.fori_loop(cs, ce, body, init)
+
+
+def zresolve_winner_rgb(
+    pix: Array,
+    zbits: Array,
+    rgb: Array,
+    n_px: int,
+    tile_px: int = 256,
+    chunk: int = 1024,
+    interpret: bool = False,
+) -> Array:
+    """Per-pixel winner RGB only (no z-buffer output) — the fast path for
+    consumers that publish just the fused image (the reference's fusion
+    node publishes the fused color topic; its z-buffer is internal to the
+    CUDA kernel, kernels.cu:239-274).
+
+    Same winner semantics as :func:`zresolve_sorted_entries` (min z-bits,
+    ties -> min packed RGB), restructured so the Pallas kernel does HALF
+    the per-chunk vector work:
+
+      1. sort 3-KEY on (pixel, z-bits, RGB) — the lexicographic winner of
+         every pixel is then the FIRST entry of its run (measured: 3-key
+         sort costs ~+0.2 ms over 1-key at 814k);
+      2. mask every non-first entry's pixel id to the invalid sentinel
+         (one elementwise shift-compare on the sorted array); positions
+         are unchanged, so chunk spans from the UNMASKED sorted pixels
+         still bound each tile's entries;
+      3. the kernel routes each surviving singleton to its row with a
+         single select+min pass (``_resolve_rgb_kernel``).
+
+    Returns mrgb (n_px,) i32 — INT32_MAX where no entry covered the pixel
+    (valid packed RGB is 24-bit, so the sentinel is unambiguous).
+    """
+    n = pix.shape[0]
+    n_tiles = -(-n_px // tile_px)
+    pad_px = n_tiles * tile_px
+
+    n2 = -(-n // chunk) * chunk
+    if n2 != n:
+        pix = jnp.concatenate(
+            [pix, jnp.full((n2 - n,), jnp.int32(_INVALID_PIX))]
+        )
+        fill = jnp.full((n2 - n,), jnp.int32(_MAXI))
+        zbits = jnp.concatenate([zbits, fill])
+        rgb = jnp.concatenate([rgb, fill])
+
+    sp, sz, sr = jax.lax.sort((pix, zbits, rgb), num_keys=3,
+                              is_stable=False)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
+    )
+    spm = jnp.where(first, sp, jnp.int32(_INVALID_PIX))
+
+    cs, ce = _exact_chunk_spans(sp, n_tiles, tile_px, chunk)
+    n_chunks = sp.shape[0] // chunk
+    sp3 = spm.reshape(n_chunks, 1, chunk)
+    sr3 = sr.reshape(n_chunks, 1, chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_px, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 1, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    (mrgb,) = pl.pallas_call(
+        functools.partial(_resolve_rgb_kernel, tile_px=tile_px, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cs, ce, sp3, sr3)
+    return mrgb.reshape(-1)[:n_px]
+
+
+def _exact_chunk_spans(sp: Array, n_tiles: int, tile_px: int, chunk: int):
+    """Exact per-tile (cs, ce) chunk spans from the SORTED pixel array —
+    without jnp.searchsorted.
+
+    jnp.searchsorted's default binary search lowers to ~log2(N) SEQUENTIAL
+    small gathers (≈20 dependent gather kernels at 814k entries — measured
+    as the bulk of the 0.79 ms resolve feed). Two-level direct computation
+    instead:
+
+      1. chunk-start samples g[c] = sp[c·chunk] (a free reshape + column
+         slice) locate each tile boundary's chunk with ONE broadcast
+         compare + row-sum over the tiny (T+1, C) grid;
+      2. one (T+1, chunk) ROW gather of the containing chunks + a second
+         broadcast compare gives the exact within-chunk offset (row
+         gathers cost per row on v5e — (T+1) rows is noise vs the 20
+         sequential gathers they replace).
+
+    Returns exactly searchsorted's starts split into (cs, ce) =
+    (starts[:-1] // chunk, ceil(starts[1:] / chunk)).
+    """
+    n = sp.shape[0]
+    n_chunks = n // chunk
+    sp2d = sp.reshape(n_chunks, chunk)
+    g = sp2d[:, 0]  # (C,) first sorted pixel of each chunk
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px  # (T+1,)
+    # chunk containing each boundary: #{c : g[c] < bound} − 1, clipped.
+    below = jnp.sum(
+        (g[None, :] < bounds[:, None]).astype(jnp.int32), axis=1
+    )
+    cb = jnp.clip(below - 1, 0, n_chunks - 1)  # (T+1,)
+    rows = sp2d[cb]  # (T+1, chunk) — one row gather
+    w = jnp.sum((rows < bounds[:, None]).astype(jnp.int32), axis=1)
+    starts = cb * chunk + w
+    cs = starts[:-1] // chunk
+    ce = (starts[1:] + chunk - 1) // chunk
+    return cs, ce
+
+
 def zresolve_sorted_entries(
     pix: Array,
     zbits: Array,
@@ -113,6 +360,7 @@ def zresolve_sorted_entries(
     tile_px: int = 256,
     chunk: int = 1024,
     interpret: bool = False,
+    legacy_feed: bool = False,
 ) -> Tuple[Array, Array]:
     """Per-pixel (min z-bits, RGB-of-winner) from UNSORTED entry triples.
 
@@ -151,16 +399,64 @@ def zresolve_sorted_entries(
     else:
         sp, sz, sr = jax.lax.sort((pix, zbits, rgb), num_keys=1,
                                   is_stable=False)
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px
-    starts = jnp.searchsorted(sp, bounds).astype(jnp.int32)
-    cs = starts[:-1] // chunk
-    ce = (starts[1:] + chunk - 1) // chunk
-    ent = jnp.stack([sp, sz, sr, sp])  # row 3 pads the (4, 128) HBM tile
+    if legacy_feed:
+        # Round-3 feed kept for A/B measurement: jnp.searchsorted bounds +
+        # a materialized (4, N) stack through the original kernel.
+        bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px
+        starts = jnp.searchsorted(sp, bounds).astype(jnp.int32)
+        cs = starts[:-1] // chunk
+        ce = (starts[1:] + chunk - 1) // chunk
+        ent = jnp.stack([sp, sz, sr, sp])  # row 3 pads the (4, 128) tile
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec(
+                    (tile_px, 1), lambda t, *_: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tile_px, 1), lambda t, *_: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, chunk), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        minz, mrgb = pl.pallas_call(
+            functools.partial(_resolve_kernel, tile_px=tile_px, chunk=chunk),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
+                jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(cs, ce, ent)
+        return minz.reshape(-1)[:n_px], mrgb.reshape(-1)[:n_px]
+
+    cs, ce = _exact_chunk_spans(sp, n_tiles, tile_px, chunk)
+
+    # Feed the kernel the three sorted arrays DIRECTLY (free reshapes to
+    # (C, 1, chunk)) instead of materializing a (4, N) jnp.stack: the stack
+    # wrote+read 16·N bytes per frame and existed only to satisfy HBM
+    # sublane tiling. Three per-chunk DMAs (one per operand, separate
+    # semaphores, issued back-to-back) replace the single (4, chunk) copy.
+    n_chunks = sp.shape[0] // chunk
+    sp3 = sp.reshape(n_chunks, 1, chunk)
+    sz3 = sz.reshape(n_chunks, 1, chunk)
+    sr3 = sr.reshape(n_chunks, 1, chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=[
             pl.BlockSpec(
                 (tile_px, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
@@ -170,19 +466,19 @@ def zresolve_sorted_entries(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 4, chunk), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, 1, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     minz, mrgb = pl.pallas_call(
-        functools.partial(_resolve_kernel, tile_px=tile_px, chunk=chunk),
+        functools.partial(_resolve3_kernel, tile_px=tile_px, chunk=chunk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
             jax.ShapeDtypeStruct((pad_px, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(cs, ce, ent)
+    )(cs, ce, sp3, sz3, sr3)
     return minz.reshape(-1)[:n_px], mrgb.reshape(-1)[:n_px]
 
 

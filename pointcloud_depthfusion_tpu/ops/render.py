@@ -421,6 +421,7 @@ def project_zbuffer_tiled_planar(
     interpret: bool = False,
     tile_px: int = 256,
     chunk: int = 1024,
+    need_zbuf: bool = True,
 ) -> Tuple[Array, Array]:
     """Scatter-free BIT-EXACT render: sort by pixel + Pallas tile resolve.
 
@@ -435,10 +436,18 @@ def project_zbuffer_tiled_planar(
     scatters. See ops/pallas/zresolve_pallas.py for the kernel.
     Replaces kernel_project_pointcloud + atomicMinFloat
     (kernels.cu:118-126, :239-274) exactly.
+
+    ``need_zbuf=False`` selects the image-only resolve
+    (zresolve_winner_rgb: 3-key sort + first-of-run mask + single-pass
+    kernel — about half the resolve's vector work) and returns ``None``
+    for the z-buffer; the image is bit-identical to the full path. Use it
+    when only the fused color topic is consumed (the reference publishes
+    the fused image; its z-buffer is kernel-internal).
     """
     from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
         invalid_pixel_id,
         zresolve_sorted_entries,
+        zresolve_winner_rgb,
     )
 
     w, h = intrinsics.width, intrinsics.height
@@ -467,19 +476,28 @@ def project_zbuffer_tiled_planar(
         maxi,
     )
 
-    minz, mrgb = zresolve_sorted_entries(
-        pix, zbits, rgb, n_px, tile_px=tile_px, chunk=chunk, interpret=interpret
-    )
-    covered = minz != maxi
+    if need_zbuf:
+        minz, mrgb = zresolve_sorted_entries(
+            pix, zbits, rgb, n_px, tile_px=tile_px, chunk=chunk,
+            interpret=interpret,
+        )
+        covered = minz != maxi
+        zbuf = jnp.where(
+            covered,
+            jax.lax.bitcast_convert_type(minz, jnp.float32),
+            jnp.float32(jnp.finfo(jnp.float32).max),
+        ).reshape(h, w)
+    else:
+        mrgb = zresolve_winner_rgb(
+            pix, zbits, rgb, n_px, tile_px=tile_px, chunk=chunk,
+            interpret=interpret,
+        )
+        covered = mrgb != maxi
+        zbuf = None
     win = jnp.where(covered, mrgb, 0)
     rp = ((win >> 16) & 0xFF).astype(jnp.uint8).reshape(h, w)
     gp = ((win >> 8) & 0xFF).astype(jnp.uint8).reshape(h, w)
     bp = (win & 0xFF).astype(jnp.uint8).reshape(h, w)
-    zbuf = jnp.where(
-        covered,
-        jax.lax.bitcast_convert_type(minz, jnp.float32),
-        jnp.float32(jnp.finfo(jnp.float32).max),
-    ).reshape(h, w)
     if return_planes:
         return (rp, gp, bp), zbuf
     return jnp.stack([rp, gp, bp], -1), zbuf

@@ -452,7 +452,29 @@ def _tiled_rig_body(
             pix, zbits, rgb, n_px, interpret=interp
         )
 
+    def local_winner_rgb(depth, color, depth_scale, cam_to_virtual,
+                         cam_offset=None):
+        """Image-only resolve for the N-camera rig (FusionConfig.emit_zbuf
+        False): 3-key sort + first-of-run mask + single-pass kernel
+        (zresolve_winner_rgb) — the resolve does about half the vector work
+        of the (minz, mrgb) kernel; the image is bit-identical. SINGLE-
+        DEVICE rigs only: the camera-sharded merge pmin's per-device minz
+        buffers over ICI (rig_fuse_sharded), which needs the z output."""
+        from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+            zresolve_winner_rgb,
+        )
+
+        pix, zbits, rgb = entries_all(depth, color, depth_scale,
+                                      cam_to_virtual, cam_offset=cam_offset)
+        return zresolve_winner_rgb(
+            pix, zbits, rgb, n_px,
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def unpack(minz, mrgb):
+        # image-only callers pass minz=mrgb: coverage is then the RGB
+        # sentinel (valid packed RGB is 24-bit, MAXI unambiguous) — the
+        # parity tests assert the two coverage definitions agree.
         covered = minz != maxi
         win = jnp.where(covered, mrgb, 0)
         img = jnp.stack(
@@ -460,7 +482,7 @@ def _tiled_rig_body(
         ).astype(jnp.uint8)
         return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
 
-    return entries_one, entries_all, local_minbufs, unpack
+    return entries_one, entries_all, local_minbufs, unpack, local_winner_rgb
 
 
 def rig_fuse(
@@ -497,12 +519,27 @@ def rig_fuse(
     ``multi_stream=True`` sorts per camera and merges the sorted slabs in
     the resolve kernel — measured SLOWER at the default geometry (see
     _tiled_rig_body.local_minbufs), exposed for denser-slab workloads.
+
+    ``config.emit_zbuf=False`` (tiled, single-stream) selects the
+    image-only resolve — bit-identical image, ~half the resolve kernel's
+    vector work; use it when only the fused color topic is consumed.
     """
     calib = _RigCalibration(intrinsics, rois)
     if _rig_render_mode(config) == "tiled":
-        _, _, local_minbufs, unpack_t = _tiled_rig_body(
+        _, _, local_minbufs, unpack_t, local_winner = _tiled_rig_body(
             calib, fused_intrinsics, config
         )
+
+        if not config.emit_zbuf and not multi_stream:
+            # Image-only resolve (the fused z-buffer is never produced):
+            # bit-identical image at about half the resolve's vector work.
+
+            @jax.jit
+            def fn_imgonly(depth, color, depth_scale, cam_to_virtual):
+                mrgb = local_winner(depth, color, depth_scale, cam_to_virtual)
+                return unpack_t(mrgb, mrgb)
+
+            return fn_imgonly
 
         @jax.jit
         def fn_tiled(depth, color, depth_scale, cam_to_virtual):
@@ -566,7 +603,7 @@ def rig_fuse_sharded(
         return jax.lax.axis_index(axis) * n_local
 
     if _rig_render_mode(config) == "tiled":
-        _, _, local_minbufs, unpack_t = _tiled_rig_body(
+        _, _, local_minbufs, unpack_t, _ = _tiled_rig_body(
             calib, fused_intrinsics, config
         )
         maxi = jnp.int32(0x7FFFFFFF)
@@ -657,7 +694,7 @@ def batched_rig_fuse(
             zresolve_sorted_entries,
         )
 
-        _, entries_all, _, _ = _tiled_rig_body(
+        _, entries_all, _, _, _ = _tiled_rig_body(
             calib, fused_intrinsics, config
         )
         maxi = jnp.int32(0x7FFFFFFF)

@@ -46,6 +46,7 @@ def fusion_config_from_tree(cfg: ConfigTree) -> FusionConfig:
         align_frames=bool(cfg.get("align_frames", False)),
         set_camera_pose=bool(cfg.get("set_camera_pose", False)),
         render_mode=str(cfg.get("render_mode", "tiled")),
+        emit_zbuf=bool(cfg.get("emit_zbuf", True)),
         roi_left=tuple(roi_left) if roi_left else None,
         roi_right=tuple(roi_right) if roi_right else None,
     )
@@ -85,6 +86,10 @@ def registration_settings_from_tree(cfg: ConfigTree) -> RegistrationSettings:
         save_transform=bool(cfg.get("save_transform", False)),
         publish_clouds=bool(cfg.get("publish_clouds", False)),
         cloud_decimation=int(cfg.get("cloud_decimation", 2)),
+        neighbor_search=str(cfg.get("neighbor_search", "direct1")),
+        outlier_removal=bool(cfg.get("outlier_removal", False)),
+        outlier_resolution=float(cfg.get("outlier_resolution", 0.05)),
+        outlier_stddev_mul=float(cfg.get("outlier_stddev_mul", 1.0)),
     )
 
 

@@ -102,3 +102,120 @@ def test_streams_empty_and_dense_tiles():
     )
     np.testing.assert_array_equal(np.asarray(got_z), want_z)
     np.testing.assert_array_equal(np.asarray(got_r), want_r)
+
+
+def test_exact_chunk_spans_match_searchsorted():
+    """The two-level span computation is exactly jnp.searchsorted."""
+    from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+        _exact_chunk_spans,
+    )
+
+    rng = np.random.default_rng(0)
+    tile_px, chunk = 64, 128
+    for trial in range(5):
+        n_tiles = int(rng.integers(3, 12))
+        n = int(rng.integers(1, 8)) * chunk
+        # sorted pixel ids incl. duplicates, boundary-exact values, and
+        # invalid-id tail
+        sp = np.sort(rng.integers(0, n_tiles * tile_px + 5, size=n))
+        sp[-chunk // 2:] = 0x40000000  # invalid tail
+        sp = np.sort(sp).astype(np.int32)
+        cs, ce = _exact_chunk_spans(jnp.asarray(sp), n_tiles, tile_px, chunk)
+        bounds = np.arange(n_tiles + 1, dtype=np.int64) * tile_px
+        starts = np.searchsorted(sp, bounds).astype(np.int32)
+        np.testing.assert_array_equal(np.asarray(cs), starts[:-1] // chunk)
+        np.testing.assert_array_equal(
+            np.asarray(ce), (starts[1:] + chunk - 1) // chunk
+        )
+
+
+def test_winner_rgb_matches_full_resolve():
+    """Image-only resolve (3-key sort + first-of-run mask + one-pass
+    kernel) returns exactly the full resolve's winner RGB, including
+    coverage (sentinel where no entry landed) and min-RGB tie-breaks."""
+    from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+        invalid_pixel_id,
+        zresolve_sorted_entries,
+        zresolve_winner_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    n_px = 1000
+    n = 4096
+    pix = rng.integers(0, n_px, size=n).astype(np.int32)
+    pix[rng.random(n) < 0.1] = invalid_pixel_id(n_px)
+    # force z ties (small value range) to exercise the min-RGB tie-break
+    zbits = rng.integers(1, 50, size=n).astype(np.int32)
+    rgb = rng.integers(0, 1 << 24, size=n).astype(np.int32)
+    args = (jnp.asarray(pix), jnp.asarray(zbits), jnp.asarray(rgb), n_px)
+    minz, mrgb = zresolve_sorted_entries(*args, tile_px=64, chunk=256,
+                                         interpret=True)
+    got = zresolve_winner_rgb(*args, tile_px=64, chunk=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(mrgb))
+    # coverage must be derivable from the rgb sentinel alone
+    np.testing.assert_array_equal(
+        np.asarray(got) != 0x7FFFFFFF, np.asarray(minz) != 0x7FFFFFFF
+    )
+
+
+def test_fuse_emit_zbuf_false_bit_identical_image():
+    """fuse(emit_zbuf=False) produces the identical image and zbuf=None."""
+    import dataclasses
+
+    from pointcloud_depthfusion_tpu.core.camera import (
+        Intrinsics,
+        fused_virtual_intrinsics,
+    )
+    from pointcloud_depthfusion_tpu.core.frameset import Frameset
+    from pointcloud_depthfusion_tpu.fusion.pipeline import (
+        FusionConfig,
+        fuse,
+    )
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        right_to_left_transform,
+        two_camera_rig,
+    )
+
+    intr = Intrinsics.create(106, 60, fx=80.0, fy=80.0, ppx=53.0, ppy=30.0)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.5, toe_in_deg=8.0)
+    fs_l = scene.render(intr, wl)
+    fs_r = scene.render(intr, wr)
+    left = Frameset.create(fs_l.depth, fs_l.color, intr,
+                           depth_scale=fs_l.depth_scale)
+    right = Frameset.create(fs_r.depth, fs_r.color, intr,
+                            depth_scale=fs_r.depth_scale)
+    t_rl = right_to_left_transform(wl, wr).astype(jnp.float32)
+
+    cfg = FusionConfig.create(render_mode="tiled")
+    fi = fused_virtual_intrinsics(intr, cfg.vertical_image)
+    full = fuse(left, right, t_rl, cfg, fi)
+    fast = fuse(left, right, t_rl,
+                dataclasses.replace(cfg, emit_zbuf=False), fi)
+    np.testing.assert_array_equal(np.asarray(fast.image),
+                                  np.asarray(full.image))
+    assert fast.zbuf is None and full.zbuf is not None
+
+
+def test_three_operand_feed_matches_legacy():
+    """The stack-free 3-operand kernel is bit-identical to the round-3
+    (4, N)-stack feed."""
+    from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
+        invalid_pixel_id,
+        zresolve_sorted_entries,
+    )
+
+    rng = np.random.default_rng(1)
+    n_px = 1000
+    n = 4096
+    pix = rng.integers(0, n_px, size=n).astype(np.int32)
+    pix[rng.random(n) < 0.1] = invalid_pixel_id(n_px)
+    zbits = rng.integers(1, 1 << 30, size=n).astype(np.int32)
+    rgb = rng.integers(0, 1 << 24, size=n).astype(np.int32)
+    args = (jnp.asarray(pix), jnp.asarray(zbits), jnp.asarray(rgb), n_px)
+    a = zresolve_sorted_entries(*args, tile_px=64, chunk=256, interpret=True)
+    b = zresolve_sorted_entries(*args, tile_px=64, chunk=256, interpret=True,
+                                legacy_feed=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

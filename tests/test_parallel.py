@@ -452,3 +452,33 @@ def test_rig_intrinsics_static_mismatch_raises():
 
     with _pytest.raises(ValueError, match="static"):
         rig_fuse([a, b], a, FusionConfig.create(render_mode="tiled"))
+
+
+def test_rig_fuse_image_only_matches_default():
+    """rig_fuse with FusionConfig.emit_zbuf=False (image-only resolve:
+    3-key sort + first-of-run mask + single-pass kernel) is bit-identical
+    to the default (minz, mrgb) resolve."""
+    import jax.numpy as jnp
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 3
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.3)
+    fs = [scene.render(intr, p) for p in poses]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    import dataclasses as _dc
+
+    config_img = _dc.replace(config, emit_zbuf=False)
+    args = (
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    )
+    a = np.asarray(rig_fuse(intr, intr, config)(*args))
+    b = np.asarray(rig_fuse(intr, intr, config_img)(*args))
+    np.testing.assert_array_equal(a, b)

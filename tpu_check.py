@@ -181,6 +181,18 @@ def compute_results(width: int, height: int, modes=RENDER_MODES,
         print(f"[{'cpu' if on_cpu else 'tpu'}] fuse {mode} done",
               file=sys.stderr, flush=True)
 
+    # Image-only tiled resolve (emit_zbuf=False → zresolve_winner_rgb:
+    # 3-key sort + first-of-run mask + one-pass kernel — the bench
+    # headline path). TPU-internal bit-equality against the full resolve.
+    if not on_cpu and "tiled" in modes:
+        cfg_img = dataclasses.replace(config, render_mode="tiled",
+                                      emit_zbuf=False)
+        res_img = jax.jit(
+            lambda l, r, t: fuse(l, r, t, cfg_img, fused_intr).image
+        )(left, right, t_rl)
+        out["fuse_tiled_imgonly"] = np.asarray(res_img)
+        print("[tpu] fuse tiled image-only done", file=sys.stderr, flush=True)
+
     # N-camera rig, tiled path (one flat sort over all cameras' entries).
     rig_intr, rig_args = _build_rig(rig_cameras, width, height)
     rig_cfg = dataclasses.replace(
@@ -312,6 +324,13 @@ def compare(tpu: dict, cpu: dict, width: int, height: int) -> dict:
         img_mismatch=_frac_mismatch(tpu["fuse_tiled_img"],
                                     tpu["fuse_exact_img"]),
     )
+    if "fuse_tiled_imgonly" in tpu:
+        add(
+            "tiled_imgonly_vs_full_tpu",
+            np.array_equal(tpu["fuse_tiled_imgonly"], tpu["fuse_tiled_img"]),
+            img_mismatch=_frac_mismatch(tpu["fuse_tiled_imgonly"],
+                                        tpu["fuse_tiled_img"]),
+        )
     for variant in ("sorted", "binned"):
         if f"align_{variant}" in tpu:
             add(

@@ -87,6 +87,18 @@ class GICPConfig:
     # voxel axis on the lanes. "matrix": the original batched-tensor loop,
     # kept as the readable oracle both are tested against.
     solver: str = dataclasses.field(default="planar", metadata=dict(static=True))
+    # Correspondence model (fast_gicp NeighborSearchMethod analogue;
+    # the reference solver runs GPU_RBF_KERNEL multi-voxel search,
+    # registration.cpp:31). "direct1": one voxel lookup per source point.
+    # "direct7"/"direct27": accumulate kernel-weighted residual terms from
+    # the face-adjacent / full 3×3×3 neighbor voxels too — a source point
+    # whose transformed position falls in an empty voxel still corresponds
+    # through its occupied neighbors, widening the convergence basin by
+    # about one voxel. Planar solver only; cost ≈ one extra row gather +
+    # plane block per neighbor per iteration.
+    neighbor_search: str = dataclasses.field(
+        default="direct1", metadata=dict(static=True)
+    )
 
     @staticmethod
     def create(
@@ -262,6 +274,23 @@ def gicp_register(
     )
 
 
+# Neighbor-voxel offset sets for the correspondence search
+# (fast_gicp NeighborSearchMethod DIRECT1/DIRECT7/DIRECT27).
+_NEIGHBOR_OFFSETS = {
+    "direct1": ((0, 0, 0),),
+    "direct7": (
+        (0, 0, 0),
+        (-1, 0, 0), (1, 0, 0),
+        (0, -1, 0), (0, 1, 0),
+        (0, 0, -1), (0, 0, 1),
+    ),
+    "direct27": tuple(
+        (ox, oy, oz)
+        for ox in (-1, 0, 1) for oy in (-1, 0, 1) for oz in (-1, 0, 1)
+    ),
+}
+
+
 def _sym_inv6(a, b, c, d, e, f):
     """Closed-form inverse of symmetric [[a,b,c],[b,d,e],[c,e,f]] as its 6
     unique components (adjugate over determinant; pure plane math)."""
@@ -289,6 +318,7 @@ def _solve_planar(
     initial_transform: Array,
     config: GICPConfig,
     max_dist: Array,
+    axis_name: str | None = None,
 ) -> GICPResult:
     """Gauss-Newton VGICP loop in structure-of-arrays (plane) form.
 
@@ -301,6 +331,14 @@ def _solve_planar(
     J = [-I | [Rp+t]×] are fully unrolled into plane arithmetic — no
     (M,3,3) tensors survive into the loop body (their trailing 3×3 axes
     map to TPU lanes at ~2% utilization and dominated the solve).
+
+    ``axis_name``: when set, the source planes are a SHARD of the cloud on
+    a mesh axis of that name — every per-point reduction (the 27 normal-
+    equation sums, the correspondence count, the fitness numerator) becomes
+    a local sum + ``psum`` over the axis, so the GN state (transform,
+    convergence flags) stays replicated while the cloud and all O(M) work
+    are point-sharded across devices. The per-iteration collective payload
+    is 29 scalars — ICI-negligible.
     """
     f = jnp.float32
     sx, sy, sz = src_ds[:, 0], src_ds[:, 1], src_ds[:, 2]
@@ -310,6 +348,7 @@ def _solve_planar(
     cs22 = src_cov[:, 1, 1]
     cs23 = src_cov[:, 1, 2]
     cs33 = src_cov[:, 2, 2]
+    neighbor_offsets = _NEIGHBOR_OFFSETS[config.neighbor_search]
 
     def step(carry):
         transform, prev_fitness, done, it_count, _ = carry
@@ -323,29 +362,12 @@ def _solve_planar(
         my = r10 * sx + r11 * sy + r12 * sz + t1
         mz = r20 * sx + r21 * sy + r22 * sz + t2
 
-        # --- correspondence lookup (one packed row gather) ----------------
         cx = jnp.floor(mx / resolution).astype(jnp.int32)
         cy = jnp.floor(my / resolution).astype(jnp.int32)
         cz = jnp.floor(mz / resolution).astype(jnp.int32)
-        idx = V.hash_coords_planar(cx, cy, cz, table_size)
-        rows = tgt_table[idx]
-        rcx = jax.lax.bitcast_convert_type(rows[:, 10], jnp.int32)
-        rcy = jax.lax.bitcast_convert_type(rows[:, 11], jnp.int32)
-        rcz = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
-        found = (
-            (rows[:, 0] >= config.min_voxel_points)
-            & (rcx == cx) & (rcy == cy) & (rcz == cz)
-        )
-        ex = rows[:, 1] - mx
-        ey = rows[:, 2] - my
-        ez = rows[:, 3] - mz
-        ct11, ct12, ct13 = rows[:, 4], rows[:, 5], rows[:, 6]
-        ct22, ct23, ct33 = rows[:, 7], rows[:, 8], rows[:, 9]
-
-        dist2 = ex * ex + ey * ey + ez * ez
-        corr = src_mask & found & (dist2 <= max_dist * max_dist)
 
         # --- B = R C_s Rᵀ (6 components via A = R C_s) --------------------
+        # Per-point, neighbor-independent: hoisted out of the offset loop.
         a11 = r00 * cs11 + r01 * cs12 + r02 * cs13
         a12 = r00 * cs12 + r01 * cs22 + r02 * cs23
         a13 = r00 * cs13 + r01 * cs23 + r02 * cs33
@@ -362,49 +384,74 @@ def _solve_planar(
         b23 = a21 * r20 + a22 * r21 + a23 * r22
         b33 = a31 * r20 + a32 * r21 + a33 * r22
 
-        # --- W = (C_t + B + 1e-6 I)⁻¹ ------------------------------------
-        w11, w12, w13, w22, w23, w33 = _sym_inv6(
-            ct11 + b11 + 1e-6, ct12 + b12, ct13 + b13,
-            ct22 + b22 + 1e-6, ct23 + b23, ct33 + b33 + 1e-6,
-        )
+        # --- per-neighbor correspondence terms, accumulated ---------------
+        # Each (source point, neighbor voxel) pair is an independent
+        # kernel-weighted residual (fast_gicp multi-voxel semantics); with
+        # "direct1" the loop is a single iteration and every op below is
+        # identical to the classic single-lookup body.
+        stack_acc = None
+        n_corr = jnp.int32(0)
+        fit_num = jnp.float32(0.0)
+        for ox, oy, oz in neighbor_offsets:
+            ncx, ncy, ncz = cx + ox, cy + oy, cz + oz
+            idx = V.hash_coords_planar(ncx, ncy, ncz, table_size)
+            rows = tgt_table[idx]
+            rcx = jax.lax.bitcast_convert_type(rows[:, 10], jnp.int32)
+            rcy = jax.lax.bitcast_convert_type(rows[:, 11], jnp.int32)
+            rcz = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
+            found = (
+                (rows[:, 0] >= config.min_voxel_points)
+                & (rcx == ncx) & (rcy == ncy) & (rcz == ncz)
+            )
+            ex = rows[:, 1] - mx
+            ey = rows[:, 2] - my
+            ez = rows[:, 3] - mz
+            ct11, ct12, ct13 = rows[:, 4], rows[:, 5], rows[:, 6]
+            ct22, ct23, ct33 = rows[:, 7], rows[:, 8], rows[:, 9]
 
-        rbf = jnp.where(
-            config.kernel_width > 0,
-            jnp.exp(-0.5 * dist2 / jnp.maximum(config.kernel_width**2, 1e-12)),
-            1.0,
-        )
-        w = corr.astype(f) * rbf
+            dist2 = ex * ex + ey * ey + ez * ez
+            corr = src_mask & found & (dist2 <= max_dist * max_dist)
 
-        # --- normal equations: H = Σ w JᵀWJ, g = Σ w JᵀWr -----------------
-        # J = [-I | S], S = [m]× ⇒ H = [[W, -WS], [(−WS)ᵀ, SᵀWS]],
-        # g = [−Wr ; −m×(Wr)]. P = W·S and Q = SᵀWS unrolled below.
-        vx = w11 * ex + w12 * ey + w13 * ez
-        vy = w12 * ex + w22 * ey + w23 * ez
-        vz = w13 * ex + w23 * ey + w33 * ez
+            # --- W = (C_t + B + 1e-6 I)⁻¹ --------------------------------
+            w11, w12, w13, w22, w23, w33 = _sym_inv6(
+                ct11 + b11 + 1e-6, ct12 + b12, ct13 + b13,
+                ct22 + b22 + 1e-6, ct23 + b23, ct33 + b33 + 1e-6,
+            )
 
-        p11 = w12 * mz - w13 * my
-        p12 = w13 * mx - w11 * mz
-        p13 = w11 * my - w12 * mx
-        p21 = w22 * mz - w23 * my
-        p22 = w23 * mx - w12 * mz
-        p23 = w12 * my - w22 * mx
-        p31 = w23 * mz - w33 * my
-        p32 = w33 * mx - w13 * mz
-        p33 = w13 * my - w23 * mx
+            rbf = jnp.where(
+                config.kernel_width > 0,
+                jnp.exp(
+                    -0.5 * dist2 / jnp.maximum(config.kernel_width**2, 1e-12)
+                ),
+                1.0,
+            )
+            w = corr.astype(f) * rbf
 
-        q11 = mz * p21 - my * p31
-        q12 = mz * p22 - my * p32
-        q13 = mz * p23 - my * p33
-        q22 = mx * p32 - mz * p12
-        q23 = mx * p33 - mz * p13
-        q33 = my * p13 - mx * p23
+            # --- normal equations: H = Σ w JᵀWJ, g = Σ w JᵀWr -------------
+            # J = [-I | S], S = [m]× ⇒ H = [[W, -WS], [(−WS)ᵀ, SᵀWS]],
+            # g = [−Wr ; −m×(Wr)]. P = W·S and Q = SᵀWS unrolled below.
+            vx = w11 * ex + w12 * ey + w13 * ez
+            vy = w12 * ex + w22 * ey + w23 * ez
+            vz = w13 * ex + w23 * ey + w33 * ez
 
-        # ONE (27, M) stacked reduction instead of 27 separate jnp.sum calls:
-        # each small reduce is its own kernel launch inside the while_loop
-        # and the fixed launch costs, not the FLOPs, dominated the iteration.
-        sums = jnp.sum(
-            w
-            * jnp.stack(
+            p11 = w12 * mz - w13 * my
+            p12 = w13 * mx - w11 * mz
+            p13 = w11 * my - w12 * mx
+            p21 = w22 * mz - w23 * my
+            p22 = w23 * mx - w12 * mz
+            p23 = w12 * my - w22 * mx
+            p31 = w23 * mz - w33 * my
+            p32 = w33 * mx - w13 * mz
+            p33 = w13 * my - w23 * mx
+
+            q11 = mz * p21 - my * p31
+            q12 = mz * p22 - my * p32
+            q13 = mz * p23 - my * p33
+            q22 = mx * p32 - mz * p12
+            q23 = mx * p33 - mz * p13
+            q33 = my * p13 - mx * p23
+
+            stack = w * jnp.stack(
                 [
                     w11, w12, w13, w22, w23, w33,
                     p11, p12, p13, p21, p22, p23, p31, p32, p33,
@@ -414,9 +461,17 @@ def _solve_planar(
                     mz * vx - mx * vz,
                     mx * vy - my * vx,
                 ]
-            ),
-            axis=1,
-        )
+            )
+            stack_acc = stack if stack_acc is None else stack_acc + stack
+            n_corr = n_corr + jnp.sum(corr, dtype=jnp.int32)
+            fit_num = fit_num + jnp.sum(dist2 * corr.astype(f))
+
+        # ONE (27, M) stacked reduction instead of 27 separate jnp.sum calls:
+        # each small reduce is its own kernel launch inside the while_loop
+        # and the fixed launch costs, not the FLOPs, dominated the iteration.
+        sums = jnp.sum(stack_acc, axis=1)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
         (
             sw11, sw12, sw13, sw22, sw23, sw33,
             sp11, sp12, sp13, sp21, sp22, sp23, sp31, sp32, sp33,
@@ -440,10 +495,12 @@ def _solve_planar(
         delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
         new_transform = G.mm(G.se3_exp(delta), transform)
 
-        n_corr = jnp.sum(corr, dtype=jnp.int32)
+        if axis_name is not None:
+            n_corr = jax.lax.psum(n_corr, axis_name)
+            fit_num = jax.lax.psum(fit_num, axis_name)
         fitness = jnp.where(
             n_corr > 0,
-            jnp.sum(dist2 * corr.astype(f)) / jnp.maximum(n_corr.astype(f), 1.0),
+            fit_num / jnp.maximum(n_corr.astype(f), 1.0),
             jnp.asarray(jnp.finfo(f).max, f),
         )
 
@@ -492,6 +549,73 @@ def _solve_planar(
     )
 
 
+def prep_source(
+    source_points: Array,
+    source_valid: Array,
+    config: GICPConfig,
+) -> Tuple[Array, Array, Array]:
+    """Downsample the source and attach per-point regularized covariances.
+
+    The solve-independent source half of the prep (ApproximateVoxelGrid +
+    fast_gicp's per-point covariance model); split out so distributed
+    entry points (registration/distributed.py) can shard the GN loop over
+    an already-prepared cloud. Returns (src_ds (M,3), src_mask (M,),
+    src_cov (M,3,3)).
+    """
+    with jax.default_matmul_precision("float32"):
+        f = jnp.float32
+        eye3 = jnp.eye(3, dtype=f)
+        src = source_points.reshape(-1, 3).astype(f)
+        sval = source_valid.reshape(-1)
+
+        # --- downsample the source (ApproximateVoxelGrid) -----------------
+        src_ds, src_mask = V.voxel_downsample(
+            src, sval, config.voxel_size, config.table_size
+        )
+
+        # --- source per-point covariances from their voxel neighborhoods --
+        src_grid = V.build_voxel_grid(
+            src_ds, src_mask, config.resolution, config.table_size
+        )
+        sn_count, _, sn_cov = V.neighborhood_moments(src_grid)
+        src_cov_table = jnp.where(
+            (sn_count >= config.min_cov_points)[:, None, None],
+            V.regularize_covariances(sn_cov, config.cov_regularization),
+            eye3,
+        )
+        s_coords = V.voxel_coords(src_ds, config.resolution)
+        s_idx = V.hash_coords(s_coords, config.table_size)
+        s_hit = jnp.all(src_grid.coords[s_idx] == s_coords, axis=-1)
+        src_cov = jnp.where(s_hit[:, None, None], src_cov_table[s_idx], eye3)
+        return src_ds, src_mask, src_cov
+
+
+def pack_target_table(tgt_grid: V.VoxelGrid) -> Array:
+    """Packed (T, 13) per-voxel lookup table, built ONCE per solve: the
+    loop's correspondence lookup reads (count, mean, symmetric cov ×6,
+    coords) with ONE row gather per iteration instead of the four separate
+    gathers in V.lookup_voxels (row gathers cost per row on v5e; saves
+    ~1 ms/iteration — dominant on annealing solves)."""
+    f = jnp.float32
+    cov6 = jnp.stack(
+        [
+            tgt_grid.cov[:, 0, 0], tgt_grid.cov[:, 0, 1],
+            tgt_grid.cov[:, 0, 2], tgt_grid.cov[:, 1, 1],
+            tgt_grid.cov[:, 1, 2], tgt_grid.cov[:, 2, 2],
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate(
+        [
+            tgt_grid.count[:, None],
+            tgt_grid.mean,
+            cov6,
+            jax.lax.bitcast_convert_type(tgt_grid.coords, f),
+        ],
+        axis=-1,
+    )  # (T, 13)
+
+
 def gicp_register_prepared(
     source_points: Array,
     source_valid: Array,
@@ -504,58 +628,30 @@ def gicp_register_prepared(
     """
     with jax.default_matmul_precision("float32"):
         f = jnp.float32
-        eye3 = jnp.eye(3, dtype=f)
-        src = source_points.reshape(-1, 3).astype(f)
-        sval = source_valid.reshape(-1)
-
-        # --- downsample the source (ApproximateVoxelGrid) ---------------------
-        src_ds, src_mask = V.voxel_downsample(src, sval, config.voxel_size, config.table_size)
-
-        # --- source per-point covariances from their voxel neighborhoods ------
-        src_grid = V.build_voxel_grid(src_ds, src_mask, config.resolution, config.table_size)
-        sn_count, _, sn_cov = V.neighborhood_moments(src_grid)
-        src_cov_table = jnp.where(
-            (sn_count >= config.min_cov_points)[:, None, None],
-            V.regularize_covariances(sn_cov, config.cov_regularization),
-            eye3,
+        src_ds, src_mask, src_cov = prep_source(
+            source_points, source_valid, config
         )
-        s_coords = V.voxel_coords(src_ds, config.resolution)
-        s_idx = V.hash_coords(s_coords, config.table_size)
-        s_hit = jnp.all(src_grid.coords[s_idx] == s_coords, axis=-1)
-        src_cov = jnp.where(s_hit[:, None, None], src_cov_table[s_idx], eye3)
 
         max_dist = jnp.where(
             config.kernel_max_dist > 0, config.kernel_max_dist, 3.0 * config.resolution
         )
+        tgt_table = pack_target_table(tgt_grid)
 
-        # Packed per-voxel lookup table, built ONCE per solve: the loop's
-        # correspondence lookup reads (count, mean, symmetric cov ×6, coords)
-        # with ONE (T, 13) row gather per iteration instead of the four
-        # separate gathers in V.lookup_voxels (row gathers cost per row on
-        # v5e; saves ~1 ms/iteration — dominant on annealing solves).
-        cov6 = jnp.stack(
-            [
-                tgt_grid.cov[:, 0, 0], tgt_grid.cov[:, 0, 1],
-                tgt_grid.cov[:, 0, 2], tgt_grid.cov[:, 1, 1],
-                tgt_grid.cov[:, 1, 2], tgt_grid.cov[:, 2, 2],
-            ],
-            axis=-1,
-        )
-        tgt_table = jnp.concatenate(
-            [
-                tgt_grid.count[:, None],
-                tgt_grid.mean,
-                cov6,
-                jax.lax.bitcast_convert_type(tgt_grid.coords, f),
-            ],
-            axis=-1,
-        )  # (T, 13)
-
+        if config.neighbor_search not in _NEIGHBOR_OFFSETS:
+            raise ValueError(
+                f"unknown neighbor_search {config.neighbor_search!r} "
+                f"(expected one of {sorted(_NEIGHBOR_OFFSETS)})"
+            )
         if config.solver == "planar":
             return _solve_planar(
                 src_ds, src_mask, src_cov, tgt_table,
                 tgt_grid.resolution, tgt_grid.table_size,
                 initial_transform, config, max_dist,
+            )
+        if config.neighbor_search != "direct1":
+            raise ValueError(
+                "multi-voxel neighbor_search requires the planar solver "
+                "(the matrix loop is the direct1 readability oracle)"
             )
 
         def lookup_packed(moved):

@@ -38,6 +38,65 @@ def depth_to_u8(depth_u16: np.ndarray, scale: float = 0.1) -> np.ndarray:
                    0, 255).astype(np.uint8)
 
 
+class OpenCVDisplay:
+    """Interactive viewer backend: the reference's OpenCV imshow loop.
+
+    Mirrors image_node.cpp:54-68 exactly: named window, RGB→BGR conversion,
+    ``imshow`` + ``waitKey(1)`` pump, and a ``getWindowProperty`` poll that
+    reports user window-close by raising :class:`WindowClosed` (the
+    reference calls ``rclcpp::shutdown`` there; here ImageNode fires its
+    ``on_close`` hook). Plug into ImageNode via ``display=OpenCVDisplay()``.
+
+    Headless TPU hosts have no display server — construction is cheap and
+    lazy; the first ``__call__`` raises a clear RuntimeError if the GUI
+    stack cannot open a window (keep the default PNG sink there).
+    """
+
+    def __init__(self, window_name: str = "fused_image", cv2_module=None):
+        if cv2_module is None:
+            try:
+                import cv2 as cv2_module  # noqa: PLC0415
+            except ImportError as exc:  # pragma: no cover
+                raise RuntimeError(
+                    "OpenCVDisplay needs the cv2 package; use the PNG sink "
+                    "on hosts without it"
+                ) from exc
+        self._cv2 = cv2_module
+        self.window_name = window_name
+        self._opened = False
+
+    def __call__(self, image: np.ndarray, timestamp: float) -> None:
+        cv2 = self._cv2
+        try:
+            if not self._opened:
+                cv2.namedWindow(self.window_name, cv2.WINDOW_AUTOSIZE)
+                self._opened = True
+            bgr = image[..., ::-1] if image.ndim == 3 else image
+            cv2.imshow(self.window_name, np.ascontiguousarray(bgr))
+            cv2.waitKey(1)
+            # visibility poll == the reference's close detection
+            # (getWindowProperty(WND_PROP_VISIBLE) < 1 → shutdown).
+            if cv2.getWindowProperty(
+                self.window_name, cv2.WND_PROP_VISIBLE
+            ) < 1:
+                raise WindowClosed(self.window_name)
+        except WindowClosed:
+            raise
+        except Exception as exc:  # cv2.error on headless hosts
+            raise RuntimeError(
+                f"OpenCVDisplay could not drive a window ({exc}); this host "
+                "is likely headless — use ImageNode's PNG sink instead"
+            ) from exc
+
+    def close(self) -> None:
+        if self._opened:
+            try:
+                self._cv2.destroyWindow(self.window_name)
+            except Exception:
+                pass
+            self._opened = False
+
+
 class ImageNode:
     def __init__(
         self,

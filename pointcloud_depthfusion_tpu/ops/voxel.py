@@ -452,3 +452,62 @@ def lookup_voxels(
     same_voxel = jnp.all(rep == coords, axis=-1)
     found = (cnt >= min_points) & same_voxel
     return mean, cov, found
+
+
+def statistical_outlier_removal(
+    points: Array,
+    valid: Array,
+    resolution,
+    stddev_mul_thresh: float = 1.0,
+    table_size: int = 1 << 15,
+) -> Array:
+    """Sparse-outlier rejection: the TPU-shaped equivalent of PCL's
+    StatisticalOutlierRemoval (declared by the reference solver,
+    registration.cpp:156-163: setMeanK / setStddevMulThresh).
+
+    PCL computes each point's mean distance to its k nearest neighbors and
+    discards points whose statistic exceeds mean + mult·stddev of the
+    global distribution. Exact kNN is an O(N²)/tree op that maps poorly to
+    XLA; the design inversion keeps PCL's *gate* (global mean/std
+    thresholding of a local-sparsity statistic) but swaps the statistic
+    for voxel-neighborhood machinery the grid already has:
+
+      d_i = distance from p_i to the centroid of the OTHER points in its
+            3×3×3 voxel neighborhood at ``resolution``
+            (self-excluded — an isolated point must not score 0);
+      d_i = 4·resolution (beyond any in-neighborhood distance) when the
+            point has no neighbors at all — PCL's far-kNN case.
+
+    ``resolution`` plays mean_k's role as the locality scale: choose it so
+    a typical inlier has O(mean_k) points within its neighborhood.
+
+    Returns the filtered validity mask (dense-mask discipline, no
+    compaction). Pure jnp + the existing voxel build — jit/TPU safe.
+    """
+    f = jnp.float32
+    pts = points.reshape(-1, 3).astype(f)
+    val = valid.reshape(-1)
+    grid = build_voxel_grid(pts, val, resolution, table_size)
+    n_count, n_mean, _ = neighborhood_moments(grid)
+
+    coords = voxel_coords(pts, resolution)
+    idx = hash_coords(coords, table_size)
+    hit = jnp.all(grid.coords[idx] == coords, axis=-1) & (
+        grid.count[idx] > 0
+    )
+    nc = n_count[idx]
+    mu = n_mean[idx]
+    # Self-excluded neighborhood centroid: μ' = (n·μ − p)/(n−1).
+    lone = nc <= 1.0
+    denom = jnp.maximum(nc - 1.0, 1.0)
+    mu_excl = (mu * nc[:, None] - pts) / denom[:, None]
+    d = jnp.sqrt(jnp.sum((pts - mu_excl) ** 2, axis=-1))
+    far = 4.0 * jnp.asarray(resolution, f)
+    d = jnp.where(lone | ~hit, far, d)
+
+    n_valid = jnp.maximum(jnp.sum(val, dtype=f), 1.0)
+    dv = jnp.where(val, d, 0.0)
+    mean_d = jnp.sum(dv) / n_valid
+    var_d = jnp.sum(jnp.where(val, (d - mean_d) ** 2, 0.0)) / n_valid
+    thresh = mean_d + stddev_mul_thresh * jnp.sqrt(jnp.maximum(var_d, 0.0))
+    return val & (d <= thresh)

@@ -56,6 +56,19 @@ class RegistrationSettings:
     translation_epsilon: float = 1e-4
     fitness_epsilon: float = 1e-12
     table_size: int = 1 << 15
+    # Correspondence model: "direct1" (one voxel per point, the classic
+    # default) or "direct7"/"direct27" (fast_gicp-style multi-voxel
+    # neighbor accumulation — wider convergence basin at ~N× lookup cost
+    # per iteration; see GICPConfig.neighbor_search).
+    neighbor_search: str = "direct1"
+
+    # Sparse-outlier pre-filter (PCL StatisticalOutlierRemoval equivalent;
+    # declared-but-unused in the reference hot path, registration.cpp:
+    # 156-163). Off by default, matching the reference. The resolution is
+    # the locality scale standing in for PCL's mean_k neighbor count.
+    outlier_removal: bool = False
+    outlier_resolution: float = 0.05
+    outlier_stddev_mul: float = 1.0
 
     # Gating / annealing (registration_node.cpp:363-407, :485-530)
     discard_transform: bool = True
@@ -172,7 +185,8 @@ class RegistrationPipeline:
         roi = self.settings.roi_left if which == "left" else self.settings.roi_right
         s = self.settings
         k = max(1, int(s.cloud_decimation))
-        key = (which, s.min_depth, s.max_depth, roi, k)
+        key = (which, s.min_depth, s.max_depth, roi, k,
+               s.outlier_removal, s.outlier_resolution, s.outlier_stddev_mul)
         cached = self._solve_cache.get(key)
         if cached is not None:
             return cached
@@ -195,10 +209,21 @@ class RegistrationPipeline:
             pts, valid = G.deproject(
                 d.astype(jnp.float32) * depth_scale, intr_k, valid
             )
+            pts = pts.reshape(-1, 3)
+            valid = valid.reshape(-1)
+            if s.outlier_removal:
+                from pointcloud_depthfusion_tpu.ops.voxel import (  # noqa: PLC0415
+                    statistical_outlier_removal,
+                )
+
+                valid = statistical_outlier_removal(
+                    pts, valid, s.outlier_resolution,
+                    s.outlier_stddev_mul, s.table_size,
+                )
             # valid-point count rides along as a fused scalar: an eager
             # jnp.sum for telemetry costs a full extra dispatch + D2H
             # round-trip per tick (~28 ms over the relay).
-            return pts.reshape(-1, 3), valid.reshape(-1), jnp.sum(valid)
+            return pts, valid, jnp.sum(valid)
 
         self._solve_cache[key] = to_cloud
         return to_cloud
@@ -273,6 +298,7 @@ class RegistrationPipeline:
             iteration_cap=iteration_cap,
             table_size=s.table_size,
             damping=damping,
+            neighbor_search=s.neighbor_search,
         )
 
     # -- the per-tick entry point -----------------------------------------

@@ -158,3 +158,94 @@ def test_planar_solver_matches_matrix(rng):
     assert abs(float(rp.fitness) - float(rm.fitness)) <= 1e-6 + 0.05 * float(
         rm.fitness
     )
+
+
+def test_neighbor_search_direct1_equals_direct7_on_isolated_voxels():
+    """When every source point sits INSIDE an occupied voxel whose 26
+    neighbors are all empty (sparse lattice, identity pose, one GN step),
+    every neighbor lookup misses and direct7/direct27 accumulate exactly
+    the direct1 terms — the step is bit-identical. (With any pose offset
+    the modes legitimately differ: a point in an empty cell next to an
+    occupied voxel corresponds under direct7 but not direct1 — that IS the
+    basin widening, covered by test_direct27_widens_convergence_basin.)"""
+    rng = np.random.default_rng(5)
+    # voxel centers on a lattice 3 voxels apart + jitter << resolution
+    base = rng.integers(0, 6, size=(500, 3)).astype(np.float32) * 0.3 + 0.05
+    base += rng.normal(0, 0.008, base.shape).astype(np.float32)
+    target = np.unique(base, axis=0)
+    source = target.copy()
+
+    results = {}
+    for ns in ("direct1", "direct7", "direct27"):
+        # table_size 2^17: hash collisions in voxel_downsample average
+        # DISTANT points into phantom centroids between lattice sites,
+        # which land in cells adjacent to occupied voxels and would give
+        # direct7 legitimate extra correspondences (verified: 21 phantoms
+        # at 2^12, 0 at 2^17 for this seed).
+        cfg = GICPConfig.create(
+            resolution=0.1, voxel_size=0.02, kernel_width=0.0,
+            kernel_max_dist=-1.0, max_iterations=1, table_size=1 << 17,
+            neighbor_search=ns,
+        )
+        results[ns] = gicp_register(
+            jnp.asarray(source), jnp.ones(len(source), bool),
+            jnp.asarray(target), jnp.ones(len(target), bool),
+            jnp.eye(4, dtype=jnp.float32), cfg,
+        )
+    assert int(results["direct1"].num_correspondences) > 100
+    for ns in ("direct7", "direct27"):
+        np.testing.assert_array_equal(
+            np.asarray(results[ns].transform),
+            np.asarray(results["direct1"].transform),
+        )
+        assert int(results[ns].num_correspondences) == int(
+            results["direct1"].num_correspondences
+        )
+
+
+def test_direct27_widens_convergence_basin():
+    """fast_gicp multi-voxel correspondence (registration.cpp:31): a
+    12°/15 cm cold start WITHOUT annealing diverges under direct1 but
+    converges under direct27 (measured basin: direct1 reliable to ~8°/10cm,
+    direct27 to ≥12°/15cm at resolution 0.05)."""
+    target = oracles.make_bunny_like_cloud(3000)
+    t_true = known_transform(12.0, 0.15)
+    source = apply(t_true, target).astype(np.float32)
+    want = np.linalg.inv(t_true)
+
+    def solve(ns):
+        cfg = GICPConfig.create(
+            resolution=0.05, voxel_size=0.02, kernel_width=0.0,
+            kernel_max_dist=-1.0, max_iterations=64, table_size=1 << 13,
+            neighbor_search=ns,
+        )
+        res = gicp_register(
+            jnp.asarray(source), jnp.ones(len(source), bool),
+            jnp.asarray(target), jnp.ones(len(target), bool),
+            jnp.eye(4, dtype=jnp.float32), cfg,
+        )
+        got = np.asarray(res.transform)
+        dr = got[:3, :3] @ want[:3, :3].T
+        ang = np.rad2deg(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+        return ang, np.linalg.norm(got[:3, 3] - want[:3, 3])
+
+    ang1, terr1 = solve("direct1")
+    ang27, terr27 = solve("direct27")
+    assert terr1 > 0.05, (ang1, terr1)  # direct1 diverges from here
+    assert ang27 < 1.5 and terr27 < 0.02, (ang27, terr27)
+
+
+def test_neighbor_search_validation():
+    import pytest as _pytest
+
+    target = oracles.make_bunny_like_cloud(500)
+    src = jnp.asarray(target)
+    ones = jnp.ones(len(target), bool)
+    bad = GICPConfig.create(neighbor_search="direct5", table_size=1 << 10)
+    with _pytest.raises(ValueError, match="neighbor_search"):
+        gicp_register(src, ones, src, ones, jnp.eye(4, dtype=jnp.float32), bad)
+    matrix27 = GICPConfig.create(neighbor_search="direct27", solver="matrix",
+                                 table_size=1 << 10)
+    with _pytest.raises(ValueError, match="planar"):
+        gicp_register(src, ones, src, ones, jnp.eye(4, dtype=jnp.float32),
+                      matrix27)

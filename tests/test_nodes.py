@@ -414,3 +414,72 @@ def test_feeder_lifespan_drops_stale_pairs():
     assert feeder.dropped_stale >= 1
     age = time.perf_counter() - fresh.enqueue_time
     assert age <= 0.6
+
+
+def test_opencv_display_backend_close_protocol():
+    """OpenCVDisplay mirrors image_node.cpp:54-68: imshow pump + visibility
+    poll; a closed window raises WindowClosed which fires ImageNode's
+    on_close hook (driven with a fake cv2 module — CI is headless)."""
+    from pointcloud_depthfusion_tpu.nodes.image_node import (
+        ImageNode,
+        OpenCVDisplay,
+    )
+
+    class FakeCV2:
+        WINDOW_AUTOSIZE = 1
+        WND_PROP_VISIBLE = 4
+
+        def __init__(self):
+            self.shown = []
+            self.visible = 1.0
+            self.destroyed = []
+
+        def namedWindow(self, name, flags):
+            self.window = name
+
+        def imshow(self, name, img):
+            self.shown.append(np.asarray(img).copy())
+
+        def waitKey(self, ms):
+            return -1
+
+        def getWindowProperty(self, name, prop):
+            return self.visible
+
+        def destroyWindow(self, name):
+            self.destroyed.append(name)
+
+    fake = FakeCV2()
+    disp = OpenCVDisplay(cv2_module=fake)
+    closed = []
+    node = ImageNode(display=disp, on_close=lambda: closed.append(True))
+    img = np.zeros((4, 6, 3), np.uint8)
+    img[..., 0] = 200  # red in RGB
+    node(img, 0.0)
+    assert len(fake.shown) == 1
+    # RGB→BGR conversion: red plane must land in the last channel
+    assert fake.shown[0][..., 2].max() == 200 and fake.shown[0][..., 0].max() == 0
+    # user closes the window → next frame raises → on_close fires once
+    fake.visible = 0.0
+    node(img, 0.1)
+    assert closed == [True]
+    assert node.closed.is_set()
+    disp.close()
+    assert fake.destroyed == ["fused_image"]
+
+
+def test_opencv_display_headless_error():
+    from pointcloud_depthfusion_tpu.nodes.image_node import OpenCVDisplay
+
+    class BrokenCV2:
+        WINDOW_AUTOSIZE = 1
+        WND_PROP_VISIBLE = 4
+
+        def namedWindow(self, name, flags):
+            raise RuntimeError("no display")
+
+    import pytest as _pytest
+
+    disp = OpenCVDisplay(cv2_module=BrokenCV2())
+    with _pytest.raises(RuntimeError, match="headless"):
+        disp(np.zeros((2, 2, 3), np.uint8), 0.0)

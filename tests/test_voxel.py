@@ -150,3 +150,44 @@ def test_segsum_direct_small():
     assert int(rep[0]) == 1 and int(rep[3]) == 0 and int(rep[7]) == 3
     assert int(rep[1]) == np.iinfo(np.int32).max  # empty slot
     np.testing.assert_allclose(np.asarray(sums[1]), [0.0, 0.0])
+
+
+def test_statistical_outlier_removal_flags_sparse_points():
+    """Dense cluster + far isolated points: the SOR equivalent
+    (registration.cpp:156-163) keeps the cluster and drops the outliers."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_depthfusion_tpu.ops.voxel import (
+        statistical_outlier_removal,
+    )
+
+    rng = np.random.default_rng(0)
+    cluster = rng.normal(0, 0.08, size=(2000, 3)).astype(np.float32)
+    outliers = np.array(
+        [[2.0, 0, 0], [0, 3.0, 0], [-2.5, -2.5, 0], [0, 0, 4.0]], np.float32
+    )
+    pts = np.concatenate([cluster, outliers])
+    valid = np.ones(len(pts), bool)
+    keep = np.asarray(jax.jit(
+        lambda p, v: statistical_outlier_removal(p, v, 0.05, 1.0, 1 << 12)
+    )(jnp.asarray(pts), jnp.asarray(valid)))
+    assert not keep[len(cluster):].any()  # all injected outliers dropped
+    assert keep[: len(cluster)].mean() > 0.9  # cluster substantially kept
+
+
+def test_statistical_outlier_removal_respects_input_mask():
+    import jax.numpy as jnp
+
+    from pointcloud_depthfusion_tpu.ops.voxel import (
+        statistical_outlier_removal,
+    )
+
+    rng = np.random.default_rng(1)
+    pts = rng.normal(0, 0.05, size=(500, 3)).astype(np.float32)
+    valid = np.ones(500, bool)
+    valid[::7] = False
+    keep = np.asarray(statistical_outlier_removal(
+        jnp.asarray(pts), jnp.asarray(valid), 0.05, 1.0, 1 << 10
+    ))
+    assert not keep[~valid].any()  # invalid stays invalid

@@ -25,6 +25,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # oracles compare at f64; ops pick dtypes
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# Persistent XLA cache: the heavy suite compiles (GICP planar GN loop,
+# shard_map SPMD programs — minutes on this 1-core host) become a
+# once-per-container cost; the cache key is the optimized HLO, so code
+# changes re-compile exactly what changed. Separate dir from the TPU cache.
+from pointcloud_depthfusion_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.join(os.path.expanduser("~"), ".cache", "pdf_cpu_test_xla")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -44,6 +44,22 @@ def main() -> None:
         "throughput ceiling, not the source pacing (a 30 Hz source can "
         "only ever asymptote to 29.x).",
     )
+    p.add_argument(
+        "--no-compute", action="store_true",
+        help="drain synchronized pairs WITHOUT fusing: isolates the "
+        "streaming machinery (camera loops, ApproximateTime pairing, "
+        "H2D upload, QoS) from the fuse compute. The full-path rate on a "
+        "given host is then min(this, 1000/fused_ms, BW/payload).",
+    )
+    p.add_argument(
+        "--source", choices=("recorded", "synthetic"), default="recorded",
+        help="'recorded' (default) pre-renders a short clip once and plays "
+        "it back through RecordedSource — the faithful model of a real "
+        "sensor, which delivers frames by DMA without burning host CPU on "
+        "scene rendering. 'synthetic' renders every frame live (adds "
+        "~15-100 ms/frame of host CPU that no real camera costs and "
+        "dominates on few-core hosts).",
+    )
     args = p.parse_args()
 
     import jax
@@ -81,13 +97,32 @@ def main() -> None:
     scene = SyntheticScene()
     wl, wr = two_camera_rig(baseline=0.6, toe_in_deg=10.0)
     source_cls = NativeSyntheticSource if native_ok() else SyntheticSource
-    cam_l = CameraNode("camera_left",
-                       source_cls(scene, intr, wl, depth_noise_std=0.002,
-                                  seed=10, fps=args.source_fps),
+
+    def make_source(pose, seed, tag):
+        live = source_cls(scene, intr, pose, depth_noise_std=0.002,
+                          seed=seed, fps=args.source_fps)
+        if args.source == "synthetic":
+            return live
+        # Pre-render a short clip and loop it back through RecordedSource
+        # (io/recorded.py): next_frame is then a memory slice, like a real
+        # sensor's DMA'd frames.
+        import tempfile
+
+        from pointcloud_depthfusion_tpu.io.recorded import (
+            RecordedSource,
+            record_dataset,
+        )
+
+        clip = [live.next_frame() for _ in range(24)]
+        path = os.path.join(
+            tempfile.gettempdir(), f"stream_bench_{tag}_{w}x{h}.npz"
+        )
+        record_dataset(path, clip, intr)
+        return RecordedSource(path, loop=True)
+
+    cam_l = CameraNode("camera_left", make_source(wl, 10, "l"),
                        fps=args.source_fps)
-    cam_r = CameraNode("camera_right",
-                       source_cls(scene, intr, wr, depth_noise_std=0.002,
-                                  seed=20, fps=args.source_fps),
+    cam_r = CameraNode("camera_right", make_source(wr, 20, "r"),
                        fps=args.source_fps)
 
     render_mode = args.render_mode or ("exact" if args.cpu else "tiled")
@@ -117,7 +152,8 @@ def main() -> None:
     with app.feeder as feeder:
         for i, pair in enumerate(feeder):
             t0 = time.perf_counter()
-            app.process_pair(pair)
+            if not args.no_compute:
+                app.process_pair(pair)
             wall = time.perf_counter() - t0
             if i == 0:
                 print(f"first frame (jit): {wall:.1f}s", file=sys.stderr)
@@ -134,9 +170,12 @@ def main() -> None:
     fps = n_measure / wall_s
 
     out = {
-        "metric": f"streaming_fps_dual_{w}x{h}",
+        "metric": f"streaming_fps_dual_{w}x{h}"
+                  + ("_feeder_only" if args.no_compute else ""),
         "backend": backend,
+        "compute": not args.no_compute,
         "render_mode": render_mode,
+        "source": args.source,
         "source_fps": args.source_fps,
         "frames_measured": n_measure,
         "fps_sustained": round(fps, 2),
@@ -160,8 +199,6 @@ def main() -> None:
     print(json.dumps(out))
     if args.out:
         existing = []
-        import os
-
         if os.path.exists(args.out):
             with open(args.out) as f:
                 try:

@@ -37,7 +37,7 @@ def run(m, iters, reps=4):
         resolution=0.05, voxel_size=0.01, kernel_width=0.0,
         kernel_max_dist=-1.0, max_iterations=64, iteration_cap=iters,
         table_size=1 << 15,
-        rotation_epsilon=0.0, translation_epsilon=0.0, fitness_epsilon=0.0,
+        rotation_eps=0.0, translation_eps=0.0, fitness_eps=0.0,
     )
     ones = jnp.ones(m, bool)
     grid = jax.jit(prepare_target)(jnp.asarray(tgt), ones, cfg)

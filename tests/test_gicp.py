@@ -205,11 +205,12 @@ def test_neighbor_search_direct1_equals_direct7_on_isolated_voxels():
 
 def test_direct27_widens_convergence_basin():
     """fast_gicp multi-voxel correspondence (registration.cpp:31): a
-    12°/15 cm cold start WITHOUT annealing diverges under direct1 but
-    converges under direct27 (measured basin: direct1 reliable to ~8°/10cm,
-    direct27 to ≥12°/15cm at resolution 0.05)."""
+    16°/20 cm cold start WITHOUT annealing — 2× the direct1 basin
+    (~8°/10 cm at resolution 0.05) — diverges under direct1 but converges
+    under direct27 (measured: converges from 16°/0.20, diverges at
+    20°/0.25)."""
     target = oracles.make_bunny_like_cloud(3000)
-    t_true = known_transform(12.0, 0.15)
+    t_true = known_transform(16.0, 0.20)
     source = apply(t_true, target).astype(np.float32)
     want = np.linalg.inv(t_true)
 

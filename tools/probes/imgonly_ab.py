@@ -14,7 +14,9 @@ from pointcloud_depthfusion_tpu.utils.compile_cache import enable_persistent_cac
 import functools
 enable_persistent_cache()
 
-step, (left, right, t_rl, config) = graft._build_fusion(848, 480)
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 848
+H = int(sys.argv[2]) if len(sys.argv) > 2 else 480
+step, (left, right, t_rl, config) = graft._build_fusion(W, H)
 fi = fused_virtual_intrinsics(left.color_intrinsics, config.vertical_image)
 INNER = 25
 ORIG = zp.zresolve_winner_rgb
@@ -68,7 +70,9 @@ if __name__ == "__main__":
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variant("tiled WITH zbuf", make_fuse(True))
     variant("tiled image-only", make_fuse(False))
-    variant("image-only (512,1024)", make_fuse(False, tile_px=512))
-    variant("image-only (256,2048)", make_fuse(False, chunk=2048))
-    variant("image-only (512,2048)", make_fuse(False, tile_px=512, chunk=2048))
-    variant("image-only (128,1024)", make_fuse(False, tile_px=128))
+    if "--sweep" in sys.argv:
+        variant("image-only (512,1024)", make_fuse(False, tile_px=512))
+        variant("image-only (256,2048)", make_fuse(False, chunk=2048))
+        variant("image-only (512,2048)",
+                make_fuse(False, tile_px=512, chunk=2048))
+        variant("image-only (128,1024)", make_fuse(False, tile_px=128))

@@ -31,6 +31,28 @@ def test_default_registration_settings_load():
     assert settings.max_iterations == 64
     assert settings.adjust_resolution
     assert tree.get("spin_rate") == 0.5
+    # round-4 knobs ride the YAML tier with reference-faithful defaults
+    assert settings.neighbor_search == "direct1"
+    assert settings.outlier_removal is False
+
+
+def test_round4_settings_override(tmp_path):
+    p = tmp_path / "override.yaml"
+    p.write_text(
+        "registration_node:\n"
+        "  neighbor_search: direct7\n"
+        "  outlier_removal: true\n"
+        "  outlier_stddev_mul: 2.5\n"
+    )
+    settings, _ = factory.registration_settings(str(p))
+    assert settings.neighbor_search == "direct7"
+    assert settings.outlier_removal is True
+    assert settings.outlier_stddev_mul == 2.5
+
+    q = tmp_path / "override2.yaml"
+    q.write_text("fusion_node:\n  emit_zbuf: false\n")
+    config, _ = factory.fusion_config(str(q))
+    assert config.emit_zbuf is False
 
 
 def test_fusion_config_override(tmp_path):

@@ -254,3 +254,39 @@ def test_transform_angles_fit_upside_down():
     assert not transform_angles_fit(rz(1.0), cam_upside_down=True)
     assert transform_angles_fit(rz(1.0), cam_upside_down=False)
     assert not transform_angles_fit(rz(179.0), cam_upside_down=False)
+
+
+def test_outlier_removal_prefilter_tick():
+    """outlier_removal=True wires statistical_outlier_removal into the
+    cloud prep; a tick still converges, and telemetry's cloud sizes shrink
+    versus the unfiltered run when salt outliers contaminate the frames."""
+    dl, dr, t_true, intr = make_depth_pair()
+    # salt a few far-depth outlier pixels into both frames
+    rng = np.random.default_rng(0)
+    dl = dl.copy()
+    dr = dr.copy()
+    ys = rng.integers(0, dl.shape[0], 12)
+    xs = rng.integers(0, dl.shape[1], 12)
+    dl[ys, xs] = 2900  # 2.9 m — inside the depth window, far off-surface
+    dr[ys, xs] = 2900
+
+    def run(outliers):
+        settings = RegistrationSettings(
+            resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+            resolution_step=0.05, max_iterations=48,
+            discard_transform=False, reset_initial_guess=False,
+            outlier_removal=outliers, outlier_resolution=0.06,
+            outlier_stddev_mul=1.0,
+        )
+        pipe = RegistrationPipeline(intr, intr, settings)
+        for _ in range(5):  # annealing 0.12 → 0.07 → 0.02
+            t = pipe.tick(dl, dr)
+        return t, pipe.telemetry[-1]
+
+    t_f, tel_f = run(True)
+    t_n, tel_n = run(False)
+    # the isolated far points are dropped from both clouds
+    assert tel_f.source_points < tel_n.source_points
+    assert tel_f.target_points < tel_n.target_points
+    err_t = np.linalg.norm(t_f[:3, 3] - t_true[:3, 3])
+    assert err_t < 0.05, err_t

@@ -242,8 +242,11 @@ def _packed_rig_body(
         return buf[:n_px]
 
     def unpack(merged):
-        img = _decode_rgb666(merged)
-        return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
+        h_f, w_f = fused_intrinsics.height, fused_intrinsics.width
+        rp, gp, bp = (
+            p.reshape(h_f, w_f) for p in _decode_rgb666_planes(merged)
+        )
+        return _finish_planes(rp, gp, bp, config)
 
     return project_one, local_buffer, unpack
 
@@ -253,16 +256,33 @@ def _decode_rgb666(merged):
     (0 where the sentinel says uncovered). One decode shared by every
     packed-mode path — the bit layout lives in exactly two places (the
     packer in _packed_rig_body.project_one and here)."""
+    rp, gp, bp = _decode_rgb666_planes(merged)
+    return jnp.stack([rp, gp, bp], -1)
+
+
+def _decode_rgb666_planes(merged):
+    """:func:`_decode_rgb666` as three flat u8 channel planes (the layout
+    the fused-color filter wants — see _finish_planes)."""
     sentinel = jnp.uint32(0xFFFFFFFF)
     covered = merged != sentinel
     r6 = (merged >> 12) & 0x3F
     g6 = (merged >> 6) & 0x3F
     b6 = merged & 0x3F
-    img = jnp.stack(
-        [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
-        -1,
-    ).astype(jnp.uint8)
-    return jnp.where(covered[:, None], img, 0)
+    def ch(c6):
+        return jnp.where(covered, (c6 << 2) | (c6 >> 4), 0).astype(jnp.uint8)
+    return ch(r6), ch(g6), ch(b6)
+
+
+def _finish_planes(rp, gp, bp, config: FusionConfig):
+    """Fused-image tail shared by every rig path: the reference's fusion
+    node filters the fused color before publishing (median|gauss 3×3,
+    fusion_node.cpp:789 → kernels.cu:594-653), so the N-camera paths honor
+    ``config.filter_fused_color`` exactly like the dual ``fuse()`` does.
+    Channel-planar in, (H, W, 3) u8 out (planes filter ~1.5 ms cheaper than
+    an HWC relayout on v5e — see F.filter_color_planar)."""
+    if config.filter_fused_color:
+        return F.filter_color_planar(rp, gp, bp, config.use_median_filter)
+    return jnp.stack([rp, gp, bp], axis=-1)
 
 
 def _rig_render_mode(config: FusionConfig) -> str:
@@ -477,10 +497,11 @@ def _tiled_rig_body(
         # parity tests assert the two coverage definitions agree.
         covered = minz != maxi
         win = jnp.where(covered, mrgb, 0)
-        img = jnp.stack(
-            [(win >> 16) & 0xFF, (win >> 8) & 0xFF, win & 0xFF], -1
-        ).astype(jnp.uint8)
-        return img.reshape(fused_intrinsics.height, fused_intrinsics.width, 3)
+        h_f, w_f = fused_intrinsics.height, fused_intrinsics.width
+        rp = ((win >> 16) & 0xFF).astype(jnp.uint8).reshape(h_f, w_f)
+        gp = ((win >> 8) & 0xFF).astype(jnp.uint8).reshape(h_f, w_f)
+        bp = (win & 0xFF).astype(jnp.uint8).reshape(h_f, w_f)
+        return _finish_planes(rp, gp, bp, config)
 
     return entries_one, entries_all, local_minbufs, unpack, local_winner_rgb
 
@@ -523,6 +544,10 @@ def rig_fuse(
     ``config.emit_zbuf=False`` (tiled, single-stream) selects the
     image-only resolve — bit-identical image, ~half the resolve kernel's
     vector work; use it when only the fused color topic is consumed.
+
+    ``config.filter_fused_color``/``use_median_filter`` apply the
+    reference's fused-image color filter (fusion_node.cpp:789) exactly
+    like the dual ``fuse()`` path.
     """
     calib = _RigCalibration(intrinsics, rois)
     if _rig_render_mode(config) == "tiled":
@@ -719,10 +744,10 @@ def batched_rig_fuse(
             )
             covered = minz != maxi
             win = jnp.where(covered, mrgb, 0)
-            img = jnp.stack(
-                [(win >> 16) & 0xFF, (win >> 8) & 0xFF, win & 0xFF], -1
-            ).astype(jnp.uint8)
-            return img.reshape(batch, h_f, w_f, 3)
+            rp = ((win >> 16) & 0xFF).astype(jnp.uint8)
+            gp = ((win >> 8) & 0xFF).astype(jnp.uint8)
+            bp = (win & 0xFF).astype(jnp.uint8)
+            return _finish_batch_planes(rp, gp, bp, config, batch, h_f, w_f)
 
         return fn_tiled
 
@@ -754,6 +779,25 @@ def batched_rig_fuse(
         buf = jnp.full((batch * n_px + 1,), sentinel, jnp.uint32)
         buf = buf.at[idx].min(key, mode="drop")
         merged = buf[: batch * n_px]
-        return _decode_rgb666(merged).reshape(batch, h_f, w_f, 3)
+        rp, gp, bp = _decode_rgb666_planes(merged)
+        return _finish_batch_planes(rp, gp, bp, config, batch, h_f, w_f)
 
     return fn
+
+
+def _finish_batch_planes(rp, gp, bp, config: FusionConfig, batch, h_f, w_f):
+    """Per-stream fused-image tail for the batched rig: each stream's image
+    filters independently (a 3×3 filter over a stacked (B·H, W) plane would
+    bleed across stream boundaries). B is small and static — the unrolled
+    loop stays one executable."""
+    rp = rp.reshape(batch, h_f, w_f)
+    gp = gp.reshape(batch, h_f, w_f)
+    bp = bp.reshape(batch, h_f, w_f)
+    if not config.filter_fused_color:
+        return jnp.stack([rp, gp, bp], axis=-1)
+    return jnp.stack(
+        [
+            _finish_planes(rp[i], gp[i], bp[i], config)
+            for i in range(batch)
+        ]
+    )

@@ -482,3 +482,85 @@ def test_rig_fuse_image_only_matches_default():
     a = np.asarray(rig_fuse(intr, intr, config)(*args))
     b = np.asarray(rig_fuse(intr, intr, config_img)(*args))
     np.testing.assert_array_equal(a, b)
+
+
+def test_rig_fuse_honors_fused_color_filter():
+    """config.filter_fused_color applies the reference's fused-image filter
+    (fusion_node.cpp:789) in the rig paths, matching the dual fuse()
+    semantics: filtered == F.filter_color_planar(unfiltered planes)."""
+    import dataclasses as _dc
+
+    from pointcloud_depthfusion_tpu.ops import filters as F
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 2
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.3)
+    fs = [scene.render(intr, p) for p in poses]
+    args = (
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    )
+    for mode in ("tiled", "packed"):
+        base = FusionConfig.create(
+            vertical_image=False, mirror_image=False,
+            filter_fused_color=False, render_mode=mode,
+        )
+        for median in (False, True):
+            cfg_f = _dc.replace(
+                base, filter_fused_color=True, use_median_filter=median
+            )
+            plain = np.asarray(rig_fuse(intr, intr, base)(*args))
+            got = np.asarray(rig_fuse(intr, intr, cfg_f)(*args))
+            want = np.asarray(
+                F.filter_color_planar(
+                    jnp.asarray(plain[..., 0]),
+                    jnp.asarray(plain[..., 1]),
+                    jnp.asarray(plain[..., 2]),
+                    median,
+                )
+            )
+            np.testing.assert_array_equal(got, want)
+
+
+def test_batched_rig_fused_color_filter_per_stream():
+    """The batched rig filters each stream's fused image independently and
+    matches per-stream single-rig results exactly (both modes)."""
+    from pointcloud_depthfusion_tpu.parallel.mesh import (
+        batched_rig_fuse,
+        rig_fuse,
+    )
+
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    B, C = 2, 2
+    poses = np.stack(
+        [np.stack(rig_poses(C, radius=0.2 + 0.1 * b)) for b in range(B)])
+    depth = np.zeros((B, C, h, w), np.uint16)
+    color = np.zeros((B, C, h, w, 3), np.uint8)
+    for b in range(B):
+        for c in range(C):
+            f = scene.render(intr, poses[b, c])
+            depth[b, c] = f.depth
+            color[b, c] = f.color
+    scale = np.full((B, C), 0.001, np.float32)
+    for mode in ("tiled", "packed"):
+        config = FusionConfig.create(
+            vertical_image=False, mirror_image=False,
+            filter_fused_color=True, render_mode=mode,
+        )
+        fn = batched_rig_fuse(intr, intr, config, batch=B, cameras=C)
+        out = np.asarray(fn(jnp.asarray(depth), jnp.asarray(color),
+                            jnp.asarray(scale),
+                            jnp.asarray(poses, np.float32)))
+        one = rig_fuse(intr, intr, config)
+        for b in range(B):
+            ref = np.asarray(one(
+                jnp.asarray(depth[b]), jnp.asarray(color[b]),
+                jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
+            np.testing.assert_array_equal(out[b], ref)

@@ -368,6 +368,35 @@ def _fuse_pallas(
     )
 
 
+_donation_filter_installed = False
+
+
+def _suppress_expected_donation_warning() -> None:
+    """Install ONCE a message-scoped ignore for XLA's "Some donated buffers
+    were not usable" warning.
+
+    Design tension, resolved deliberately: a blanket process-wide filter
+    would hide genuine donation misuse in unrelated user code, but wrapping
+    every dispatch in ``warnings.catch_warnings()`` mutates process-global
+    state per frame and is documented as not thread-safe (a warning raised
+    by another thread while the context is active gets swallowed; the
+    warn-once registry is reset on every entry/exit). The narrow middle:
+    one idempotent filter keyed on the exact message text of the ONE
+    warning a donating FusionPipeline is known to trigger by design (see
+    the constructor comment) — every other warning, including differently-
+    worded donation diagnostics, stays visible.
+    """
+    global _donation_filter_installed
+    if _donation_filter_installed:
+        return
+    import warnings  # noqa: PLC0415
+
+    warnings.filterwarnings(
+        "ignore", message="Some donated buffers were not usable"
+    )
+    _donation_filter_installed = True
+
+
 class FusionPipeline:
     """Stateful convenience wrapper: holds config + intrinsics, jits `fuse`.
 
@@ -405,9 +434,7 @@ class FusionPipeline:
             fuse_buffers,
             donate_argnums=(0, 1, 2, 3) if donate else (),
         )
-        # The donation warning is EXPECTED for this program and suppressed
-        # PER CALL in process() (never globally — a process-wide filter
-        # would hide genuine donation misuse in unrelated user code):
+        # The donation warning is EXPECTED for this program:
         # - on CPU, jnp.asarray is zero-copy over host numpy buffers,
         #   so XLA cannot take ownership at all;
         # - on TPU, donation only ALIASES when an output matches a
@@ -416,6 +443,14 @@ class FusionPipeline:
         #   to early-free (still the point: the per-frame input
         #   buffers are released as soon as the program consumes them
         #   instead of surviving until the host drops the Frameset).
+        # Suppressed ONCE here, scoped by the exact message text — NOT
+        # per call: warnings.catch_warnings() mutates process-global state
+        # and is documented as not thread-safe, so wrapping every
+        # process() dispatch (30+ Hz, concurrent with camera/readback
+        # threads) could swallow a genuine warning raised by another
+        # thread mid-frame and resets the warn-once registry each call.
+        if donate:
+            _suppress_expected_donation_warning()
         self._donate = donate
         self.right_transform = jnp.eye(4, dtype=jnp.float32)
 
@@ -596,20 +631,6 @@ class FusionPipeline:
         zero = jnp.zeros((), jnp.uint8)
         left_rest = dataclasses.replace(left, depth=zero, color=zero)
         right_rest = dataclasses.replace(right, depth=zero, color=zero)
-        if self._donate:
-            import warnings  # noqa: PLC0415
-
-            # Scoped to THIS dispatch: the unusable-donation warning is
-            # expected here (see __init__) but must stay visible for every
-            # other jitted program in the process.
-            with warnings.catch_warnings():
-                warnings.filterwarnings(
-                    "ignore", message="Some donated buffers were not usable"
-                )
-                return self._fuse_impl(
-                    left.depth, left.color, right.depth, right.color,
-                    left_rest, right_rest, self.right_transform, self.config,
-                )
         return self._fuse_impl(
             left.depth, left.color, right.depth, right.color,
             left_rest, right_rest, self.right_transform, self.config,

@@ -45,6 +45,10 @@ Array = jax.Array
 
 _MAXI = 0x7FFFFFFF  # i32 sentinel: > any valid z bit pattern / RGB24
 
+# Crossover for _exact_chunk_spans' broadcast-compare feed vs searchsorted
+# (see its docstring); module-level so tests can exercise both branches.
+_SPAN_COMPARE_BUDGET = 1 << 27
+
 
 def _resolve_kernel(cs_ref, ce_ref, ent_hbm, minz_ref, rgb_ref, buf, sem,
                     *, tile_px: int, chunk: int):
@@ -333,9 +337,20 @@ def _exact_chunk_spans(sp: Array, n_tiles: int, tile_px: int, chunk: int):
 
     Returns exactly searchsorted's starts split into (cs, ce) =
     (starts[:-1] // chunk, ceil(starts[1:] / chunk)).
+
+    Scale guard: the two broadcast compares cost O((T+1)·C) + O((T+1)·chunk)
+    — trivially small at the dual frame (~1.3M lanes of vector compare vs
+    ~20 SEQUENTIAL gather kernels for searchsorted) but quadratic in the
+    composed pixel space of ``batched_rig_fuse`` (B streams of an N-camera
+    rig grow T and C together: 8×8-cam 720p ≈ 1.7e9 compares). Past the
+    crossover the log-N binary search wins; both produce identical spans.
     """
     n = sp.shape[0]
     n_chunks = n // chunk
+    if (n_tiles + 1) * (n_chunks + chunk) > _SPAN_COMPARE_BUDGET:
+        bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px
+        starts = jnp.searchsorted(sp, bounds).astype(jnp.int32)
+        return starts[:-1] // chunk, (starts[1:] + chunk - 1) // chunk
     sp2d = sp.reshape(n_chunks, chunk)
     g = sp2d[:, 0]  # (C,) first sorted pixel of each chunk
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_px  # (T+1,)

@@ -503,11 +503,35 @@ def statistical_outlier_removal(
     mu_excl = (mu * nc[:, None] - pts) / denom[:, None]
     d = jnp.sqrt(jnp.sum((pts - mu_excl) ** 2, axis=-1))
     far = 4.0 * jnp.asarray(resolution, f)
-    d = jnp.where(lone | ~hit, far, d)
+    d = jnp.where(lone, far, d)
 
-    n_valid = jnp.maximum(jnp.sum(val, dtype=f), 1.0)
-    dv = jnp.where(val, d, 0.0)
-    mean_d = jnp.sum(dv) / n_valid
-    var_d = jnp.sum(jnp.where(val, (d - mean_d) ** 2, 0.0)) / n_valid
+    # Hash-EVICTED points (``~hit``: their voxel lost the table race, so
+    # the slot gathered above belongs to a DIFFERENT voxel) must not
+    # inherit the far sentinel — that would be a table artifact, not
+    # geometry, and in collision-heavy scenes it silently dropped inliers
+    # in proportion to the collision rate. Their centroid statistic is
+    # unrecoverable (the winning slot's moments describe another voxel),
+    # so they are (a) excluded from the global mean/std population and
+    # (b) gated GEOMETRICALLY instead: kept iff any voxel of their 3³
+    # neighborhood verifies in the table (occupied space nearby ⇒ not a
+    # sparse outlier; an evicted point in an otherwise-empty neighborhood
+    # drops, same as PCL's far-kNN case). The point's own slot can never
+    # verify once evicted, so the (0,0,0) probe adds no self-evidence.
+    occupied_nb = jnp.zeros(d.shape, bool)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                nb = coords + jnp.asarray([ox, oy, oz], coords.dtype)
+                ni = hash_coords(nb, table_size)
+                ok = jnp.all(grid.coords[ni] == nb, axis=-1) & (
+                    grid.count[ni] > 0
+                )
+                occupied_nb = occupied_nb | ok
+
+    scored = val & hit
+    n_scored = jnp.maximum(jnp.sum(scored, dtype=f), 1.0)
+    dv = jnp.where(scored, d, 0.0)
+    mean_d = jnp.sum(dv) / n_scored
+    var_d = jnp.sum(jnp.where(scored, (d - mean_d) ** 2, 0.0)) / n_scored
     thresh = mean_d + stddev_mul_thresh * jnp.sqrt(jnp.maximum(var_d, 0.0))
-    return val & (d <= thresh)
+    return val & jnp.where(hit, d <= thresh, occupied_nb)

@@ -47,6 +47,22 @@ def make_camera_mesh(n_cameras: Optional[int] = None, axis: str = "cam") -> Mesh
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
 
 
+def _roi_mask_traced(height: int, width: int, roi):
+    """ops.filters.roi_mask semantics (reference clamping rules,
+    kernels.cu:379-384) built from iota compares so it traces as cheap
+    vector ops instead of an embedded (H, W) bool literal."""
+    if roi is None:
+        return jnp.ones((height, width), bool)
+    x0, y0, rw, rh = (int(v) for v in roi)
+    x0 = max(x0, 0)
+    y0 = max(y0, 0)
+    rw = width if (rw < 0 or x0 + rw > width) else rw
+    rh = height if (rh < 0 or y0 + rh > height) else rh
+    yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    return (yy >= y0) & (yy < y0 + rh) & (xx >= x0) & (xx < x0 + rw)
+
+
 class _RigCalibration:
     """Shared-or-per-camera source calibration for the rig bodies.
 
@@ -94,21 +110,32 @@ class _RigCalibration:
             self.coeffs = jnp.stack(
                 [it.coeffs for it in seq], axis=1
             ).astype(f)
+        # ROIs stay STATIC [x, y, w, h] tuples; masks are built from iota
+        # compares INSIDE the traced bodies (_roi_mask_traced), never as
+        # precomputed device arrays the jitted rig functions close over —
+        # closed-over arrays embed as program constants (slow compiles, no
+        # persistent-cache hits; an 8-camera 720p rig would bake ~7.4 MB of
+        # bool masks into every rig executable). See CLAUDE.md round-3.
         if rois is not None:
-            import numpy as _np
-
-            from pointcloud_depthfusion_tpu.ops.filters import roi_mask
-
-            self.roi_masks = jnp.asarray(_np.stack([
-                _np.asarray(roi_mask(self.ref.height, self.ref.width, r))
+            self.rois = tuple(
+                None if r is None else tuple(int(v) for v in r)
                 for r in rois
-            ]))  # (C, H, W) bool
+            )
         else:
-            self.roi_masks = None
+            self.rois = None
 
     @property
     def per_camera(self) -> bool:
-        return self.seq is not None or self.roi_masks is not None
+        return self.seq is not None or self.rois is not None
+
+    def _mask_stack(self):
+        """(C, H, W) bool ROI masks, built in-trace (iota compares — XLA
+        keeps iota fused into consumers rather than folding it into a
+        multi-MB literal)."""
+        return jnp.stack([
+            _roi_mask_traced(self.ref.height, self.ref.width, r)
+            for r in self.rois
+        ])
 
     def _take(self, arr, n_local: int, cam_offset):
         """(..., C) → (..., n_local): slice at a traced device offset
@@ -138,10 +165,11 @@ class _RigCalibration:
 
     def valid_roi(self, valid, cam_offset=None):
         """AND the per-camera ROI masks into an (N, H, W) validity mask."""
-        if self.roi_masks is None:
+        if self.rois is None:
             return valid
         masks = self._take(
-            jnp.moveaxis(self.roi_masks, 0, -1), valid.shape[0], cam_offset
+            jnp.moveaxis(self._mask_stack(), 0, -1), valid.shape[0],
+            cam_offset,
         )
         return valid & jnp.moveaxis(masks, -1, 0)
 
@@ -163,12 +191,14 @@ class _RigCalibration:
         )
 
     def roi_at(self, i: int, cam_offset=None):
-        if self.roi_masks is None:
+        if self.rois is None:
             return None
         if cam_offset is None:
-            return self.roi_masks[i]
+            return _roi_mask_traced(
+                self.ref.height, self.ref.width, self.rois[i]
+            )
         return jax.lax.dynamic_index_in_dim(
-            self.roi_masks, cam_offset + i, axis=0, keepdims=False
+            self._mask_stack(), cam_offset + i, axis=0, keepdims=False
         )
 
 

@@ -348,6 +348,14 @@ def _solve_planar(
     cs22 = src_cov[:, 1, 1]
     cs23 = src_cov[:, 1, 2]
     cs33 = src_cov[:, 2, 2]
+    # Validate here, not only in gicp_register_prepared: the sharded entry
+    # point (registration/distributed.py) calls _solve_planar directly, and
+    # a raw KeyError mid-trace inside shard_map hides the valid options.
+    if config.neighbor_search not in _NEIGHBOR_OFFSETS:
+        raise ValueError(
+            f"unknown neighbor_search {config.neighbor_search!r} "
+            f"(expected one of {sorted(_NEIGHBOR_OFFSETS)})"
+        )
     neighbor_offsets = _NEIGHBOR_OFFSETS[config.neighbor_search]
 
     def step(carry):

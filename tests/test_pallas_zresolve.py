@@ -129,6 +129,27 @@ def test_exact_chunk_spans_match_searchsorted():
         )
 
 
+def test_exact_chunk_spans_searchsorted_fallback_branch():
+    """Past the compare budget (composed batched-rig pixel spaces, where
+    the broadcast feed goes quadratic) the spans fall back to searchsorted;
+    both branches must agree on identical inputs."""
+    from pointcloud_depthfusion_tpu.ops.pallas import zresolve_pallas as Z
+
+    rng = np.random.default_rng(3)
+    tile_px, chunk = 64, 128
+    n_tiles, n = 10, 8 * 128
+    sp = np.sort(rng.integers(0, n_tiles * tile_px, size=n)).astype(np.int32)
+    fast = Z._exact_chunk_spans(jnp.asarray(sp), n_tiles, tile_px, chunk)
+    orig = Z._SPAN_COMPARE_BUDGET
+    try:
+        Z._SPAN_COMPARE_BUDGET = 1  # force the fallback branch
+        slow = Z._exact_chunk_spans(jnp.asarray(sp), n_tiles, tile_px, chunk)
+    finally:
+        Z._SPAN_COMPARE_BUDGET = orig
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(slow[1]))
+
+
 def test_winner_rgb_matches_full_resolve():
     """Image-only resolve (3-key sort + first-of-run mask + one-pass
     kernel) returns exactly the full resolve's winner RGB, including

@@ -140,7 +140,7 @@ def main() -> None:
     payload = np.zeros((h, w, 5), np.uint8)  # one camera's depth+color bytes
     payload_mb = 2 * payload.nbytes / 1e6  # per frame PAIR
     t0 = time.perf_counter()
-    reps = 3 if args.cpu else 3
+    reps = 3
     for _ in range(reps):
         jax.block_until_ready(jax.device_put(payload))
     upload_mbps = reps * payload.nbytes / 1e6 / (time.perf_counter() - t0)

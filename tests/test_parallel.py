@@ -564,3 +564,34 @@ def test_batched_rig_fused_color_filter_per_stream():
                 jnp.asarray(depth[b]), jnp.asarray(color[b]),
                 jnp.asarray(scale[b]), jnp.asarray(poses[b], np.float32)))
             np.testing.assert_array_equal(out[b], ref)
+
+
+def test_rig_per_camera_roi_sharded_matches_single():
+    """Per-camera ROIs through the SHARDED rig (masks sliced at the traced
+    device offset) == the single-device rig with the same ROIs, bit for
+    bit, tiled AND packed."""
+    import dataclasses
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = 4
+    w, h = 64, 48
+    intrs = _het_intrinsics(n, w, h)
+    scene = SyntheticScene()
+    poses = rig_poses(n, radius=0.35)
+    fs = [scene.render(intr, p) for intr, p in zip(intrs, poses)]
+    rois = [(8, 4, 40, 32), None, (0, 0, 32, 48), (16, 8, 40, 40)]
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    args = (
+        jnp.asarray(np.stack([f.depth for f in fs])),
+        jnp.asarray(np.stack([f.color for f in fs])),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.asarray(np.stack(poses), jnp.float32),
+    )
+    for mode in ("tiled", "packed"):
+        cfg = dataclasses.replace(config, render_mode=mode)
+        sharded = np.asarray(rig_fuse_sharded(
+            make_camera_mesh(2), intrs, intrs[0], cfg, rois=rois)(*args))
+        single = np.asarray(rig_fuse(intrs, intrs[0], cfg, rois=rois)(*args))
+        np.testing.assert_array_equal(sharded, single)

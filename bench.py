@@ -45,13 +45,20 @@ def main() -> None:
     args = parser.parse_args()
 
     # Watchdog: the remote TPU relay in this environment occasionally hangs
-    # (even jax.devices() can block). Emit a result line no matter what.
+    # (even jax.devices() can block — outages of 30+ min observed). Emit a
+    # result line no matter what. A THREAD, not SIGALRM: Python signal
+    # handlers only run between bytecodes of the main thread, so an alarm
+    # can never fire while the main thread is stuck inside the blocked
+    # backend-init C call — exactly the failure being guarded against. The
+    # daemon thread prints the fallback JSON and hard-exits (os._exit: no
+    # cleanup can be expected of a wedged PJRT client).
     state = {"p50": None, "parity": "skipped"}
 
     if args.watchdog:
-        import signal
+        import os
+        import threading
 
-        def on_alarm(signum, frame):
+        def on_watchdog():
             p50 = state["p50"]
             print(
                 json.dumps(
@@ -66,10 +73,12 @@ def main() -> None:
                 ),
                 flush=True,
             )
-            raise SystemExit(0)
+            sys.stdout.flush()
+            os._exit(0)
 
-        signal.signal(signal.SIGALRM, on_alarm)
-        signal.alarm(args.watchdog)
+        watchdog = threading.Timer(args.watchdog, on_watchdog)
+        watchdog.daemon = True
+        watchdog.start()
 
     import jax
 
@@ -276,6 +285,8 @@ def main() -> None:
     elif args.cpu:
         state["parity"] = "skipped (cpu run)"
 
+    if args.watchdog:
+        watchdog.cancel()  # avoid a double JSON line racing the final print
     out = {
         "metric": f"fused_ms_per_frame_dual_{args.width}x{args.height}",
         "value": round(p50_main, 3),

@@ -145,34 +145,43 @@ def load_ply(path: str, return_colors: bool = False):
                 )
                 return xyz, rgb
             return xyz
-        # binary little endian: parse property list sizes
-        type_sizes = {
-            "float": 4, "float32": 4, "double": 8, "float64": 8,
-            "uchar": 1, "uint8": 1, "char": 1, "int8": 1,
-            "short": 2, "ushort": 2, "int": 4, "uint": 4,
+        # Binary: build a numpy structured dtype from the property list so
+        # every field is read at its declared offset, dtype, AND byte
+        # order — x/y/z preceded by normals (or double-typed) and
+        # big-endian files all parse correctly, byte-identically to the
+        # name-indexed ascii path.
+        if fmt == "binary_little_endian":
+            endian = "<"
+        elif fmt == "binary_big_endian":
+            endian = ">"
+        else:
+            raise ValueError(f"unsupported PLY format {fmt!r}")
+        np_types = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "i2", "ushort": "u2", "int": "i4", "uint": "u4",
         }
-        prop_types = [p[1] for p in props if len(p) == 3]
-        if not prop_types:
-            prop_types = ["float", "float", "float"]
-        rec_size = sum(type_sizes[t] for t in prop_types)
-        offsets = {}
-        off = 0
-        for p in props:
-            if len(p) == 3:
-                offsets[p[2]] = off
-                off += type_sizes[p[1]]
-        raw = fh.read(n * rec_size)
-        out = np.zeros((n, 3), np.float32)
-        rgb = np.zeros((n, 3), np.uint8)
-        for i in range(n):
-            off = i * rec_size
-            out[i] = struct.unpack_from("<3f", raw, off)
-            if return_colors and has_color:
-                rgb[i] = [
-                    raw[off + offsets["red"]],
-                    raw[off + offsets["green"]],
-                    raw[off + offsets["blue"]],
-                ]
+        fields = [
+            (p[2], endian + np_types[p[1]]) for p in props if len(p) == 3
+        ]
+        if not fields:  # header without property lines: assume x y z f32
+            fields = [(k, endian + "f4") for k in ("x", "y", "z")]
+        rec = np.dtype(fields)
+        names = [f[0] for f in fields]
+        kx, ky, kz = (
+            ("x", "y", "z") if {"x", "y", "z"} <= set(names) else names[:3]
+        )
+        raw = fh.read(n * rec.itemsize)
+        arr = np.frombuffer(raw, dtype=rec, count=n)
+        out = np.stack(
+            [arr[kx], arr[ky], arr[kz]], axis=-1
+        ).astype(np.float32)
         if return_colors:
+            rgb = (
+                np.stack(
+                    [arr["red"], arr["green"], arr["blue"]], axis=-1
+                ).astype(np.uint8)
+                if has_color else np.zeros((n, 3), np.uint8)
+            )
             return out, rgb
         return out

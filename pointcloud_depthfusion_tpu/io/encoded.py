@@ -76,11 +76,28 @@ class EncodedFrameset:
 
     @staticmethod
     def from_bytes(data: bytes) -> "EncodedFrameset":
+        # Wire data from untrusted/desynced peers: explicit ValueErrors
+        # (never assert — gone under ``python -O``) and bounds checks, so a
+        # truncated blob fails HERE with a framing diagnostic rather than
+        # as an opaque PIL error on a silently short PNG slice.
         hdr_size = struct.calcsize("<4sBddII")
+        if len(data) < hdr_size:
+            raise ValueError(
+                f"encoded frameset truncated: {len(data)} bytes < "
+                f"{hdr_size}-byte header"
+            )
         magic, version, ts, scale, dlen, clen = struct.unpack(
             "<4sBddII", data[:hdr_size]
         )
-        assert magic == _MAGIC and version == _VERSION, "bad encoded frameset"
+        if magic != _MAGIC or version != _VERSION:
+            raise ValueError(
+                f"bad encoded frameset (magic {magic!r}, version {version})"
+            )
+        if hdr_size + dlen + clen > len(data):
+            raise ValueError(
+                f"encoded frameset truncated: header claims {dlen}+{clen} "
+                f"payload bytes, got {len(data) - hdr_size}"
+            )
         depth_png = data[hdr_size : hdr_size + dlen]
         color_png = data[hdr_size + dlen : hdr_size + dlen + clen]
         return EncodedFrameset(

@@ -268,16 +268,20 @@ class FramesetStreamServer:
             sent = 0
             while not (self._stop.is_set() or done.is_set()):
                 t0 = time.perf_counter()
-                try:
-                    fs = self.source.next_frame()
-                except Exception:
-                    # A broken source must END the stream (clients would
-                    # otherwise block forever on a silent producer).
-                    traceback.print_exc(file=sys.stderr)
+                # Check the cap BEFORE fetching: pulling frame N+1 only to
+                # discard it would silently consume one frame per client
+                # from a non-looping recorded source.
+                if self.max_frames is not None and sent >= self.max_frames:
                     fs = None
-                if fs is None or (
-                    self.max_frames is not None and sent >= self.max_frames
-                ):
+                else:
+                    try:
+                        fs = self.source.next_frame()
+                    except Exception:
+                        # A broken source must END the stream (clients would
+                        # otherwise block forever on a silent producer).
+                        traceback.print_exc(file=sys.stderr)
+                        fs = None
+                if fs is None:
                     # The end sentinel MUST reach the sender even through a
                     # full queue (drop-oldest like the frame path) — a lost
                     # sentinel leaves the consumer thread waiting and the
@@ -404,9 +408,18 @@ class NetworkSource(FramesetSource):
                 f"no frame from {self.name} within the socket timeout — "
                 "raise NetworkSource(timeout_s=...) for slow senders"
             )
-        except (ConnectionError, OSError):
+        except (ConnectionError, OSError) as exc:
+            # An abrupt close is an ERROR, not a clean end: the server
+            # always delivers a 0-length end sentinel, so missing it means
+            # the peer died mid-stream or the framing desynced. Returning
+            # None here would shut the fusion pipeline down as a normal
+            # end-of-stream with zero diagnostic — and would also swallow
+            # the oversized-frame ConnectionError raised above.
             self.close()
-            return None
+            raise ConnectionError(
+                f"frameset stream from {self.name} aborted mid-stream: "
+                f"{exc}"
+            ) from exc
         if self.codec == "raw":
             return _decode_raw(blob)
         return EncodedFrameset.from_bytes(blob).decode()

@@ -176,6 +176,10 @@ def main() -> None:
             if i + 1 >= args.frames:
                 break
     fusion.flush_pending()  # drain the async-readback in-flight frame
+    # stop() flushes the registration side effects the YAML may have
+    # configured (profiling CSV, save_transform persistence) — without it
+    # they are silently dropped at exit.
+    registration.stop()
     wall = time.perf_counter() - t0
 
     if args.gif and gif_frames:

@@ -255,6 +255,14 @@ class FusionNodeApp:
         t_loop = _time.perf_counter()
         self._publish_sync_debug(pair)
         profiling = self.stage_log is not None
+        if self._pending is not None and (profiling or not self.async_readback):
+            # A mode flip mid-stream (profiling toggled on via attach_config,
+            # or async_readback turned off) must not strand the in-flight
+            # async frame: publish it FIRST, or flush_pending() at
+            # end-of-run would emit it AFTER younger frames (subscribers
+            # would see a time-travelling frame).
+            prev, self._pending = self._pending, None
+            self._publish_ready(prev)
         laps = {}
         if profiling:
             # Split-program profiling mode: the fused pipeline has no

@@ -63,23 +63,32 @@ class OpenCVDisplay:
                 ) from exc
         self._cv2 = cv2_module
         self.window_name = window_name
-        self._opened = False
+        self._opened: set = set()
 
-    def __call__(self, image: np.ndarray, timestamp: float) -> None:
+    def _window_for(self, kind: Optional[str]) -> str:
+        # One window PER SINK KIND, like the reference's per-callback
+        # windows (image_node.cpp:38-109) — routing all four streams into
+        # a single window would flicker between unrelated images.
+        if kind in (None, "fused"):
+            return self.window_name
+        return f"{self.window_name}:{kind}"
+
+    def __call__(
+        self, image: np.ndarray, timestamp: float, kind: Optional[str] = None
+    ) -> None:
         cv2 = self._cv2
+        win = self._window_for(kind)
         try:
-            if not self._opened:
-                cv2.namedWindow(self.window_name, cv2.WINDOW_AUTOSIZE)
-                self._opened = True
+            if win not in self._opened:
+                cv2.namedWindow(win, cv2.WINDOW_AUTOSIZE)
+                self._opened.add(win)
             bgr = image[..., ::-1] if image.ndim == 3 else image
-            cv2.imshow(self.window_name, np.ascontiguousarray(bgr))
+            cv2.imshow(win, np.ascontiguousarray(bgr))
             cv2.waitKey(1)
             # visibility poll == the reference's close detection
             # (getWindowProperty(WND_PROP_VISIBLE) < 1 → shutdown).
-            if cv2.getWindowProperty(
-                self.window_name, cv2.WND_PROP_VISIBLE
-            ) < 1:
-                raise WindowClosed(self.window_name)
+            if cv2.getWindowProperty(win, cv2.WND_PROP_VISIBLE) < 1:
+                raise WindowClosed(win)
         except WindowClosed:
             raise
         except Exception as exc:  # cv2.error on headless hosts
@@ -89,12 +98,12 @@ class OpenCVDisplay:
             ) from exc
 
     def close(self) -> None:
-        if self._opened:
+        for win in self._opened:
             try:
-                self._cv2.destroyWindow(self.window_name)
+                self._cv2.destroyWindow(win)
             except Exception:
                 pass
-            self._opened = False
+        self._opened = set()
 
 
 class ImageNode:
@@ -114,6 +123,20 @@ class ImageNode:
         feeder/camera loops."""
         self.out_dir = out_dir
         self.display = display
+        # Pass the sink kind to display backends that accept it (so an
+        # interactive backend can open one window per stream, like the
+        # reference's per-callback windows); plain (image, timestamp)
+        # callables keep working.
+        self._display_takes_kind = False
+        if display is not None:
+            import inspect  # noqa: PLC0415
+
+            try:
+                self._display_takes_kind = (
+                    "kind" in inspect.signature(display).parameters
+                )
+            except (TypeError, ValueError):
+                pass
         self.every_n = every_n
         self.max_saved = max_saved
         self.depth_scale_abs = depth_scale_abs
@@ -150,7 +173,10 @@ class ImageNode:
                 self.saved += 1
         if self.display is not None and not self.closed.is_set():
             try:
-                self.display(image, timestamp)
+                if self._display_takes_kind:
+                    self.display(image, timestamp, kind=kind)
+                else:
+                    self.display(image, timestamp)
             except WindowClosed:
                 self.close()
         if save:

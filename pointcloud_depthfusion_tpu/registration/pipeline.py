@@ -138,8 +138,14 @@ class RegistrationPipeline:
         # (registration_node.cpp:153-160).
         start = np.eye(4, dtype=np.float32)
         if s.cam_upside_down:
+            # Host-side numpy, deliberately NOT G.euler_to_matrix: eager
+            # multi-op device math at construction time would ride the
+            # relayed TPU (init-time stalls observed up to ~25 min; eager
+            # pipelines on the relay have returned corrupted results once
+            # — see CLAUDE.md), and a 180° Z rotation is exact in numpy.
             start[:3, :3] = np.asarray(
-                G.euler_to_matrix(jnp.asarray([0.0, 0.0, np.pi]))
+                [[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]],
+                np.float32,
             )
         self.start_transform = start
         self.initial_transform = start.copy()
@@ -186,7 +192,8 @@ class RegistrationPipeline:
         s = self.settings
         k = max(1, int(s.cloud_decimation))
         key = (which, s.min_depth, s.max_depth, roi, k,
-               s.outlier_removal, s.outlier_resolution, s.outlier_stddev_mul)
+               s.outlier_removal, s.outlier_resolution, s.outlier_stddev_mul,
+               s.table_size)
         cached = self._solve_cache.get(key)
         if cached is not None:
             return cached
@@ -379,8 +386,15 @@ class RegistrationPipeline:
             jnp.asarray(self.initial_transform, jnp.float32),
             config,
         )
-        final = np.asarray(result.transform, np.float64)
-        fitness = float(result.fitness)
+        # ONE batched device→host fetch for everything this tick reads:
+        # each separate np.asarray/float()/int() is its own D2H round-trip
+        # (~28 ms over the relay — the same cost the cloud program fuses
+        # its point count to avoid).
+        final, fitness, iterations, right_count = jax.device_get(
+            (result.transform, result.fitness, result.iterations, right_count)
+        )
+        final = np.asarray(final, np.float64)
+        fitness = float(fitness)
         icp_ms = (time.perf_counter() - t0) * 1e3
 
         discarded = False
@@ -446,7 +460,7 @@ class RegistrationPipeline:
                 discarded=discarded,
                 guess_reset=guess_reset,
                 target_grid_rebuilt=rebuild,
-                iterations=int(result.iterations),
+                iterations=int(iterations),
             )
         )
         return self.last_transform

@@ -314,3 +314,70 @@ def test_feeder_end_of_stream_repeat_get():
     assert feeder.get() is None
     assert feeder.get() is None
     feeder.stop()
+
+
+def test_ply_binary_nonleading_xyz_and_big_endian(tmp_path, rng):
+    """The binary PLY parser reads each property at its declared offset,
+    dtype, and byte order: x/y/z preceded by normals, double-typed
+    coordinates, and big_endian files must all parse by NAME (like the
+    ascii path), not as the first 12 bytes of each record."""
+    from pointcloud_depthfusion_tpu.io.artifacts import load_ply
+
+    n = 7
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+
+    for fmt, endian in (("binary_little_endian", "<"),
+                        ("binary_big_endian", ">")):
+        p = str(tmp_path / f"{fmt}.ply")
+        header = "\n".join([
+            "ply",
+            f"format {fmt} 1.0",
+            f"element vertex {n}",
+            "property float nx", "property float ny", "property float nz",
+            "property double x", "property double y", "property double z",
+            "property uchar red", "property uchar green",
+            "property uchar blue",
+            "end_header",
+        ]) + "\n"
+        rec = np.dtype([
+            ("nx", endian + "f4"), ("ny", endian + "f4"),
+            ("nz", endian + "f4"),
+            ("x", endian + "f8"), ("y", endian + "f8"),
+            ("z", endian + "f8"),
+            ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+        ])
+        arr = np.zeros(n, rec)
+        arr["nx"], arr["ny"], arr["nz"] = nrm.T
+        arr["x"], arr["y"], arr["z"] = pts.astype(np.float64).T
+        arr["red"], arr["green"], arr["blue"] = cols.T
+        with open(p, "wb") as fh:
+            fh.write(header.encode("ascii"))
+            fh.write(arr.tobytes())
+        xyz, rgb = load_ply(p, return_colors=True)
+        np.testing.assert_allclose(xyz, pts, rtol=1e-6)
+        np.testing.assert_array_equal(rgb, cols)
+
+
+def test_encoded_frameset_rejects_truncated_and_bad_magic():
+    import pytest
+
+    from pointcloud_depthfusion_tpu.io.encoded import EncodedFrameset
+    from pointcloud_depthfusion_tpu.io.feeder import HostFrameset
+
+    fs = HostFrameset(
+        depth=np.full((4, 6), 123, np.uint16),
+        color=np.zeros((4, 6, 3), np.uint8),
+        timestamp=1.5,
+        depth_scale=0.001,
+    )
+    blob = EncodedFrameset.encode(fs).to_bytes()
+    # round trip still fine
+    EncodedFrameset.from_bytes(blob).decode()
+    with pytest.raises(ValueError, match="truncated"):
+        EncodedFrameset.from_bytes(blob[:10])
+    with pytest.raises(ValueError, match="truncated"):
+        EncodedFrameset.from_bytes(blob[:-5])
+    with pytest.raises(ValueError, match="magic|bad"):
+        EncodedFrameset.from_bytes(b"XXXX" + blob[4:])

@@ -174,3 +174,54 @@ def test_raw_codec_round_trip_bit_exact():
         np.testing.assert_array_equal(fs.color, want.color)
         assert abs(fs.timestamp - want.timestamp) < 1e-9
         assert fs.depth_scale == np.float32(want.depth_scale)
+
+
+def test_abrupt_close_raises_not_silent_end():
+    """A peer dying WITHOUT the 0-length end sentinel is an ERROR (the
+    server always sends the sentinel on clean end), never a silent
+    end-of-stream — silent Nones shut the fusion pipeline down with zero
+    diagnostic."""
+    import socket
+    import struct
+
+    import pytest
+
+    src, intr = make_source(seed=3)
+    ext = Extrinsics.create(np.eye(3), [0.0, 0.0, 0.0])
+    with FramesetStreamServer(src, fps=0.0, name="cam",
+                              depth_to_color=ext, max_frames=50) as server:
+        client = NetworkSource("127.0.0.1", server.port)
+        assert client.next_frame() is not None
+        # Sever the transport mid-stream from the client side; the next
+        # read must raise, not return None.
+        client._sock.shutdown(socket.SHUT_RD)
+        with pytest.raises((ConnectionError, OSError)):
+            while client.next_frame() is not None:
+                pass
+
+
+def test_server_max_frames_does_not_consume_extra():
+    """The producer checks the frame cap BEFORE fetching: serving
+    max_frames=N must pull exactly N frames from the source."""
+
+    class CountingSource:
+        def __init__(self, inner):
+            self.inner = inner
+            self.pulled = 0
+            self.intrinsics = inner.intrinsics
+
+        def next_frame(self):
+            self.pulled += 1
+            return self.inner.next_frame()
+
+    src, intr = make_source(seed=4)
+    counting = CountingSource(src)
+    ext = Extrinsics.create(np.eye(3), [0.0, 0.0, 0.0])
+    with FramesetStreamServer(counting, fps=0.0, name="cam",
+                              depth_to_color=ext, max_frames=3) as server:
+        client = NetworkSource("127.0.0.1", server.port)
+        got = 0
+        while client.next_frame() is not None:
+            got += 1
+    assert got == 3
+    assert counting.pulled == 3, counting.pulled

@@ -483,3 +483,29 @@ def test_opencv_display_headless_error():
     disp = OpenCVDisplay(cv2_module=BrokenCV2())
     with _pytest.raises(RuntimeError, match="headless"):
         disp(np.zeros((2, 2, 3), np.uint8), 0.0)
+
+
+def test_image_node_routes_sink_kind_to_display():
+    """Display backends that accept `kind` get one call per sink kind (the
+    reference opens one window per callback); plain (image, ts) callables
+    keep working unchanged."""
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.nodes.image_node import ImageNode
+
+    seen_kinds = []
+
+    def display_with_kind(image, timestamp, kind=None):
+        seen_kinds.append(kind)
+
+    node = ImageNode(display=display_with_kind)
+    img = np.zeros((4, 6, 3), np.uint8)
+    node(img, 0.1)
+    node.on_depth(np.zeros((4, 6), np.uint16), 0.2)
+    node.on_image_small(img, 0.3)
+    assert seen_kinds == ["fused", "depth", "small"]
+
+    plain_calls = []
+    node2 = ImageNode(display=lambda image, ts: plain_calls.append(ts))
+    node2(img, 0.5)
+    assert plain_calls == [0.5]

@@ -226,9 +226,16 @@ def transform_extrinsic(points: Array, rotation: Array, translation: Array) -> A
 def quaternion_from_matrix(r: Array) -> Array:
     """Rotation matrix (3,3) -> quaternion (w, x, y, z), w >= 0 not enforced.
 
-    Branch-free Shepperd's method: computes all four candidate solutions and
-    selects the numerically best via argmax of the diagonal terms, which is
-    jit-safe (no data-dependent control flow).
+    Branch selection replicates Eigen's ``Quaternion(Matrix3)`` EXACTLY
+    (jit-safe via lax.switch): the w-branch whenever trace > 0, otherwise
+    the dominant-diagonal branch. The distinction matters for SIGN parity,
+    not accuracy: for rotations with trace > 0 but a dominant diagonal
+    (angles in (90°, 120°)) the argmax-of-all-four rule would pick a
+    diagonal branch and return the NEGATION of Eigen's quaternion — and
+    ``interpolate_transform``'s reference quirk ("invert the midpoint when
+    q_right.w < 0", fusion_node.cpp:603) keys on that sign, so it would
+    fire on poses where the reference's does not. The w-branch always
+    yields w > 0, exactly like Eigen.
     """
     m00, m01, m02 = r[0, 0], r[0, 1], r[0, 2]
     m10, m11, m12 = r[1, 0], r[1, 1], r[1, 2]
@@ -252,8 +259,8 @@ def quaternion_from_matrix(r: Array) -> Array:
         s = jnp.sqrt(jnp.maximum(1.0 + m22 - m00 - m11, 1e-12)) * 2.0
         return jnp.stack([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, 0.25 * s])
 
-    scores = jnp.stack([tr, m00, m11, m22])
-    idx = jnp.argmax(scores)
+    diag = jnp.stack([m00, m11, m22])
+    idx = jnp.where(tr > 0, 0, 1 + jnp.argmax(diag)).astype(jnp.int32)
     q = jax.lax.switch(idx, [cand_w, cand_x, cand_y, cand_z])
     return q / jnp.linalg.norm(q)
 

@@ -49,8 +49,24 @@ class PointCloud:
 
         Applies the depth window like Frameset::filterDepth +
         Pointcloud::deproject chained (fusion hot-path semantics).
+
+        Deprojects with ``depth_intrinsics`` — identical to
+        ``color_intrinsics`` for aligned framesets (the reference's depth
+        intrinsics ARE the color stream profile once rs2::align ran,
+        realsense.cpp:670-680), and the geometrically correct choice for a
+        frameset still carrying unaligned depth. Colors pair with depth
+        pixels by position, which is only meaningful when depth is aligned
+        to color — a resolution mismatch is rejected loudly (run
+        ops.align.align_depth_to_color first) instead of producing a
+        shape-inconsistent cloud.
         """
         depth = frameset.depth
+        if depth.shape != frameset.color.shape[:2]:
+            raise ValueError(
+                f"depth {depth.shape} vs color {frameset.color.shape[:2]}: "
+                "PointCloud.deproject pairs colors per pixel, so depth must "
+                "be aligned to color (ops.align.align_depth_to_color) first"
+            )
         if np.isfinite(max_depth) or min_depth > 0 or roi is not None:
             depth, valid = F.filter_depth(
                 depth, frameset.depth_scale, min_depth, max_depth, roi
@@ -58,7 +74,7 @@ class PointCloud:
         else:
             valid = None
         depth_m = depth.astype(jnp.float32) * frameset.depth_scale
-        pts, valid = G.deproject(depth_m, frameset.color_intrinsics, valid)
+        pts, valid = G.deproject(depth_m, frameset.depth_intrinsics, valid)
         return PointCloud(
             points=pts.reshape(-1, 3),
             colors=frameset.color.reshape(-1, 3),

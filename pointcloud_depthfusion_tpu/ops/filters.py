@@ -55,9 +55,15 @@ def filter_depth_minmax(
 def roi_mask(
     height: int, width: int, roi: Optional[Sequence[int]], dtype=jnp.bool_
 ) -> Array:
-    """Build a rectangular ROI mask [x, y, w, h] with the reference's
-    clamping rules (kernels.cu:379-384): negative fields select the full
-    image; boxes exceeding bounds fall back to full extent.
+    """Build a rectangular ROI mask [x, y, w, h].
+
+    Negative fields select the full image, like the reference
+    (kernels.cu:379-382). A box exceeding the image bounds keeps its
+    origin and CLIPS at the edge — deliberately NOT the reference's
+    behavior: kernels.cu:381-382 resets the size to the full width/height
+    while keeping the offset, so the NPP region overruns each row and
+    wraps into the next one (reads/writes past the ROI's rows — a latent
+    out-of-bounds bug, documented here instead of reproduced).
     """
     if roi is None:
         return jnp.ones((height, width), dtype)
@@ -222,8 +228,15 @@ def _gauss_kernel_1d(size: int) -> np.ndarray:
 def gauss_filter(
     img: Array, size: int = 3, interior_roi: bool = True
 ) -> Array:
-    """Separable binomial Gauss filter (uint8/uint16 in, same dtype out,
-    round-to-nearest like NPP's fixed-point path)."""
+    """Separable binomial Gauss filter (uint8/uint16 in, same dtype out).
+
+    Rounds HALF-UP (floor(x+0.5)) like NPP's fixed-point path
+    ((sum + (1<<(shift-1))) >> shift on non-negative sums) — NOT
+    jnp.round's half-to-even: the binomial kernels are exact binary
+    fractions, so x.5 ties are common and exact in f32, and the two rules
+    differ by 1 LSB exactly there. Same convention as _spatial_sweep.
+    All arithmetic is exact in f32 up to the 5×5 u16 case
+    (256·65535 < 2²⁴), so this matches integer NPP bit-for-bit."""
     radius = size // 2
     k1 = _gauss_kernel_1d(size)
     x = img.astype(jnp.float32)
@@ -242,7 +255,9 @@ def gauss_filter(
         k1[i] * jax.lax.dynamic_slice_in_dim(rp, i, x.shape[1], axis=1)
         for i in range(size)
     )
-    out = jnp.clip(jnp.round(out), 0, float(jnp.iinfo(img.dtype).max)).astype(img.dtype)
+    out = jnp.clip(
+        jnp.floor(out + 0.5), 0, float(jnp.iinfo(img.dtype).max)
+    ).astype(img.dtype)
     if squeeze:
         out = out[..., 0]
     return _interior_only(out, img, radius) if interior_roi else out

@@ -76,9 +76,13 @@ def _gauss3x3_kernel(in_ref, out_ref):
         rows[:, 0 : w - 2] + 2.0 * rows[:, 1 : w - 1] + rows[:, 2:w]
     ) * (1.0 / 16.0)
     out_ref[:] = in_ref[:]
-    # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic)
+    # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic). Half-up round
+    # (floor(x+0.5)) to match NPP's fixed-point (sum + 8) >> 4 and the XLA
+    # twin ops/filters.gauss_filter — x.5 ties are exact here.
     out_ref[1 : h - 1, 1 : w - 1] = (
-        jnp.clip(jnp.round(interior), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        jnp.clip(jnp.floor(interior + 0.5), 0.0, 255.0)
+        .astype(jnp.int32)
+        .astype(jnp.uint8)
     )
 
 

@@ -109,26 +109,39 @@ def compute_pixel_indices_planar(
     return flat, z, in_bounds
 
 
+def _decode_packed_planes(buf: Array, z_near, z_far):
+    """Decode a flat packed (zq14|RGB666) min-buffer into (r, g, b) u8
+    planes + f32 zbuf (FLT_MAX where uncovered, color black).
+
+    The ONE decode for the packed bit layout — every packed render path
+    (:func:`unpack_packed_buffer`, :func:`project_zbuffer_packed_planar`,
+    :func:`project_zbuffer_packed`, parallel.mesh's rig fold) must go
+    through here so a layout change can never leave a stale twin.
+    """
+    z_levels = jnp.float32((1 << 14) - 1)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    covered = buf != sentinel
+    buf = jnp.where(covered, buf, 0)  # uncovered pixels decode to black
+    r6 = (buf >> 12) & 0x3F
+    g6 = (buf >> 6) & 0x3F
+    b6 = buf & 0x3F
+    rp = ((r6 << 2) | (r6 >> 4)).astype(jnp.uint8)
+    gp = ((g6 << 2) | (g6 >> 4)).astype(jnp.uint8)
+    bp = ((b6 << 2) | (b6 >> 4)).astype(jnp.uint8)
+    z_near = jnp.asarray(z_near, jnp.float32)
+    z_far = jnp.asarray(z_far, jnp.float32)
+    zq = (buf >> 18).astype(jnp.float32) / z_levels * (z_far - z_near) + z_near
+    zbuf = jnp.where(covered, zq, jnp.float32(jnp.finfo(jnp.float32).max))
+    return rp, gp, bp, zbuf
+
+
 def unpack_packed_buffer(
     buf: Array, intrinsics: Intrinsics, z_near, z_far
 ) -> Tuple[Array, Array]:
     """Decode a (H·W,) packed (zq14|RGB666) min-buffer into image + zbuf."""
     h, w = intrinsics.height, intrinsics.width
-    z_levels = jnp.float32((1 << 14) - 1)
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    covered = buf != sentinel
-    r6 = (buf >> 12) & 0x3F
-    g6 = (buf >> 6) & 0x3F
-    b6 = buf & 0x3F
-    img = jnp.stack(
-        [(r6 << 2) | (r6 >> 4), (g6 << 2) | (g6 >> 4), (b6 << 2) | (b6 >> 4)],
-        -1,
-    ).astype(jnp.uint8).reshape(h, w, 3)
-    img = jnp.where(covered.reshape(h, w, 1), img, 0)
-    z_near = jnp.asarray(z_near, jnp.float32)
-    z_far = jnp.asarray(z_far, jnp.float32)
-    zq = (buf >> 18).astype(jnp.float32) / z_levels * (z_far - z_near) + z_near
-    zbuf = jnp.where(covered, zq, jnp.float32(jnp.finfo(jnp.float32).max))
+    rp, gp, bp, zbuf = _decode_packed_planes(buf, z_near, z_far)
+    img = jnp.stack([rp, gp, bp], -1).reshape(h, w, 3)
     return img, zbuf.reshape(h, w)
 
 
@@ -176,16 +189,10 @@ def project_zbuffer_packed_planar(
     buf = buf.at[idx.reshape(-1)].min(key.reshape(-1), mode="drop")
     buf = buf[:n_px]
 
-    covered = buf != jnp.uint32(0xFFFFFFFF)
-    buf = jnp.where(covered, buf, 0)  # uncovered pixels decode to black
-    r6o = (buf >> 12) & 0x3F
-    g6o = (buf >> 6) & 0x3F
-    b6o = buf & 0x3F
-    ro = ((r6o << 2) | (r6o >> 4)).astype(jnp.uint8).reshape(h, w)
-    go = ((g6o << 2) | (g6o >> 4)).astype(jnp.uint8).reshape(h, w)
-    bo = ((b6o << 2) | (b6o >> 4)).astype(jnp.uint8).reshape(h, w)
-    zq_out = (buf >> 18).astype(jnp.float32) / z_levels * (z_far - z_near) + z_near
-    zbuf = jnp.where(covered, zq_out, jnp.float32(jnp.finfo(jnp.float32).max))
+    ro, go, bo, zbuf = _decode_packed_planes(buf, z_near, z_far)
+    ro = ro.reshape(h, w)
+    go = go.reshape(h, w)
+    bo = bo.reshape(h, w)
     if return_planes:
         return (ro, go, bo), zbuf.reshape(h, w)
     return jnp.stack([ro, go, bo], -1), zbuf.reshape(h, w)
@@ -640,17 +647,6 @@ def project_zbuffer_packed(
     buf = buf.at[idx].min(key, mode="drop")
     buf = buf[:n_px]
 
-    covered = buf != jnp.uint32(0xFFFFFFFF)
-    # 6->8 bit expansion replicating the top bits (x << 2 | x >> 4) keeps
-    # 0->0 and 63->255 exact.
-    r6 = (buf >> 12) & 0x3F
-    g6 = (buf >> 6) & 0x3F
-    b6 = buf & 0x3F
-    r = (r6 << 2) | (r6 >> 4)
-    g = (g6 << 2) | (g6 >> 4)
-    b = (b6 << 2) | (b6 >> 4)
-    img = jnp.stack([r, g, b], -1).astype(jnp.uint8).reshape(h, w, 3)
-    img = jnp.where(covered.reshape(h, w, 1), img, 0)
-    zq_out = (buf >> 18).astype(jnp.float32) / z_levels * (z_far - z_near) + z_near
-    zbuf = jnp.where(covered, zq_out, jnp.float32(jnp.finfo(jnp.float32).max))
+    rp, gp, bp, zbuf = _decode_packed_planes(buf, z_near, z_far)
+    img = jnp.stack([rp, gp, bp], -1).reshape(h, w, 3)
     return img, zbuf.reshape(h, w)

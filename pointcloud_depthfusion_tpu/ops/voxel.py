@@ -46,7 +46,10 @@ def hash_coords(coords: Array, table_size: int) -> Array:
     2^15 table; the finalizer brings it to the birthday bound).
     table_size must be a power of two (masked modulo).
     """
-    assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
+    if table_size & (table_size - 1):
+        # ValueError, not assert: under python -O the check would vanish
+        # and `h & (table_size-1)` silently corrupts the hash mask.
+        raise ValueError(f"table_size {table_size} must be a power of 2")
     c = coords.astype(jnp.uint32)
     return hash_coords_planar(c[..., 0], c[..., 1], c[..., 2], table_size)
 
@@ -54,7 +57,10 @@ def hash_coords(coords: Array, table_size: int) -> Array:
 def hash_coords_planar(cx: Array, cy: Array, cz: Array, table_size: int) -> Array:
     """:func:`hash_coords` on separate coordinate planes (SoA hot paths
     keep the lane dimension long instead of trailing (..., 3) axes)."""
-    assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
+    if table_size & (table_size - 1):
+        # ValueError, not assert: under python -O the check would vanish
+        # and `h & (table_size-1)` silently corrupts the hash mask.
+        raise ValueError(f"table_size {table_size} must be a power of 2")
     h = (
         cx.astype(jnp.uint32) * _H1
         + cy.astype(jnp.uint32) * _H2
@@ -351,8 +357,15 @@ def regularize_covariances(
     return eye - (1.0 - eps) * n[..., :, None] * n[..., None, :]
 
 
-def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
+def neighborhood_moments(
+    grid: VoxelGrid, include_cov: bool = True
+) -> Tuple[Array, Array, Array]:
     """Aggregate each occupied voxel's 3×3×3 neighborhood statistics.
+
+    ``include_cov=False`` skips the 6 second-moment channels end to end —
+    (M, 7) gather rows, no covariance accumulate/reconstruct — and returns
+    cov=None; the outlier gate (statistical_outlier_removal) only consumes
+    count+mean, so the pooled covariances would be dead per-tick work there.
 
     Returns (count (M,), mean (M,3), cov (M,3,3)) where the moments pool the
     voxel and its 26 face/edge/corner neighbors. This is the TPU-shaped
@@ -395,9 +408,12 @@ def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
         axis=-1,
     )
     coords_f = jax.lax.bitcast_convert_type(grid.coords, jnp.float32)
-    table = jnp.concatenate(
-        [grid.count[:, None], psum, pp6, coords_f], axis=-1
-    )  # (M, 13)
+    parts = [grid.count[:, None], psum]
+    if include_cov:
+        parts.append(pp6)
+    parts.append(coords_f)
+    table = jnp.concatenate(parts, axis=-1)  # (M, 13) or (M, 7)
+    coord_col = 10 if include_cov else 4
 
     count_n = jnp.zeros_like(grid.count)
     psum_n = jnp.zeros_like(grid.mean)
@@ -412,7 +428,7 @@ def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
                 idx = hash_coords(ncoords, m)
                 rows = table[idx]  # one row gather per neighbor
                 rcoords = jax.lax.bitcast_convert_type(
-                    rows[:, 10:13], jnp.int32
+                    rows[:, coord_col : coord_col + 3], jnp.int32
                 )
                 hit = (
                     own_occ
@@ -422,10 +438,13 @@ def neighborhood_moments(grid: VoxelGrid) -> Tuple[Array, Array, Array]:
                 w = hit.astype(jnp.float32)
                 count_n = count_n + w * rows[:, 0]
                 psum_n = psum_n + w[:, None] * rows[:, 1:4]
-                pp6_n = pp6_n + w[:, None] * rows[:, 4:10]
+                if include_cov:
+                    pp6_n = pp6_n + w[:, None] * rows[:, 4:10]
 
     safe = jnp.maximum(count_n, 1.0)
     mean_n = psum_n / safe[:, None]
+    if not include_cov:
+        return count_n, mean_n, None
     r0 = jnp.stack([pp6_n[:, 0], pp6_n[:, 1], pp6_n[:, 2]], -1)
     r1 = jnp.stack([pp6_n[:, 1], pp6_n[:, 3], pp6_n[:, 4]], -1)
     r2 = jnp.stack([pp6_n[:, 2], pp6_n[:, 4], pp6_n[:, 5]], -1)
@@ -488,7 +507,7 @@ def statistical_outlier_removal(
     pts = points.reshape(-1, 3).astype(f)
     val = valid.reshape(-1)
     grid = build_voxel_grid(pts, val, resolution, table_size)
-    n_count, n_mean, _ = neighborhood_moments(grid)
+    n_count, n_mean, _ = neighborhood_moments(grid, include_cov=False)
 
     coords = voxel_coords(pts, resolution)
     idx = hash_coords(coords, table_size)

@@ -292,15 +292,12 @@ def _decode_rgb666(merged):
 
 def _decode_rgb666_planes(merged):
     """:func:`_decode_rgb666` as three flat u8 channel planes (the layout
-    the fused-color filter wants — see _finish_planes)."""
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    covered = merged != sentinel
-    r6 = (merged >> 12) & 0x3F
-    g6 = (merged >> 6) & 0x3F
-    b6 = merged & 0x3F
-    def ch(c6):
-        return jnp.where(covered, (c6 << 2) | (c6 >> 4), 0).astype(jnp.uint8)
-    return ch(r6), ch(g6), ch(b6)
+    the fused-color filter wants — see _finish_planes). Delegates to the
+    ONE packed-layout decode (ops.render._decode_packed_planes) so the rig
+    fold can never drift from the packed render paths; the z field is
+    discarded (the rig merge consumes packed keys directly)."""
+    rp, gp, bp, _ = R._decode_packed_planes(merged, 0.0, 1.0)
+    return rp, gp, bp
 
 
 def _finish_planes(rp, gp, bp, config: FusionConfig):

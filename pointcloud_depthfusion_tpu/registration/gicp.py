@@ -100,6 +100,22 @@ class GICPConfig:
         default="direct1", metadata=dict(static=True)
     )
 
+    def __post_init__(self):
+        # The plain dataclass constructor is a public path and damping/
+        # iteration_cap LOOK optional — left as None they would crash
+        # mid-trace deep in the solver (None·diag, it < None) and poison
+        # pytree flattening. Fill the real defaults here; during pytree
+        # unflattening the leaves are never None, so this is a no-op.
+        if self.damping is None:
+            object.__setattr__(
+                self, "damping", jnp.asarray(1e-2, jnp.float32)
+            )
+        if self.iteration_cap is None:
+            object.__setattr__(
+                self, "iteration_cap",
+                jnp.asarray(self.max_iterations, jnp.int32),
+            )
+
     @staticmethod
     def create(
         resolution: float = 0.01,

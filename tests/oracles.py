@@ -124,7 +124,11 @@ def median3x3_oracle(img):
 
 
 def gauss3x3_oracle(img):
-    """Binomial 3×3 Gauss ([1 2 1]⊗[1 2 1]/16) on the interior."""
+    """Binomial 3×3 Gauss ([1 2 1]⊗[1 2 1]/16) on the interior.
+
+    Rounds half-up like NPP's fixed-point (sum + 8) >> 4 — the kernel is
+    an exact binary fraction so x.5 ties are common and half-even (rint)
+    would differ by 1 LSB exactly there."""
     img = np.asarray(img).astype(np.float64)
     out = img.copy()
     k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float64) / 16.0
@@ -133,7 +137,7 @@ def gauss3x3_oracle(img):
         for x in range(1, w - 1):
             patch = img[y - 1 : y + 2, x - 1 : x + 2]
             out[y, x] = np.tensordot(k, patch, axes=([0, 1], [0, 1]))
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
 CROSS5_SE = np.ones((5, 5), bool)

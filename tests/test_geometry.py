@@ -187,3 +187,62 @@ def test_extrinsics_column_major():
     )
     # rotation @ (1,0,0) = first column of effective matrix = (0, 1, 0)
     np.testing.assert_allclose(p[0], [1.0, 3.0, 3.0], atol=1e-6)
+
+
+def _eigen_quaternion_oracle(m):
+    """Eigen internal::quaternionbase_assign_impl (Quaternion(Matrix3)),
+    scalar-for-scalar: w-branch iff trace > 0, else dominant diagonal.
+    Returns (w, x, y, z) with Eigen's SIGN convention."""
+    t = m[0, 0] + m[1, 1] + m[2, 2]
+    q = np.zeros(4)
+    if t > 0:
+        s = np.sqrt(t + 1.0)
+        q[0] = 0.5 * s
+        s = 0.5 / s
+        q[1] = (m[2, 1] - m[1, 2]) * s
+        q[2] = (m[0, 2] - m[2, 0]) * s
+        q[3] = (m[1, 0] - m[0, 1]) * s
+    else:
+        i = 0
+        if m[1, 1] > m[0, 0]:
+            i = 1
+        if m[2, 2] > m[i, i]:
+            i = 2
+        j = (i + 1) % 3
+        k = (j + 1) % 3
+        s = np.sqrt(m[i, i] - m[j, j] - m[k, k] + 1.0)
+        xyz = np.zeros(3)
+        xyz[i] = 0.5 * s
+        s = 0.5 / s
+        q[0] = (m[k, j] - m[j, k]) * s
+        xyz[j] = (m[j, i] + m[i, j]) * s
+        xyz[k] = (m[k, i] + m[i, k]) * s
+        q[1:] = xyz
+    return q
+
+
+def test_quaternion_sign_matches_eigen(rng):
+    """SIGN-exact parity with Eigen's Quaternion(Matrix3): the
+    interpolate_transform quirk (invert when q_right.w < 0,
+    fusion_node.cpp:603) keys on the sign, so the branch rule must be
+    Eigen's (w-branch iff trace > 0), not argmax-of-all-four. Sweep
+    includes the (90deg, 120deg) band where the rules disagree."""
+    # axis-angle sweep incl. the critical band and near-180deg poses
+    for trial in range(200):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        angle = rng.uniform(-np.pi, np.pi)
+        if trial < 40:  # concentrate on the disagreement band
+            angle = np.sign(angle) * rng.uniform(np.pi / 2, 2 * np.pi / 3)
+        k = np.array([
+            [0, -axis[2], axis[1]],
+            [axis[2], 0, -axis[0]],
+            [-axis[1], axis[0], 0],
+        ])
+        r = np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+        want = _eigen_quaternion_oracle(r)
+        got = np.asarray(G.quaternion_from_matrix(jnp.asarray(r, jnp.float32)))
+        assert np.sign(got[0]) == np.sign(want[0]) or abs(want[0]) < 1e-6, (
+            angle, got, want
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -321,10 +321,15 @@ def _fuse_pallas(
         fuse_prep_pallas,
     )
 
-    assert not config.align_frames, "pallas mode expects pre-aligned depth"
-    assert config.roi_left is None and config.roi_right is None, (
-        "pallas mode does not implement ROI masking; use packed/indexed/exact"
-    )
+    # ValueError, not assert (stripped under python -O: align_frames would
+    # silently fuse UNALIGNED depth, ROIs would be silently ignored).
+    if config.align_frames:
+        raise ValueError("pallas mode expects pre-aligned depth")
+    if config.roi_left is not None or config.roi_right is not None:
+        raise ValueError(
+            "pallas mode does not implement ROI masking; use "
+            "packed/indexed/exact/tiled"
+        )
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only
     fused_t = fused_camera_transform(config, right_transform)
     right_total = G.mm(fused_t, right_transform.astype(fused_t.dtype))

@@ -41,7 +41,7 @@ _N_PARAMS = 32
 
 
 def _kernel(params_ref, depth_ref, r_ref, g_ref, b_ref, idx_ref, key_ref,
-            *, tile_rows: int, width: int, out_width: int, out_height: int,
+            *, tile_rows: int, out_width: int, out_height: int,
             mirror: bool):
     row0 = pl.program_id(0) * tile_rows
 
@@ -90,8 +90,10 @@ def _kernel(params_ref, depth_ref, r_ref, g_ref, b_ref, idx_ref, key_ref,
     # depth rounds identically at bucket boundaries. f32 -> i32 -> u32:
     # Mosaic has no direct f32->u32 cast.
     z_levels = jnp.float32((1 << 14) - 1)
+    # z_levels-1: see ops/render.project_zbuffer_packed_planar (a max-zq
+    # near-white point's key would equal the 0xFFFFFFFF sentinel).
     zq = (
-        jnp.clip((z - z_near) / z_range * z_levels, 0.0, z_levels)
+        jnp.clip((z - z_near) / z_range * z_levels, 0.0, z_levels - 1.0)
         .astype(jnp.int32)
         .astype(jnp.uint32)
     )
@@ -174,7 +176,6 @@ def fuse_prep_pallas(
     kernel = functools.partial(
         _kernel,
         tile_rows=tile_rows,
-        width=w,
         out_width=fused_intrinsics.width,
         out_height=fused_intrinsics.height,
         mirror=mirror,

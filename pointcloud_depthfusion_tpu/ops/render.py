@@ -135,6 +135,18 @@ def _decode_packed_planes(buf: Array, z_near, z_far):
     return rp, gp, bp, zbuf
 
 
+def decode_winner_planes(covered: Array, mrgb: Array):
+    """(covered mask, packed r<<16|g<<8|b winner) → (r, g, b) u8 flat
+    planes, black where uncovered. The ONE RGB888 winner decode — shared
+    by the tiled dual render, the rig unpack, and the batched rig so the
+    bit layout cannot drift between paths."""
+    win = jnp.where(covered, mrgb, 0)
+    rp = ((win >> 16) & 0xFF).astype(jnp.uint8)
+    gp = ((win >> 8) & 0xFF).astype(jnp.uint8)
+    bp = (win & 0xFF).astype(jnp.uint8)
+    return rp, gp, bp
+
+
 def unpack_packed_buffer(
     buf: Array, intrinsics: Intrinsics, z_near, z_far
 ) -> Tuple[Array, Array]:
@@ -176,8 +188,11 @@ def project_zbuffer_packed_planar(
     idx, zc, ok = compute_pixel_indices_planar(x, y, z, valid, intrinsics, mirror)
     z_near = jnp.asarray(z_near, jnp.float32)
     z_far = jnp.asarray(z_far, jnp.float32)
+    # Clip to z_levels-1: zq=16383 with near-white RGB666 would make the
+    # packed key equal the 0xFFFFFFFF uncovered sentinel and the point
+    # would silently decode as uncovered/black.
     zq = jnp.clip(
-        (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
+        (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels - 1.0
     ).astype(jnp.uint32)
     r6 = (r.astype(jnp.uint32) >> 2) << 12
     g6 = (g.astype(jnp.uint32) >> 2) << 6
@@ -501,10 +516,10 @@ def project_zbuffer_tiled_planar(
         )
         covered = mrgb != maxi
         zbuf = None
-    win = jnp.where(covered, mrgb, 0)
-    rp = ((win >> 16) & 0xFF).astype(jnp.uint8).reshape(h, w)
-    gp = ((win >> 8) & 0xFF).astype(jnp.uint8).reshape(h, w)
-    bp = (win & 0xFF).astype(jnp.uint8).reshape(h, w)
+    rp, gp, bp = decode_winner_planes(covered, mrgb)
+    rp = rp.reshape(h, w)
+    gp = gp.reshape(h, w)
+    bp = bp.reshape(h, w)
     if return_planes:
         return (rp, gp, bp), zbuf
     return jnp.stack([rp, gp, bp], -1), zbuf
@@ -634,8 +649,9 @@ def project_zbuffer_packed(
 
     z_near = jnp.asarray(z_near, jnp.float32)
     z_far = jnp.asarray(z_far, jnp.float32)
+    # z_levels-1: see project_zbuffer_packed_planar (sentinel collision).
     zq = jnp.clip(
-        (z - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
+        (z - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels - 1.0
     ).astype(jnp.uint32)
     rgb666 = (
         ((col[:, 0] >> 2) << 12) | ((col[:, 1] >> 2) << 6) | (col[:, 2] >> 2)

@@ -121,12 +121,26 @@ class _RigCalibration:
                 None if r is None else tuple(int(v) for v in r)
                 for r in rois
             )
+            if self.seq is not None and len(self.rois) != len(self.seq):
+                raise ValueError(
+                    f"{len(self.rois)} rois for {len(self.seq)} per-camera "
+                    "intrinsics — the per-camera axes must agree"
+                )
         else:
             self.rois = None
 
     @property
     def per_camera(self) -> bool:
         return self.seq is not None or self.rois is not None
+
+    @property
+    def n_cameras(self) -> Optional[int]:
+        """Number of per-camera calibration entries (None when shared)."""
+        if self.seq is not None:
+            return len(self.seq)
+        if self.rois is not None:
+            return len(self.rois)
+        return None
 
     def _mask_stack(self):
         """(C, H, W) bool ROI masks, built in-trace (iota compares — XLA
@@ -239,8 +253,11 @@ def _packed_rig_body(
         idx, zc, ok = R.compute_pixel_indices_planar(
             x, y, z, valid, fused_intrinsics, config.mirror_image
         )
+        # Clip to z_levels-1: zq=16383 with near-white RGB666 would make
+        # the packed key equal the 0xFFFFFFFF uncovered sentinel and the
+        # point would silently vanish (see ops/render._packed_zq_hi).
         zq = jnp.clip(
-            (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels
+            (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels - 1.0
         ).astype(jnp.uint32)
         c = color1.astype(jnp.uint32)
         rgb666 = (
@@ -523,12 +540,12 @@ def _tiled_rig_body(
         # sentinel (valid packed RGB is 24-bit, MAXI unambiguous) — the
         # parity tests assert the two coverage definitions agree.
         covered = minz != maxi
-        win = jnp.where(covered, mrgb, 0)
         h_f, w_f = fused_intrinsics.height, fused_intrinsics.width
-        rp = ((win >> 16) & 0xFF).astype(jnp.uint8).reshape(h_f, w_f)
-        gp = ((win >> 8) & 0xFF).astype(jnp.uint8).reshape(h_f, w_f)
-        bp = (win & 0xFF).astype(jnp.uint8).reshape(h_f, w_f)
-        return _finish_planes(rp, gp, bp, config)
+        rp, gp, bp = R.decode_winner_planes(covered, mrgb)
+        return _finish_planes(
+            rp.reshape(h_f, w_f), gp.reshape(h_f, w_f),
+            bp.reshape(h_f, w_f), config,
+        )
 
     return entries_one, entries_all, local_minbufs, unpack, local_winner_rgb
 
@@ -647,6 +664,27 @@ def rig_fuse_sharded(
     """
     calib = _RigCalibration(intrinsics, rois)
 
+    def _check_camera_axis(fn):
+        """Per-camera calibration MUST cover the whole camera axis: the
+        traced axis_index offsets index the GLOBAL calibration leaves, and
+        an out-of-range dynamic_slice CLAMPS — shards past the end would
+        silently deproject with the last camera's fx/ppx/ROI."""
+        n_cal = calib.n_cameras
+        if n_cal is None:
+            return fn
+
+        def checked(depth, color, depth_scale, cam_to_virtual):
+            if depth.shape[0] != n_cal:
+                raise ValueError(
+                    f"sharded rig got {depth.shape[0]} cameras but "
+                    f"{n_cal} per-camera calibration entries — they must "
+                    "match exactly (axis_index offsets index the global "
+                    "calibration axis)"
+                )
+            return fn(depth, color, depth_scale, cam_to_virtual)
+
+        return checked
+
     def _cam_offset(n_local):
         # First global camera of this shard: shard i holds cameras
         # [i·C_local, (i+1)·C_local). Only needed for per-camera leaves.
@@ -682,7 +720,7 @@ def rig_fuse_sharded(
             # shard_map.
             check_vma=False,
         )
-        return jax.jit(fn_t)
+        return _check_camera_axis(jax.jit(fn_t))
 
     _, local_buffer, unpack = _packed_rig_body(
         calib, fused_intrinsics, config, z_near, z_far
@@ -702,7 +740,7 @@ def rig_fuse_sharded(
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),  # replicated fused image
     )
-    return jax.jit(fn)
+    return _check_camera_axis(jax.jit(fn))
 
 
 def batched_rig_fuse(
@@ -770,10 +808,7 @@ def batched_rig_fuse(
                 interpret=jax.default_backend() == "cpu",
             )
             covered = minz != maxi
-            win = jnp.where(covered, mrgb, 0)
-            rp = ((win >> 16) & 0xFF).astype(jnp.uint8)
-            gp = ((win >> 8) & 0xFF).astype(jnp.uint8)
-            bp = (win & 0xFF).astype(jnp.uint8)
+            rp, gp, bp = R.decode_winner_planes(covered, mrgb)
             return _finish_batch_planes(rp, gp, bp, config, batch, h_f, w_f)
 
         return fn_tiled

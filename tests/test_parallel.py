@@ -595,3 +595,25 @@ def test_rig_per_camera_roi_sharded_matches_single():
             make_camera_mesh(2), intrs, intrs[0], cfg, rois=rois)(*args))
         single = np.asarray(rig_fuse(intrs, intrs[0], cfg, rois=rois)(*args))
         np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_rig_rejects_calibration_count_mismatch():
+    """Per-camera calibration shorter than the camera axis must raise:
+    the axis_index dynamic_slice would silently CLAMP out-of-range shards
+    onto the last camera's calibration."""
+    import pytest as _pytest
+
+    w, h = 64, 48
+    intrs = _het_intrinsics(2, w, h)  # 2 calibrated cameras
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    fn = rig_fuse_sharded(make_camera_mesh(2), intrs, intrs[0], config)
+    n = 4  # but 4 cameras on the axis
+    args = (
+        jnp.zeros((n, h, w), jnp.uint16),
+        jnp.zeros((n, h, w, 3), jnp.uint8),
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n, 4, 4)),
+    )
+    with _pytest.raises(ValueError, match="calibration"):
+        fn(*args)

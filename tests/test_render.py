@@ -311,3 +311,24 @@ def test_indexed_tiny_cloud_far_clip_no_wrap():
     px = 4 * 8 + 4
     assert bool(covered[px])
     assert int(widx[px]) == 0  # the near point, not the wrapped far one
+
+
+def test_packed_white_point_at_far_plane_not_dropped():
+    """A valid near-white point at/beyond the far quantization plane must
+    still cover its pixel: zq is clipped one step below the max so the
+    packed key can never equal the 0xFFFFFFFF uncovered sentinel."""
+    import jax.numpy as jnp
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.ops.render import project_zbuffer_packed
+
+    intr = Intrinsics.create(8, 8, fx=8.0, fy=8.0, ppx=4.0, ppy=4.0)
+    pts = np.array([[0.0, 0.0, 6.0]], np.float32)  # z > z_far=4.5
+    cols = np.array([[255, 255, 255]], np.uint8)   # rgb666 = 0x3FFFF
+    img, zbuf = project_zbuffer_packed(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.ones((1,), bool), intr,
+        z_near=0.25, z_far=4.5,
+    )
+    img = np.asarray(img)
+    assert img[4, 4].tolist() == [255, 255, 255], img[4, 4]
+    assert np.asarray(zbuf)[4, 4] < 1e30  # covered, not FLT_MAX

@@ -211,17 +211,20 @@ def compute_results(width: int, height: int, modes=RENDER_MODES,
 
     import functools
 
+    # depth passed as a jit ARGUMENT, not a closure: closed-over device
+    # arrays embed as program constants (slow compiles, no persistent-
+    # cache hits — CLAUDE.md round-3).
     @functools.partial(jax.jit, static_argnames=("method",))
-    def align_with(method):
+    def align_with(d, method):
         return align_depth_to_color(
-            depth_j, 0.001, d_intr, c_intr, ext, max_footprint="auto",
+            d, 0.001, d_intr, c_intr, ext, max_footprint="auto",
             method=method,
         )
 
-    out["align_scatter"] = np.asarray(align_with("scatter"))
+    out["align_scatter"] = np.asarray(align_with(depth_j, "scatter"))
     if not on_cpu:
-        out["align_sorted"] = np.asarray(align_with("sorted"))
-        out["align_binned"] = np.asarray(align_with("binned"))
+        out["align_sorted"] = np.asarray(align_with(depth_j, "sorted"))
+        out["align_binned"] = np.asarray(align_with(depth_j, "binned"))
     print(f"[{'cpu' if on_cpu else 'tpu'}] align done", file=sys.stderr,
           flush=True)
 
@@ -266,11 +269,12 @@ def compute_results(width: int, height: int, modes=RENDER_MODES,
     if not on_cpu:
         src, sv, tgt, tv = _build_gicp_inputs()
         for method in ("scatter", "sorted"):
+            # cloud passed as arguments (see align_with note above)
             g = jax.jit(
-                lambda m=method: build_voxel_grid(
-                    tgt, tv, 0.05, table_size=1 << 13, method=m
+                lambda t, v, m=method: build_voxel_grid(
+                    t, v, 0.05, table_size=1 << 13, method=m
                 )
-            )()
+            )(tgt, tv)
             out[f"voxel_{method}_count"] = np.asarray(g.count)
             out[f"voxel_{method}_mean"] = np.asarray(g.mean)
         print("[tpu] voxel done", file=sys.stderr, flush=True)
@@ -454,8 +458,12 @@ def _source_fingerprint() -> str:
 
     root = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha1()
+    # __graft_entry__ is part of the gate surface: _build_fusion defines
+    # the input frames + config the goldens are computed FROM — leaving it
+    # out would let an input change reuse stale goldens.
     targets = [os.path.join(root, "pointcloud_depthfusion_tpu"),
-               os.path.abspath(__file__)]
+               os.path.abspath(__file__),
+               os.path.join(root, "__graft_entry__.py")]
     for target in targets:
         if os.path.isfile(target):
             st = os.stat(target)

@@ -509,3 +509,34 @@ def test_image_node_routes_sink_kind_to_display():
     node2 = ImageNode(display=lambda image, ts: plain_calls.append(ts))
     node2(img, 0.5)
     assert plain_calls == [0.5]
+
+
+def test_async_then_profiling_flip_keeps_publish_order():
+    """Toggling profiling on mid-stream (async_readback active) must not
+    strand the in-flight frame: timestamps arrive strictly monotonic, and
+    the total count matches frames processed."""
+    import tempfile
+
+    from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+    cam_l, cam_r, _ = make_rig()
+    cfg = FusionConfig.create(vertical_image=False, mirror_image=False,
+                              filter_fused_color=False)
+    app = FusionNodeApp(cam_l, cam_r, config=cfg, async_readback=True)
+    stamps = []
+    app.subscribe_fused(lambda img, ts: stamps.append(ts))
+    tree = ConfigTree()
+    app.attach_config(tree)
+    with tempfile.NamedTemporaryFile(suffix=".csv") as tmp:
+        tree.set("profiling.log_path", tmp.name)
+        with app.feeder as feeder:
+            it = iter(feeder)
+            for _ in range(2):  # async mode: frame 0 pending after these
+                app.process_pair(next(it))
+            tree.set("profiling.enable_profiling", True)  # mode flip
+            for _ in range(2):  # profiling (sync) mode
+                app.process_pair(next(it))
+        app.flush_pending()
+    assert len(stamps) == 4
+    assert stamps == sorted(stamps), stamps
+    assert all(b > a for a, b in zip(stamps, stamps[1:])), stamps

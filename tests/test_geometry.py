@@ -246,3 +246,63 @@ def test_quaternion_sign_matches_eigen(rng):
             angle, got, want
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_interpolate_transform_quirk_matches_eigen_oracle(rng):
+    """End-to-end parity of interpolateTransform (fusion_node.cpp:589-604):
+    Eigen-sign quaternions, slerp(0.5) + lerp(0.5), and the 'invert when
+    q_right.w < 0' quirk firing on EXACTLY the poses Eigen's w sign says —
+    including the 90-120 deg band where the old branch rule negated w."""
+
+    def eigen_slerp_half(q0, q1):
+        d = float(np.dot(q0, q1))
+        if d < 0:
+            q1 = -q1
+            d = -d
+        d = min(d, 1.0)
+        th = np.arccos(d)
+        if np.sin(th) < 1e-6:
+            q = 0.5 * q0 + 0.5 * q1
+        else:
+            q = (np.sin(0.5 * th) * q0 + np.sin(0.5 * th) * q1) / np.sin(th)
+        return q / np.linalg.norm(q)
+
+    def quat_to_mat(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    for trial in range(60):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        # concentrate on the old-rule disagreement band plus general poses
+        angle = (np.sign(rng.uniform(-1, 1)) * rng.uniform(np.pi / 2, 2 * np.pi / 3)
+                 if trial < 30 else rng.uniform(-np.pi, np.pi))
+        k = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        rot = np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+        right = np.eye(4)
+        right[:3, :3] = rot
+        right[:3, 3] = rng.normal(scale=0.2, size=3)
+
+        # scalar oracle (fusion_node.cpp:589-604, Eigen conventions)
+        q_l = _eigen_quaternion_oracle(np.eye(3))
+        q_r = _eigen_quaternion_oracle(rot)
+        q = eigen_slerp_half(q_l, q_r)
+        m = np.eye(4)
+        m[:3, :3] = quat_to_mat(q)
+        m[:3, 3] = 0.5 * right[:3, 3]
+        if q_r[0] < 0:
+            inv = np.eye(4)
+            inv[:3, :3] = m[:3, :3].T
+            inv[:3, 3] = -m[:3, :3].T @ m[:3, 3]
+            m = inv
+
+        got = np.asarray(G.interpolate_transform(
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(right, jnp.float32)
+        ))
+        np.testing.assert_allclose(got, m, atol=2e-5)

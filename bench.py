@@ -73,7 +73,6 @@ def main() -> None:
                 ),
                 flush=True,
             )
-            sys.stdout.flush()
             os._exit(0)
 
         watchdog = threading.Timer(args.watchdog, on_watchdog)

@@ -52,10 +52,8 @@ def filter_depth_minmax(
     return jnp.where(keep, depth_u16, jnp.zeros_like(depth_u16))
 
 
-def roi_mask(
-    height: int, width: int, roi: Optional[Sequence[int]], dtype=jnp.bool_
-) -> Array:
-    """Build a rectangular ROI mask [x, y, w, h].
+def _clamped_roi(height: int, width: int, roi) -> Tuple[int, int, int, int]:
+    """Shared [x, y, w, h] clamping for both ROI-mask builders.
 
     Negative fields select the full image, like the reference
     (kernels.cu:379-382). A box exceeding the image bounds keeps its
@@ -65,13 +63,35 @@ def roi_mask(
     wraps into the next one (reads/writes past the ROI's rows — a latent
     out-of-bounds bug, documented here instead of reproduced).
     """
-    if roi is None:
-        return jnp.ones((height, width), dtype)
     x0, y0, rw, rh = (int(v) for v in roi)
     x0 = max(x0, 0)
     y0 = max(y0, 0)
     rw = width if (rw < 0 or x0 + rw > width) else rw
     rh = height if (rh < 0 or y0 + rh > height) else rh
+    return x0, y0, rw, rh
+
+
+def roi_mask_traced(height: int, width: int, roi) -> Array:
+    """:func:`roi_mask` built from iota compares so it traces as cheap
+    vector ops instead of an embedded (H, W) bool literal — use inside
+    jitted bodies that must not close over large constants (the rig paths;
+    CLAUDE.md round-3)."""
+    if roi is None:
+        return jnp.ones((height, width), bool)
+    x0, y0, rw, rh = _clamped_roi(height, width, roi)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    return (yy >= y0) & (yy < y0 + rh) & (xx >= x0) & (xx < x0 + rw)
+
+
+def roi_mask(
+    height: int, width: int, roi: Optional[Sequence[int]], dtype=jnp.bool_
+) -> Array:
+    """Build a rectangular ROI mask [x, y, w, h] as a host-side constant
+    (clamping rules: see :func:`_clamped_roi`)."""
+    if roi is None:
+        return jnp.ones((height, width), dtype)
+    x0, y0, rw, rh = _clamped_roi(height, width, roi)
     m = np.zeros((height, width), bool)
     m[y0 : y0 + rh, x0 : x0 + rw] = True
     return jnp.asarray(m, dtype)

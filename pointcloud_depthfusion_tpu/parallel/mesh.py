@@ -47,22 +47,6 @@ def make_camera_mesh(n_cameras: Optional[int] = None, axis: str = "cam") -> Mesh
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
 
 
-def _roi_mask_traced(height: int, width: int, roi):
-    """ops.filters.roi_mask semantics (reference clamping rules,
-    kernels.cu:379-384) built from iota compares so it traces as cheap
-    vector ops instead of an embedded (H, W) bool literal."""
-    if roi is None:
-        return jnp.ones((height, width), bool)
-    x0, y0, rw, rh = (int(v) for v in roi)
-    x0 = max(x0, 0)
-    y0 = max(y0, 0)
-    rw = width if (rw < 0 or x0 + rw > width) else rw
-    rh = height if (rh < 0 or y0 + rh > height) else rh
-    yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    return (yy >= y0) & (yy < y0 + rh) & (xx >= x0) & (xx < x0 + rw)
-
-
 class _RigCalibration:
     """Shared-or-per-camera source calibration for the rig bodies.
 
@@ -111,7 +95,7 @@ class _RigCalibration:
                 [it.coeffs for it in seq], axis=1
             ).astype(f)
         # ROIs stay STATIC [x, y, w, h] tuples; masks are built from iota
-        # compares INSIDE the traced bodies (_roi_mask_traced), never as
+        # compares INSIDE the traced bodies (F.roi_mask_traced), never as
         # precomputed device arrays the jitted rig functions close over —
         # closed-over arrays embed as program constants (slow compiles, no
         # persistent-cache hits; an 8-camera 720p rig would bake ~7.4 MB of
@@ -147,7 +131,7 @@ class _RigCalibration:
         keeps iota fused into consumers rather than folding it into a
         multi-MB literal)."""
         return jnp.stack([
-            _roi_mask_traced(self.ref.height, self.ref.width, r)
+            F.roi_mask_traced(self.ref.height, self.ref.width, r)
             for r in self.rois
         ])
 
@@ -208,7 +192,7 @@ class _RigCalibration:
         if self.rois is None:
             return None
         if cam_offset is None:
-            return _roi_mask_traced(
+            return F.roi_mask_traced(
                 self.ref.height, self.ref.width, self.rois[i]
             )
         return jax.lax.dynamic_index_in_dim(

@@ -49,6 +49,14 @@ class Frameset:
     # Quantized absolute epoch (multiple of STAMP_EPOCH_GRID_S; exact in
     # f32). Absolute time = timestamp_epoch + timestamp; see split_stamp.
     timestamp_epoch: Array
+    # Optional pre-packed color: (H, W) int32, (r<<16)|(g<<8)|b — the exact
+    # rgb24 sort operand of the tiled/exact render. The (H, W, 3) u8 HWC
+    # layout puts the 3-channel axis on the TPU lane dimension, so slicing
+    # channel planes inside the fused program costs a minor-dim relayout
+    # every frame; a host- (or upload-time-) packed plane removes that from
+    # the hot path. None ⇒ hot paths pack from ``color`` as before. Presence
+    # is part of the pytree structure (a different jit specialization).
+    color_packed: Optional[Array] = None
 
     @staticmethod
     def create(
@@ -59,6 +67,7 @@ class Frameset:
         depth_to_color: Optional[Extrinsics] = None,
         depth_scale: float = 0.001,
         timestamp: float = 0.0,
+        pack_color: bool = False,
     ) -> "Frameset":
         """``timestamp`` is split into a quantized epoch + offset before the
         f32 device cast: raw epoch-scale seconds (~1.7e9) have >60 ms f32
@@ -68,6 +77,18 @@ class Frameset:
         reference's system-time restamping (realsense.cpp:424-431).
         Host-side pairing uses HostFrameset's float64 stamps and is
         unaffected; recover an absolute time with :func:`absolute_stamp`."""
+        packed = None
+        pack_on_device = False
+        if pack_color:
+            # Pack on the host when the input still lives there (the feeder
+            # path); np.asarray on a device array would force a D2H copy, so
+            # device inputs defer to the with_packed_color device pack.
+            if isinstance(color, jax.Array):
+                pack_on_device = True
+            else:
+                packed = jnp.asarray(
+                    pack_rgb24_host(np.asarray(color)), jnp.int32
+                )
         depth = jnp.asarray(depth, jnp.uint16)
         color = jnp.asarray(color, jnp.uint8)
         epoch, timestamp = split_stamp(float(timestamp))
@@ -78,7 +99,7 @@ class Frameset:
             depth_intrinsics = color_intrinsics
         if depth_to_color is None:
             depth_to_color = Extrinsics.identity()
-        return Frameset(
+        fs = Frameset(
             depth=depth,
             color=color,
             depth_intrinsics=depth_intrinsics,
@@ -87,7 +108,23 @@ class Frameset:
             depth_scale=jnp.asarray(depth_scale, jnp.float32),
             timestamp=jnp.asarray(timestamp, jnp.float32),
             timestamp_epoch=jnp.asarray(epoch, jnp.float32),
+            color_packed=packed,
         )
+        if pack_on_device:
+            fs = fs.with_packed_color()
+        return fs
+
+    def with_packed_color(self) -> "Frameset":
+        """Return a copy carrying ``color_packed`` (device-side pack).
+
+        For host-built framesets prefer ``create(..., pack_color=True)`` /
+        :func:`pack_rgb24_host`, which keeps the one-time HWC relayout off
+        the device entirely."""
+        if self.color_packed is not None:
+            return self
+        c = self.color.astype(jnp.int32)
+        packed = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+        return dataclasses.replace(self, color_packed=packed)
 
     @property
     def height(self) -> int:
@@ -124,6 +161,16 @@ class HostFrameset:
     color: np.ndarray  # (H, W, 3) uint8
     timestamp: float
     depth_scale: float = 0.001
+
+
+def pack_rgb24_host(color_u8: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 → (H, W) int32 ``(r<<16)|(g<<8)|b`` on the host.
+
+    The host-side twin of ops/render.pack_rgb, used to populate
+    ``Frameset.color_packed`` before upload (numpy does the byte shuffle
+    once, off the device hot path)."""
+    c = np.asarray(color_u8).astype(np.int32)
+    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
 
 
 # -- device timestamp epoch ----------------------------------------------

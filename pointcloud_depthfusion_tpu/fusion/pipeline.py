@@ -269,11 +269,18 @@ def fuse(
         else:
             image = jnp.stack([rp, gp, bp], axis=-1)
     elif config.render_mode == "tiled":
+        # Pre-packed color (Frameset.color_packed) skips the per-frame HWC
+        # u8 channel-plane relayout; the unused r/g/b slices above are
+        # dead-code-eliminated by XLA. Bit-identical either way (the packed
+        # plane is exactly the rgb24 the render would compute).
+        rgb24 = None
+        if left.color_packed is not None and right.color_packed is not None:
+            rgb24 = jnp.stack([left.color_packed, right.color_packed])
         (rp, gp, bp), zbuf = R.project_zbuffer_tiled_planar(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image, return_planes=True,
             interpret=jax.default_backend() == "cpu",
-            need_zbuf=config.emit_zbuf,
+            need_zbuf=config.emit_zbuf, rgb24=rgb24,
         )
         if config.filter_fused_color:
             image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)

@@ -260,18 +260,25 @@ class DeviceFeeder:
         depth: int = 2,
         device: Optional[jax.Device] = None,
         lifespan_s: Optional[float] = None,
+        pack_color: bool = False,
     ):
         """``lifespan_s``: drop pairs that sat in the queue longer than this
         before the consumer asked for them — the QoS 1 s message-lifespan
         semantics of the reference's fused-frame subscriptions
         (fusion_node.cpp:183-187). A stalled consumer then resumes on fresh
         data instead of processing arbitrarily stale frames. None disables
-        (pull-paced pipelines where the consumer sets the cadence)."""
+        (pull-paced pipelines where the consumer sets the cadence).
+
+        ``pack_color``: also upload ``Frameset.color_packed`` — the rgb24
+        plane packed host-side in this feeder thread (overlapped with
+        device compute). Saves the tiled render's per-frame HWC channel
+        relayout at the cost of +4 B/px upload."""
         self.source_left = source_left
         self.source_right = source_right
         self.pairer = pairer or ApproximateTimePairer()
         self.device = device
         self.lifespan_s = lifespan_s
+        self.pack_color = pack_color
         self.dropped_stale = 0
         self._q: "queue.Queue[Optional[DevicePair]]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
@@ -295,6 +302,7 @@ class DeviceFeeder:
             intr,
             depth_scale=host.depth_scale,
             timestamp=host.timestamp,
+            pack_color=self.pack_color,
         )
         if self.device is not None:
             fs = jax.device_put(fs, self.device)

@@ -444,6 +444,7 @@ def project_zbuffer_tiled_planar(
     tile_px: int = 256,
     chunk: int = 1024,
     need_zbuf: bool = True,
+    rgb24: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Scatter-free BIT-EXACT render: sort by pixel + Pallas tile resolve.
 
@@ -465,6 +466,11 @@ def project_zbuffer_tiled_planar(
     for the z-buffer; the image is bit-identical to the full path. Use it
     when only the fused color topic is consumed (the reference publishes
     the fused image; its z-buffer is kernel-internal).
+
+    ``rgb24``: optional pre-packed color, same leading shape as ``z``,
+    int32 ``(r<<16)|(g<<8)|b`` (Frameset.color_packed). When given, ``r``/
+    ``g``/``b`` are ignored (may be None) — skipping the per-frame HWC u8
+    minor-dim relayout that channel-plane slicing costs on TPU.
     """
     from pointcloud_depthfusion_tpu.ops.pallas.zresolve_pallas import (
         invalid_pixel_id,
@@ -488,15 +494,13 @@ def project_zbuffer_tiled_planar(
         ).reshape(-1),
         maxi,
     )
-    rgb = jnp.where(
-        okf,
-        (
+    if rgb24 is None:
+        rgb24 = (
             (r.astype(jnp.int32) << 16)
             | (g.astype(jnp.int32) << 8)
             | b.astype(jnp.int32)
-        ).reshape(-1),
-        maxi,
-    )
+        )
+    rgb = jnp.where(okf, rgb24.astype(jnp.int32).reshape(-1), maxi)
 
     if need_zbuf:
         minz, mrgb = zresolve_sorted_entries(

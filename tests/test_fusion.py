@@ -259,3 +259,62 @@ def test_process_profiled_with_align_frames():
     b = np.asarray(res_prof.image).astype(int)
     assert (a == b).all(-1).mean() > 0.99
     assert laps["filter"] > 0.0
+
+
+def test_packed_color_plane_matches_hwc_tiled():
+    """Frameset.color_packed (host- or device-packed) must leave the tiled
+    fused image and z-buffer BIT-identical — it is exactly the rgb24 the
+    render would pack from the HWC planes."""
+    import dataclasses
+    import jax
+
+    from pointcloud_depthfusion_tpu.core.camera import fused_virtual_intrinsics
+    from pointcloud_depthfusion_tpu.core.frameset import pack_rgb24_host
+    from pointcloud_depthfusion_tpu.fusion.pipeline import fuse
+
+    left, right, t_rl, intr, _, _ = make_pair()
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    fi = fused_virtual_intrinsics(intr, config.vertical_image)
+    t = jnp.asarray(t_rl, jnp.float32)
+
+    @jax.jit
+    def run(l, r, t, cfg):
+        return fuse(l, r, t, cfg, fi)
+
+    base = run(left, right, t, config)
+
+    # Device-side pack.
+    res_dev = run(left.with_packed_color(), right.with_packed_color(), t, config)
+    np.testing.assert_array_equal(np.asarray(base.image), np.asarray(res_dev.image))
+    np.testing.assert_array_equal(np.asarray(base.zbuf), np.asarray(res_dev.zbuf))
+
+    # Host-side pack (the feeder path) + image-only resolve.
+    lp = dataclasses.replace(
+        left, color_packed=jnp.asarray(pack_rgb24_host(np.asarray(left.color))))
+    rp = dataclasses.replace(
+        right, color_packed=jnp.asarray(pack_rgb24_host(np.asarray(right.color))))
+    cfg_img = dataclasses.replace(config, emit_zbuf=False)
+    a = run(left, right, t, cfg_img)
+    b = run(lp, rp, t, cfg_img)
+    assert b.zbuf is None
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+
+
+def test_feeder_pack_color_flag():
+    """DeviceFeeder(pack_color=True) uploads framesets carrying the packed
+    plane, equal to the host pack of the color image."""
+    from pointcloud_depthfusion_tpu.core.frameset import pack_rgb24_host
+    from pointcloud_depthfusion_tpu.io.feeder import DeviceFeeder, SyntheticSource
+
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig(baseline=0.5, toe_in_deg=8.0)
+    src_l = SyntheticSource(scene, small_intr(), wl, fps=1000.0, seed=1)
+    src_r = SyntheticSource(scene, small_intr(), wr, fps=1000.0, seed=2)
+    with DeviceFeeder(src_l, src_r, pack_color=True) as feeder:
+        pair = next(iter(feeder))
+        assert pair.left.color_packed is not None
+        np.testing.assert_array_equal(
+            np.asarray(pair.left.color_packed),
+            pack_rgb24_host(np.asarray(pair.left.color)),
+        )

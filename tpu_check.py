@@ -193,6 +193,17 @@ def compute_results(width: int, height: int, modes=RENDER_MODES,
         out["fuse_tiled_imgonly"] = np.asarray(res_img)
         print("[tpu] fuse tiled image-only done", file=sys.stderr, flush=True)
 
+        # Pre-packed rgb24 plane (Frameset.color_packed): the tiled render
+        # consumes the host/device-packed plane instead of slicing HWC u8
+        # channels — must be bit-identical on real Mosaic + XLA layouts,
+        # not just on CPU (tests already cover that).
+        res_pk = jax.jit(
+            lambda l, r, t: fuse(l, r, t, cfg_img, fused_intr).image
+        )(left.with_packed_color(), right.with_packed_color(), t_rl)
+        out["fuse_tiled_packedplane"] = np.asarray(res_pk)
+        print("[tpu] fuse tiled packed-plane done", file=sys.stderr,
+              flush=True)
+
     # N-camera rig, tiled path (one flat sort over all cameras' entries).
     rig_intr, rig_args = _build_rig(rig_cameras, width, height)
     rig_cfg = dataclasses.replace(
@@ -333,6 +344,14 @@ def compare(tpu: dict, cpu: dict, width: int, height: int) -> dict:
             "tiled_imgonly_vs_full_tpu",
             np.array_equal(tpu["fuse_tiled_imgonly"], tpu["fuse_tiled_img"]),
             img_mismatch=_frac_mismatch(tpu["fuse_tiled_imgonly"],
+                                        tpu["fuse_tiled_img"]),
+        )
+    if "fuse_tiled_packedplane" in tpu:
+        add(
+            "tiled_packedplane_vs_hwc_tpu",
+            np.array_equal(tpu["fuse_tiled_packedplane"],
+                           tpu["fuse_tiled_img"]),
+            img_mismatch=_frac_mismatch(tpu["fuse_tiled_packedplane"],
                                         tpu["fuse_tiled_img"]),
         )
     for variant in ("sorted", "binned"):

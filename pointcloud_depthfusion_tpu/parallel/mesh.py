@@ -383,12 +383,12 @@ def _tiled_rig_body(
             ).reshape(-1),
             maxi,
         )
-        c = color1.astype(jnp.int32)
-        rgb = jnp.where(
-            okf,
-            ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).reshape(-1),
-            maxi,
-        )
+        if color1.ndim == depth1.ndim:  # pre-packed rgb24 plane
+            rgb24 = color1.astype(jnp.int32)
+        else:
+            c = color1.astype(jnp.int32)
+            rgb24 = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+        rgb = jnp.where(okf, rgb24.reshape(-1), maxi)
         return pix, zbits, rgb
 
     def entries_all(depth, color, depth_scale, cam_to_virtual,
@@ -464,10 +464,16 @@ def _tiled_rig_body(
             ).reshape(shape),
             maxi,
         )
-        c = color.astype(jnp.int32)
+        if color.ndim == depth.ndim:
+            # Pre-packed rgb24 planes ((N, H, W) i32, Frameset.color_packed
+            # semantics) — skips the per-camera HWC u8 channel relayout.
+            rgb24 = color.astype(jnp.int32)
+        else:
+            c = color.astype(jnp.int32)
+            rgb24 = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
         rgb = jnp.where(
             okf,
-            ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).reshape(shape),
+            rgb24.reshape(shape),
             maxi,
         )
         return pix, zbits, rgb
@@ -550,6 +556,11 @@ def rig_fuse(
     single-device backends (measured 300+ ms vs 19 ms for the identical
     computation). Use this for 1-chip rigs; the sharded variant when the
     camera axis actually spans devices.
+
+    ``color`` accepts (N, H, W, 3) u8 HWC frames OR pre-packed (N, H, W)
+    i32 rgb24 planes (Frameset.color_packed semantics — skips the
+    per-camera HWC channel relayout in the prep; bit-identical). The
+    sharded and batched variants accept the same.
 
     ``intrinsics``: one shared Intrinsics (homogeneous rig) or a
     per-camera sequence — the reference rig is per-camera calibrated via
@@ -780,9 +791,14 @@ def batched_rig_fuse(
             # entries_all the rig path uses), each stream routed into its
             # own slice of the flat (B·n_px) output via pix_offsets.
             h, w = depth.shape[-2:]
+            color_flat = (
+                color.reshape(batch * cameras, h, w)
+                if color.ndim == depth.ndim  # pre-packed rgb24 planes
+                else color.reshape(batch * cameras, h, w, 3)
+            )
             p, z, rr = entries_all(
                 depth.reshape(batch * cameras, h, w),
-                color.reshape(batch * cameras, h, w, 3),
+                color_flat,
                 depth_scale.reshape(-1),
                 cam_to_virtual.reshape(batch * cameras, 4, 4),
                 pix_offsets=stream_offsets,

@@ -617,3 +617,69 @@ def test_sharded_rig_rejects_calibration_count_mismatch():
     )
     with _pytest.raises(ValueError, match="calibration"):
         fn(*args)
+
+
+def test_rig_packed_color_planes_match_hwc():
+    """Rig paths accept pre-packed (N,H,W) i32 rgb24 color planes
+    (Frameset.color_packed semantics) — bit-identical to HWC u8 input on
+    the single-device, sharded, and batched tiled paths."""
+    import dataclasses
+
+    from pointcloud_depthfusion_tpu.core.frameset import pack_rgb24_host
+    from pointcloud_depthfusion_tpu.parallel.mesh import (
+        batched_rig_fuse,
+        rig_fuse,
+    )
+
+    n = 4
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(n)
+    depths, colors = [], []
+    for pose in poses:
+        fs = scene.render(intr, pose)
+        depths.append(fs.depth)
+        colors.append(fs.color)
+    depth = jnp.asarray(np.stack(depths))
+    color = jnp.asarray(np.stack(colors))
+    packed = jnp.asarray(pack_rgb24_host(np.stack(colors)))
+    scale = jnp.full((n,), 0.001, jnp.float32)
+    t = jnp.asarray(np.stack(poses), jnp.float32)
+
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False)
+
+    fn = rig_fuse(intr, intr, config)
+    np.testing.assert_array_equal(
+        np.asarray(fn(depth, color, scale, t)),
+        np.asarray(fn(depth, packed, scale, t)),
+    )
+
+    # Image-only resolve.
+    cfg_img = dataclasses.replace(config, emit_zbuf=False)
+    fi = rig_fuse(intr, intr, cfg_img)
+    np.testing.assert_array_equal(
+        np.asarray(fi(depth, color, scale, t)),
+        np.asarray(fi(depth, packed, scale, t)),
+    )
+
+    # Camera-sharded (4-device mesh), same spec P("cam") shards rank-3
+    # packed color like rank-4 HWC.
+    mesh = make_camera_mesh(n)
+    fs_ = rig_fuse_sharded(mesh, intr, intr, config)
+    np.testing.assert_array_equal(
+        np.asarray(fs_(depth, color, scale, t)),
+        np.asarray(fs_(depth, packed, scale, t)),
+    )
+
+    # Batched streams: (B, C, H, W[,3]).
+    B, C = 2, 2
+    fb = batched_rig_fuse(intr, intr, config, batch=B, cameras=C)
+    db = depth.reshape(B, C, h, w)
+    np.testing.assert_array_equal(
+        np.asarray(fb(db, color.reshape(B, C, h, w, 3),
+                      scale.reshape(B, C), t.reshape(B, C, 4, 4))),
+        np.asarray(fb(db, packed.reshape(B, C, h, w),
+                      scale.reshape(B, C), t.reshape(B, C, 4, 4))),
+    )

@@ -49,6 +49,7 @@ class FusionNodeApp:
         async_readback: bool = False,
         donate: bool = False,
         lifespan_s: Optional[float] = None,
+        pack_color: bool = False,
     ):
         """``async_readback=True`` double-buffers the output side:
         frame N's device→host copy is started asynchronously and published
@@ -127,6 +128,7 @@ class FusionNodeApp:
             pairer=ApproximateTimePairer(max_interval_s=max_sync_interval_s),
             device=device,
             lifespan_s=lifespan_s,
+            pack_color=pack_color,
         )
         self._fused_subs: List[Callable[[np.ndarray, float], None]] = []
         self._sync_debug_subs: List[Callable[[str], None]] = []

@@ -113,6 +113,10 @@ def fusion_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
         / 1e3,
         "donate": bool(cfg.get("donate", True)),
         "async_readback": bool(cfg.get("async_readback", True)),
+        # Upload a host-packed rgb24 plane alongside the HWC color: the
+        # tiled render then skips its per-frame channel relayout
+        # (Frameset.color_packed). Costs +4 B/px upload; off by default.
+        "pack_color": bool(cfg.get("pack_color", False)),
     }
     lifespan = float(cfg.get("qos.lifespan_s", 0.0))
     # Always emit the key: an explicit 0 in the YAML must DISABLE the drop

@@ -132,15 +132,18 @@ def test_node_kwargs_from_tree(tmp_path):
     # streaming defaults ride the tree too (default YAML: 1 s lifespan)
     assert kw["donate"] is True and kw["async_readback"] is True
     assert kw["lifespan_s"] == 1.0
+    assert kw["pack_color"] is False  # default off (costs +4 B/px upload)
 
     p1b = tmp_path / "ov1b.yaml"
     p1b.write_text(
         "fusion_node:\n  donate: false\n  async_readback: false\n"
+        "  pack_color: true\n"
         "  qos:\n    lifespan_s: 0.0\n"
     )
     _, tree1b = factory.fusion_config(str(p1b))
     kw1b = factory.fusion_node_kwargs_from_tree(tree1b)
     assert kw1b["donate"] is False and kw1b["async_readback"] is False
+    assert kw1b["pack_color"] is True
     # explicit 0 DISABLES the drop (must not fall back to any default)
     assert kw1b["lifespan_s"] is None
 

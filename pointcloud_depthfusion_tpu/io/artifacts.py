@@ -48,7 +48,10 @@ def save_ply(
     has_color = colors is not None
     if has_color:
         cols = np.asarray(colors, np.uint8).reshape(-1, 3)
-        assert cols.shape[0] == n
+        if cols.shape[0] != n:
+            raise ValueError(
+                f"{cols.shape[0]} colors for {n} points in save_ply"
+            )
 
     fmt = "binary_little_endian" if binary else "ascii"
     header = [

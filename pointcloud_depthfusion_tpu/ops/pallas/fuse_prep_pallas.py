@@ -143,7 +143,13 @@ def fuse_prep_pallas(
     h, w = depth_u16.shape
     if tile_rows is None:
         tile_rows = largest_tile_rows(h)
-    assert h % tile_rows == 0, (h, tile_rows)
+    if h % tile_rows != 0 or tile_rows % 8 != 0:
+        # ValueError, not assert: stripped under -O, a non-dividing tile
+        # would silently leave the trailing rows of every frame unrendered.
+        raise ValueError(
+            f"tile_rows={tile_rows} must be a multiple of 8 dividing the "
+            f"image height {h}"
+        )
     f = jnp.float32
     z_levels = jnp.float32((1 << 14) - 1)
 

@@ -134,7 +134,12 @@ def segsum_sorted(
         empty), the deterministic representative for collision checks.
     """
     n, n_chan = values.shape
-    assert n_chan <= 16, "channel count capped by the (C_pad, chunk) VMEM slab"
+    if n_chan > 16:
+        # ValueError, not assert (gone under -O): an oversized channel
+        # count would overflow the (C_pad, chunk) VMEM slab silently.
+        raise ValueError(
+            f"{n_chan} channels > 16: capped by the (C_pad, chunk) VMEM slab"
+        )
     c_pad = 8 * (-(-n_chan // 8))  # f32 sublane tile is 8
     n_tiles = -(-n_slots // tile_slots)
     pad_slots = n_tiles * tile_slots

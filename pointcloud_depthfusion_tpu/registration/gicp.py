@@ -825,7 +825,8 @@ def gicp_register_multiscale(
             source_points, source_valid, target_points, target_valid, transform, cfg
         )
         transform = result.transform
-    assert result is not None, "need at least one stage"
+    if result is None:
+        raise ValueError("multiscale schedule needs at least one stage")
     return result
 
 

@@ -142,7 +142,8 @@ def render_scene_native(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """OpenMP-parallel scene render; returns (depth u16 (H,W), color u8 (H,W,3))."""
     lib = load_library()
-    assert lib is not None, "native runtime not available"
+    if lib is None:
+        raise RuntimeError("native runtime not available")
     depth = np.empty((height, width), np.uint16)
     color = np.empty((height, width, 3), np.uint8)
     wfc = np.ascontiguousarray(world_from_cam, np.float64).reshape(16)
@@ -175,7 +176,8 @@ def spatial_filter_native(
     f32 blends round the same) at ~60× the throughput (the numpy recursion
     costs ~130 ms/frame at 848×480, far over the 33 ms capture budget)."""
     lib = load_library()
-    assert lib is not None and has_native_filters()
+    if lib is None or not has_native_filters():
+        raise RuntimeError("native runtime (with filters) not available")
     h, w = depth.shape
     if np.issubdtype(depth.dtype, np.integer):
         out = np.ascontiguousarray(depth, np.uint16).copy()
@@ -195,7 +197,8 @@ def spatial_filter_native(
 def decimation_filter_native(depth_u16: np.ndarray, magnitude: int = 2) -> np.ndarray:
     """Native rs2 decimation (block upper-median of nonzero depths)."""
     lib = load_library()
-    assert lib is not None and has_native_filters()
+    if lib is None or not has_native_filters():
+        raise RuntimeError("native runtime (with filters) not available")
     h, w = depth_u16.shape
     m = int(magnitude)
     if h % m or w % m:
@@ -215,7 +218,8 @@ class NativePairer:
 
     def __init__(self, max_interval_s: float = 0.017, queue_size: int = 10):
         lib = load_library()
-        assert lib is not None, "native runtime not available"
+        if lib is None:
+            raise RuntimeError("native runtime not available")
         self._lib = lib
         self._h = lib.pdf_pairer_create(max_interval_s, queue_size)
         self._out = (ctypes.c_int64 * 64)()
@@ -246,7 +250,8 @@ class NativeRing:
 
     def __init__(self, slot_size: int, n_slots: int):
         lib = load_library()
-        assert lib is not None, "native runtime not available"
+        if lib is None:
+            raise RuntimeError("native runtime not available")
         self._lib = lib
         self.slot_size = slot_size
         self._h = lib.pdf_ring_create(slot_size, n_slots)

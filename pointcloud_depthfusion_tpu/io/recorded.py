@@ -66,6 +66,11 @@ class RecordedSource(FramesetSource):
     def intrinsics(self) -> Intrinsics:
         return self._intr
 
+    @property
+    def fps(self) -> float:
+        """Median capture rate of the recording (Hz)."""
+        return 1.0 / self._period if self._period > 0 else 30.0
+
     def __len__(self) -> int:
         return len(self.timestamps)
 

@@ -475,7 +475,8 @@ def main() -> None:
     parser.add_argument("--fps", type=float, default=0.0)
     parser.add_argument("--source", default="",
                         help="tcp://host:port — front a remote frameset "
-                        "stream (io/network.py server on the camera host) "
+                        "stream (io/network.py server on the camera host) — "
+                        "or a recorded .npz dataset (see --out) to replay, "
                         "instead of the local synthetic camera")
     args = parser.parse_args()
 
@@ -517,6 +518,15 @@ def main() -> None:
         intr = source.intrinsics
         w, h = intr.width, intr.height
         fps = args.fps or source.fps or 30.0
+    elif args.source:
+        # Replay a recorded dataset (the rosbag-replay analogue): loop so
+        # --frames beyond the recording length keeps streaming.
+        from pointcloud_depthfusion_tpu.io.recorded import RecordedSource  # noqa: PLC0415
+
+        source = RecordedSource(args.source, loop=True)
+        intr = source.intrinsics
+        w, h = intr.width, intr.height
+        fps = args.fps or source.fps
     else:
         fx = 631.0 * w / 1280.0
         intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)

@@ -43,7 +43,14 @@ def main() -> None:
                         "the streaming default — flags override the YAML)")
     parser.add_argument("--no-async-readback", dest="async_readback",
                         action="store_false")
+    parser.add_argument("--source-left", default="",
+                        help="recorded .npz dataset for the left camera "
+                        "(camera_node --out); replaces the synthetic source")
+    parser.add_argument("--source-right", default="",
+                        help="recorded .npz dataset for the right camera")
     args = parser.parse_args()
+    if bool(args.source_left) != bool(args.source_right):
+        parser.error("--source-left and --source-right must be given together")
 
     import jax
 
@@ -96,16 +103,32 @@ def main() -> None:
 
         return motion
 
-    cam_left = CameraNode(
-        "camera_left",
-        source_cls(scene, intr, wl, depth_noise_std=0.002, seed=10,
-                   motion=sway(wl, 0.0)),
-    )
-    cam_right = CameraNode(
-        "camera_right",
-        source_cls(scene, intr, wr, depth_noise_std=0.002, seed=20,
-                   motion=sway(wr, 1.1)),
-    )
+    if args.source_left:
+        # Recorded playback (rosbag-replay analogue): looped so --frames
+        # beyond the recording length keeps streaming; the recording's own
+        # calibration replaces the synthetic intrinsics.
+        from pointcloud_depthfusion_tpu.io.recorded import RecordedSource
+
+        src_l = RecordedSource(args.source_left, loop=True)
+        src_r = RecordedSource(args.source_right, loop=True)
+        if src_l.intrinsics.width != src_r.intrinsics.width or (
+            src_l.intrinsics.height != src_r.intrinsics.height
+        ):
+            raise SystemExit("left/right recordings disagree on resolution")
+        intr = src_l.intrinsics
+        cam_left = CameraNode("camera_left", src_l)
+        cam_right = CameraNode("camera_right", src_r)
+    else:
+        cam_left = CameraNode(
+            "camera_left",
+            source_cls(scene, intr, wl, depth_noise_std=0.002, seed=10,
+                       motion=sway(wl, 0.0)),
+        )
+        cam_right = CameraNode(
+            "camera_right",
+            source_cls(scene, intr, wr, depth_noise_std=0.002, seed=20,
+                       motion=sway(wr, 1.1)),
+        )
     cam_left.attach_config(factory.camera_config("camera_left"))
     cam_right.attach_config(factory.camera_config("camera_right"))
 

@@ -114,6 +114,8 @@ def test_recorded_round_trip(tmp_path):
     rec2 = RecordedSource(path, loop=True)
     stamps = [rec2.next_frame().timestamp for _ in range(12)]
     assert all(b > a for a, b in zip(stamps, stamps[1:]))
+    # fps reflects the recorded cadence (30 Hz synthetic source)
+    assert abs(rec2.fps - 30.0) < 1.0, rec2.fps
 
 
 def test_png_round_trip(tmp_path, rng):

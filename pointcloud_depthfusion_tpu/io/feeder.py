@@ -227,6 +227,90 @@ class ApproximateTimePairer:
         return out
 
 
+class ApproximateTimeSyncN:
+    """N-way ApproximateTime synchronization (message_filters semantics
+    generalized past two streams — the reference only ever pairs two, but an
+    N-camera rig needs the same gate across all N frameset topics).
+
+    A set is emitted when one frame per stream can be chosen with total
+    stamp SPREAD (max−min) ≤ ``max_interval_s``; emission consumes the
+    chosen frames and everything older in each queue. Selection: pivot on
+    the latest queue head, pick each stream's closest frame to the pivot —
+    the same greedy that message_filters' ApproximateTime policy uses.
+    """
+
+    def __init__(self, n_streams: int, max_interval_s: float = 0.017,
+                 queue_size: int = 10):
+        if n_streams < 2:
+            raise ValueError(f"need >= 2 streams, got {n_streams}")
+        self.n_streams = n_streams
+        self.max_interval_s = max_interval_s
+        self.queue_size = queue_size
+        self.queues: List[Deque[HostFrameset]] = [
+            collections.deque() for _ in range(n_streams)
+        ]
+        self.dropped = 0
+        self.emitted = 0
+
+    def push(
+        self, stream: int, frame: HostFrameset
+    ) -> List[Tuple[HostFrameset, ...]]:
+        q = self.queues[stream]
+        q.append(frame)
+        if len(q) > self.queue_size:
+            q.popleft()
+            self.dropped += 1
+        return self._drain()
+
+    def _drain(self) -> List[Tuple[HostFrameset, ...]]:
+        out = []
+        while all(self.queues):
+            # Pivot: the latest of the queue heads (every stream has data
+            # at or after the earlier heads, so no later-arriving frame can
+            # beat a choice anchored here).
+            pivot = max(q[0].timestamp for q in self.queues)
+            picks = []
+            for q in self.queues:
+                k = min(
+                    range(len(q)),
+                    key=lambda i: abs(q[i].timestamp - pivot),
+                )
+                picks.append(k)
+            stamps = [
+                q[k].timestamp for q, k in zip(self.queues, picks)
+            ]
+            # Only emit when every pick is FINAL: a pick that is its
+            # queue's newest element AND earlier than the pivot could be
+            # beaten by the stream's next (monotonically later) frame —
+            # wait for it instead of emitting a worse set.
+            final = all(
+                k < len(q) - 1 or q[k].timestamp >= pivot
+                for q, k in zip(self.queues, picks)
+            )
+            if not final and not any(
+                len(q) >= self.queue_size for q in self.queues
+            ):
+                break
+            if max(stamps) - min(stamps) <= self.max_interval_s:
+                frames = tuple(q[k] for q, k in zip(self.queues, picks))
+                for q, k in zip(self.queues, picks):
+                    for _ in range(k + 1):
+                        q.popleft()
+                    self.dropped += k
+                self.emitted += 1
+                out.append(frames)
+                continue
+            # Unmatchable at current fill: drop the globally oldest head to
+            # make progress if any queue is saturated, else wait for data.
+            if any(len(q) >= self.queue_size for q in self.queues):
+                oldest = min(self.queues, key=lambda q: q[0].timestamp)
+                oldest.popleft()
+                self.dropped += 1
+                continue
+            break
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Async device feeder (double buffering)
 # ---------------------------------------------------------------------------
@@ -244,7 +328,136 @@ class DevicePair:
     enqueue_time: float = 0.0
 
 
-class DeviceFeeder:
+class _AsyncFeederBase:
+    """Shared delivery machinery for background device feeders: bounded
+    queue hand-off, end-of-stream sentinel, error propagation, QoS
+    lifespan expiry, stop-safe blocking get. Subclasses implement
+    ``_run`` (the producer thread) and call :meth:`_deliver` /
+    :meth:`_deliver_sentinel`."""
+
+    def _init_delivery(self, depth: int, lifespan_s: Optional[float]) -> None:
+        self.lifespan_s = lifespan_s
+        self.dropped_stale = 0
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+        self._ended = False
+        self.error: Optional[BaseException] = None
+
+    def _run(self) -> None:  # pragma: no cover - subclass responsibility
+        raise NotImplementedError
+
+    def _deliver(self, item) -> bool:
+        """Bounded put: returns False if stop() preempted the hand-off."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _deliver_sentinel(self, drop_pending: bool = False) -> None:
+        """Enqueue the end-of-stream None. The sentinel MUST reach the
+        consumer or a later get() with no timeout blocks forever; on the
+        error path (``drop_pending``) a pending item is sacrificed to make
+        room (we are aborting anyway)."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(None, timeout=0.5)
+                return
+            except queue.Full:
+                if drop_pending:
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
+
+    def start(self):
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        return self
+
+    def get(self, timeout: Optional[float] = None):
+        """Next synchronized device-resident item (None = clean end of
+        stream). A producer-side failure re-raises HERE - a silently empty
+        stream would hide errors like the decimated-depth rejection."""
+        if not self._started:
+            self.start()
+        if self._ended:
+            # The producer enqueues ONE sentinel and exits; keep answering
+            # None instead of blocking a second end-of-stream get() forever.
+            if self.error is not None:
+                raise RuntimeError("frameset producer failed") from self.error
+            return None
+        deadline = (
+            None if timeout is None else time.perf_counter() + timeout
+        )
+        while True:
+            # Poll in short slices so an out-of-band stop() (e.g. the
+            # viewer-close shutdown hook) unblocks a waiting consumer -
+            # stop() drains the queue, so the producer's None sentinel can
+            # be lost and a bare blocking get() would hang forever.
+            if self._stop.is_set():
+                self._ended = True
+                return None
+            slice_s = 0.2
+            if deadline is not None:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    raise queue.Empty
+                slice_s = min(slice_s, remaining)
+            try:
+                item = self._q.get(timeout=slice_s)
+            except queue.Empty:
+                continue
+            if item is None:
+                self._ended = True
+                if self.error is not None:
+                    raise RuntimeError(
+                        "frameset producer failed"
+                    ) from self.error
+                return None
+            if (
+                self.lifespan_s is not None
+                and time.perf_counter() - item.enqueue_time > self.lifespan_s
+            ):
+                # QoS lifespan expiry: skip the stale item; the producer is
+                # still running, so a fresh one follows.
+                self.dropped_stale += 1
+                continue
+            return item
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        # stop() can be invoked FROM the producer thread (a frameset
+        # subscriber raising through capture() - e.g. the viewer-close
+        # shutdown hook); joining the current thread would raise.
+        if self._started and self._thread is not threading.current_thread():
+            self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def __iter__(self):
+        while True:
+            item = self.get()
+            if item is None:
+                return
+            yield item
+
+
+class DeviceFeeder(_AsyncFeederBase):
     """Background thread: capture → pair → device_put, one pair ahead.
 
     The capture/upload of frame N+1 overlaps the device compute of frame N —
@@ -277,15 +490,8 @@ class DeviceFeeder:
         self.source_right = source_right
         self.pairer = pairer or ApproximateTimePairer()
         self.device = device
-        self.lifespan_s = lifespan_s
         self.pack_color = pack_color
-        self.dropped_stale = 0
-        self._q: "queue.Queue[Optional[DevicePair]]" = queue.Queue(maxsize=depth)
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._started = False
-        self._ended = False
-        self.error: Optional[BaseException] = None
+        self._init_delivery(depth, lifespan_s)
 
     def _upload(self, host: HostFrameset, intr: Intrinsics) -> Frameset:
         if host.depth.shape != host.color.shape[:2]:
@@ -314,15 +520,7 @@ class DeviceFeeder:
                 fl = self.source_left.next_frame()
                 fr = self.source_right.next_frame()
                 if fl is None or fr is None:
-                    # Same bounded delivery as the exception path below: a
-                    # bare blocking put would pin this thread forever if
-                    # the consumer stopped draining a full queue.
-                    while not self._stop.is_set():
-                        try:
-                            self._q.put(None, timeout=0.5)
-                            return
-                        except queue.Full:
-                            continue
+                    self._deliver_sentinel()
                     return
                 pairs = []
                 pairs += self.pairer.push(0, fl)
@@ -345,26 +543,11 @@ class DeviceFeeder:
                     jax.block_until_ready((pair.left, pair.right))
                     pair.upload_ms = (time.perf_counter() - t_up) * 1e3
                     pair.enqueue_time = time.perf_counter()
-                    while not self._stop.is_set():
-                        try:
-                            self._q.put(pair, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
+                    if not self._deliver(pair):
+                        return
         except Exception as exc:  # propagate end-of-stream instead of hanging get()
             self.error = exc
-            # The None sentinel MUST reach the consumer or a later get()
-            # with no timeout blocks forever. If the queue stays full, drop
-            # a pending pair to make room (we are aborting anyway).
-            while not self._stop.is_set():
-                try:
-                    self._q.put(None, timeout=0.5)
-                    return
-                except queue.Full:
-                    try:
-                        self._q.get_nowait()
-                    except queue.Empty:
-                        pass
+            self._deliver_sentinel(drop_pending=True)
 
     def start(self) -> "DeviceFeeder":
         if not self._started:
@@ -447,3 +630,126 @@ class DeviceFeeder:
             if pair is None:
                 return
             yield pair
+
+
+# ---------------------------------------------------------------------------
+# N-camera rig feeder (camera-sharded upload)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RigBatch:
+    """One synchronized N-camera frame set, stacked on a leading camera
+    axis — the input shape of parallel.mesh.rig_fuse / rig_fuse_sharded."""
+
+    depth: jax.Array  # (N, H, W) uint16
+    color: jax.Array  # (N, H, W, 3) uint8, or (N, H, W) int32 when packed
+    depth_scale: jax.Array  # (N,) float32
+    timestamps: List[float]  # host f64 capture stamps, per camera
+    host_frames: Tuple[HostFrameset, ...]
+    upload_ms: float = 0.0
+    enqueue_time: float = 0.0
+
+
+class RigFeeder(_AsyncFeederBase):
+    """Background thread feeding an N-camera rig: capture all cameras →
+    N-way ApproximateTime sync → ONE stacked (camera-axis) upload.
+
+    The multi-camera generalization of :class:`DeviceFeeder` — and the
+    ingestion side of the camera-sharded mesh path: given ``mesh``, the
+    stacked arrays are uploaded with ``NamedSharding(mesh, P(axis))``, so
+    each device receives exactly its cameras' frames at transfer time and
+    ``rig_fuse_sharded`` consumes them with no device-side reshard. Without
+    a mesh the batch lands on ``device`` (or the default) whole — the
+    single-chip ``rig_fuse`` shape.
+
+    ``pack_color=True`` uploads the rig color as pre-packed (N, H, W) i32
+    rgb24 planes instead of HWC u8 (both accepted by the rig paths,
+    bit-identical; the packed form skips the per-camera channel relayout
+    on device at +1 B/px upload vs HWC).
+    """
+
+    def __init__(
+        self,
+        sources: List[FramesetSource],
+        mesh=None,
+        axis: str = "cam",
+        sync: Optional[ApproximateTimeSyncN] = None,
+        depth: int = 2,
+        device: Optional[jax.Device] = None,
+        lifespan_s: Optional[float] = None,
+        pack_color: bool = False,
+    ):
+        if len(sources) < 2:
+            raise ValueError(f"rig needs >= 2 cameras, got {len(sources)}")
+        if mesh is not None and len(sources) % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"{len(sources)} cameras not divisible by the "
+                f"{mesh.shape[axis]}-device '{axis}' mesh axis"
+            )
+        self.sources = sources
+        self.mesh = mesh
+        self.axis = axis
+        self.sync = sync or ApproximateTimeSyncN(len(sources))
+        self.device = device
+        self.pack_color = pack_color
+        self._init_delivery(depth, lifespan_s)
+
+    def _put(self, arr: np.ndarray) -> jax.Array:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+            return jax.device_put(
+                arr, NamedSharding(self.mesh, PartitionSpec(self.axis))
+            )
+        if self.device is not None:
+            return jax.device_put(arr, self.device)
+        return jax.device_put(arr)
+
+    def _run(self) -> None:
+        try:
+            while not self._stop.is_set():
+                sets = []
+                ended = False
+                for i, src in enumerate(self.sources):
+                    f = src.next_frame()
+                    if f is None:
+                        ended = True
+                        break
+                    sets += self.sync.push(i, f)
+                if ended:
+                    self._deliver_sentinel()
+                    return
+                for frames in sets:
+                    t_up = time.perf_counter()
+                    if self.pack_color:
+                        from pointcloud_depthfusion_tpu.core.frameset import (  # noqa: PLC0415
+                            pack_rgb24_host,
+                        )
+
+                        color = np.stack(
+                            [pack_rgb24_host(f.color) for f in frames]
+                        )
+                    else:
+                        color = np.stack([f.color for f in frames])
+                    batch = RigBatch(
+                        depth=self._put(np.stack([f.depth for f in frames])),
+                        color=self._put(color),
+                        depth_scale=self._put(
+                            np.asarray(
+                                [f.depth_scale for f in frames], np.float32
+                            )
+                        ),
+                        timestamps=[f.timestamp for f in frames],
+                        host_frames=frames,
+                    )
+                    # Fence before stamping (see DeviceFeeder._run: an
+                    # unfenced stamp reports dispatch, not transfer).
+                    jax.block_until_ready((batch.depth, batch.color))
+                    batch.upload_ms = (time.perf_counter() - t_up) * 1e3
+                    batch.enqueue_time = time.perf_counter()
+                    if not self._deliver(batch):
+                        return
+        except Exception as exc:
+            self.error = exc
+            self._deliver_sentinel(drop_pending=True)

@@ -383,3 +383,50 @@ def test_encoded_frameset_rejects_truncated_and_bad_magic():
         EncodedFrameset.from_bytes(blob[:-5])
     with pytest.raises(ValueError, match="magic|bad"):
         EncodedFrameset.from_bytes(b"XXXX" + blob[4:])
+
+
+def test_approximate_time_sync_n():
+    """N-way ApproximateTime gate: aligned sets emitted across 3 jittered
+    streams; unmatchable frames age out without wedging the queues."""
+    from pointcloud_depthfusion_tpu.io.feeder import ApproximateTimeSyncN
+
+    def f(t):
+        return HostFrameset(
+            depth=np.zeros((2, 2), np.uint16),
+            color=np.zeros((2, 2, 3), np.uint8),
+            timestamp=t,
+        )
+
+    sync = ApproximateTimeSyncN(3, max_interval_s=0.017)
+    got = []
+    # 30 Hz cadence with per-stream jitter well inside the gate
+    jit = [0.0, 0.004, -0.003]
+    for k in range(7):
+        t = k / 30.0
+        for s in range(3):
+            got += sync.push(s, f(t + jit[s]))
+    # The newest set may be withheld until the NEXT frame proves no better
+    # match is coming (streaming semantics) — 6 of 7 must be out.
+    assert len(got) >= 6, len(got)
+    for frames in got:
+        stamps = [fr.timestamp for fr in frames]
+        assert max(stamps) - min(stamps) <= 0.017
+
+    # One stream silent: nothing emits, queues stay bounded.
+    sync2 = ApproximateTimeSyncN(3, max_interval_s=0.017, queue_size=4)
+    emitted = []
+    for k in range(10):
+        t = k / 30.0
+        emitted += sync2.push(0, f(t))
+        emitted += sync2.push(1, f(t))
+    assert emitted == []
+    assert all(len(q) <= 4 for q in sync2.queues)
+    # Stream 2 wakes up at a much later time: old unmatchable frames are
+    # dropped, matching resumes on fresh data.
+    for k in range(10, 14):
+        t = k / 30.0
+        emitted += sync2.push(0, f(t))
+        emitted += sync2.push(1, f(t))
+        emitted += sync2.push(2, f(t))
+    assert len(emitted) >= 2, len(emitted)
+    assert sync2.dropped > 0

@@ -549,87 +549,6 @@ class DeviceFeeder(_AsyncFeederBase):
             self.error = exc
             self._deliver_sentinel(drop_pending=True)
 
-    def start(self) -> "DeviceFeeder":
-        if not self._started:
-            self._thread.start()
-            self._started = True
-        return self
-
-    def get(self, timeout: Optional[float] = None) -> Optional[DevicePair]:
-        """Next synchronized device-resident pair (None = clean end of
-        stream). A producer-side failure re-raises HERE — a silently empty
-        stream would hide errors like the decimated-depth rejection."""
-        if not self._started:
-            self.start()
-        if self._ended:
-            # The producer enqueues ONE sentinel and exits; keep answering
-            # None instead of blocking a second end-of-stream get() forever.
-            if self.error is not None:
-                raise RuntimeError("frameset producer failed") from self.error
-            return None
-        deadline = (
-            None if timeout is None else time.perf_counter() + timeout
-        )
-        while True:
-            # Poll in short slices so an out-of-band stop() (e.g. the
-            # viewer-close shutdown hook) unblocks a waiting consumer —
-            # stop() drains the queue, so the producer's None sentinel can
-            # be lost and a bare blocking get() would hang forever.
-            if self._stop.is_set():
-                self._ended = True
-                return None
-            slice_s = 0.2
-            if deadline is not None:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    raise queue.Empty
-                slice_s = min(slice_s, remaining)
-            try:
-                pair = self._q.get(timeout=slice_s)
-            except queue.Empty:
-                continue
-            if pair is None:
-                self._ended = True
-                if self.error is not None:
-                    raise RuntimeError(
-                        "frameset producer failed"
-                    ) from self.error
-                return None
-            if (
-                self.lifespan_s is not None
-                and time.perf_counter() - pair.enqueue_time > self.lifespan_s
-            ):
-                # QoS lifespan expiry: skip the stale pair; the producer is
-                # still running, so a fresh one follows.
-                self.dropped_stale += 1
-                continue
-            return pair
-
-    def stop(self) -> None:
-        self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        # stop() can be invoked FROM the producer thread (a frameset
-        # subscriber raising through capture() — e.g. the viewer-close
-        # shutdown hook); joining the current thread would raise.
-        if self._started and self._thread is not threading.current_thread():
-            self._thread.join(timeout=2.0)
-
-    def __enter__(self) -> "DeviceFeeder":
-        return self.start()
-
-    def __exit__(self, *exc) -> None:
-        self.stop()
-
-    def __iter__(self) -> Iterator[DevicePair]:
-        while True:
-            pair = self.get()
-            if pair is None:
-                return
-            yield pair
 
 
 # ---------------------------------------------------------------------------
@@ -717,9 +636,9 @@ class RigFeeder(_AsyncFeederBase):
                         ended = True
                         break
                     sets += self.sync.push(i, f)
-                if ended:
-                    self._deliver_sentinel()
-                    return
+                # Sets completed THIS round (e.g. one previously withheld
+                # by the final-pick gate) must still reach the consumer
+                # even when a finite source just ended.
                 for frames in sets:
                     t_up = time.perf_counter()
                     if self.pack_color:
@@ -750,6 +669,9 @@ class RigFeeder(_AsyncFeederBase):
                     batch.enqueue_time = time.perf_counter()
                     if not self._deliver(batch):
                         return
+                if ended:
+                    self._deliver_sentinel()
+                    return
         except Exception as exc:
             self.error = exc
             self._deliver_sentinel(drop_pending=True)

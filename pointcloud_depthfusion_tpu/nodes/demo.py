@@ -115,7 +115,9 @@ def main() -> None:
             src_l.intrinsics.height != src_r.intrinsics.height
         ):
             raise SystemExit("left/right recordings disagree on resolution")
-        intr = src_l.intrinsics
+        # (FusionNodeApp/registration read calibration from the camera
+        # nodes' handshake, so the recordings' intrinsics flow from the
+        # sources themselves.)
         cam_left = CameraNode("camera_left", src_l)
         cam_right = CameraNode("camera_right", src_r)
     else:

@@ -143,12 +143,14 @@ def fuse_prep_pallas(
     h, w = depth_u16.shape
     if tile_rows is None:
         tile_rows = largest_tile_rows(h)
-    if h % tile_rows != 0 or tile_rows % 8 != 0:
+    if h % tile_rows != 0:
         # ValueError, not assert: stripped under -O, a non-dividing tile
         # would silently leave the trailing rows of every frame unrendered.
+        # Divisibility only — largest_tile_rows legitimately falls back to
+        # tile_rows == h (one whole-plane tile) for heights with no
+        # multiple-of-8 divisor, and Mosaic handles that single block.
         raise ValueError(
-            f"tile_rows={tile_rows} must be a multiple of 8 dividing the "
-            f"image height {h}"
+            f"tile_rows={tile_rows} must divide the image height {h}"
         )
     f = jnp.float32
     z_levels = jnp.float32((1 << 14) - 1)

@@ -243,10 +243,21 @@ def _packed_rig_body(
         zq = jnp.clip(
             (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels - 1.0
         ).astype(jnp.uint32)
-        c = color1.astype(jnp.uint32)
-        rgb666 = (
-            ((c[..., 0] >> 2) << 12) | ((c[..., 1] >> 2) << 6) | (c[..., 2] >> 2)
-        )
+        if color1.ndim == depth1.ndim:
+            # Pre-packed rgb24 plane ((H, W) i32): derive the RGB666 key
+            # from the packed word — identical bits to the HWC path.
+            p24 = color1.astype(jnp.uint32)
+            rgb666 = (
+                (((p24 >> 18) & 0x3F) << 12)
+                | (((p24 >> 10) & 0x3F) << 6)
+                | ((p24 >> 2) & 0x3F)
+            )
+        else:
+            c = color1.astype(jnp.uint32)
+            rgb666 = (
+                ((c[..., 0] >> 2) << 12) | ((c[..., 1] >> 2) << 6)
+                | (c[..., 2] >> 2)
+            )
         key = jnp.where(ok, (zq << 18) | rgb666, sentinel)
         return idx, key
 

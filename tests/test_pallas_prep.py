@@ -93,3 +93,35 @@ def test_pallas_render_mode_matches_packed():
     b = np.asarray(fuse(left, right, t_rl, cfg_p, fi).image)
     mismatch = (a != b).any(-1).mean()
     assert mismatch < 2e-3, mismatch
+
+
+def test_prep_kernel_whole_plane_fallback_height():
+    """Heights with no multiple-of-8 divisor fall back to one whole-plane
+    tile (largest_tile_rows(h) == h) — the validation must accept it."""
+    from pointcloud_depthfusion_tpu.ops.pallas.fuse_prep_pallas import (
+        largest_tile_rows,
+    )
+
+    assert largest_tile_rows(36) == 36
+    intr = Intrinsics.create(64, 36, fx=50.0, fy=50.0, ppx=32.0, ppy=18.0)
+    scene = SyntheticScene()
+    _, wr = two_camera_rig(baseline=0.4, toe_in_deg=6.0)
+    fs = scene.render(intr, wr)
+    f32 = jnp.float32
+    idx, key = fuse_prep_pallas(
+        jnp.asarray(fs.depth), jnp.asarray(fs.color), jnp.asarray(0.001, f32),
+        jnp.asarray(0.5, f32), jnp.asarray(3.0, f32), intr,
+        jnp.eye(4, dtype=f32), intr, False,
+        jnp.asarray(0.25, f32), jnp.asarray(4.0, f32), interpret=True,
+    )
+    assert idx.shape == (36, 64) and key.shape == (36, 64)
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        fuse_prep_pallas(
+            jnp.asarray(fs.depth), jnp.asarray(fs.color),
+            jnp.asarray(0.001, f32), jnp.asarray(0.5, f32),
+            jnp.asarray(3.0, f32), intr, jnp.eye(4, dtype=f32), intr, False,
+            jnp.asarray(0.25, f32), jnp.asarray(4.0, f32),
+            tile_rows=16, interpret=True,
+        )

@@ -684,6 +684,20 @@ def test_rig_packed_color_planes_match_hwc():
                       scale.reshape(B, C), t.reshape(B, C, 4, 4))),
     )
 
+    # Non-tiled (packed RGB666) rig paths derive the key from the packed
+    # word — same bits as slicing HWC channels.
+    cfg_packed = dataclasses.replace(config, render_mode="packed")
+    fp = rig_fuse(intr, intr, cfg_packed)
+    np.testing.assert_array_equal(
+        np.asarray(fp(depth, color, scale, t)),
+        np.asarray(fp(depth, packed, scale, t)),
+    )
+    fps_ = rig_fuse_sharded(mesh, intr, intr, cfg_packed)
+    np.testing.assert_array_equal(
+        np.asarray(fps_(depth, color, scale, t)),
+        np.asarray(fps_(depth, packed, scale, t)),
+    )
+
 
 def test_rig_feeder_sharded_streaming():
     """RigFeeder: N jittered camera streams → N-way sync → ONE camera-
@@ -750,3 +764,35 @@ def test_rig_feeder_pack_color():
             np.asarray(batch.color),
             np.stack([pack_rgb24_host(f.color) for f in batch.host_frames]),
         )
+
+
+def test_rig_feeder_finite_sources_deliver_all_sets():
+    """A finite (recorded-style) source ending mid-round must not eat
+    already-synchronized sets: every completable set reaches the consumer
+    before the end sentinel."""
+    from pointcloud_depthfusion_tpu.io.feeder import RigFeeder, SyntheticSource
+
+    class FiniteSource(SyntheticSource):
+        def __init__(self, *a, n_frames=5, **kw):
+            super().__init__(*a, **kw)
+            self.n_frames = n_frames
+
+        def next_frame(self):
+            if self.frame_idx >= self.n_frames:
+                return None
+            return super().next_frame()
+
+    n = 3
+    w, h = 32, 24
+    intr = Intrinsics.create(w, h, fx=25.0, fy=25.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(n)
+    sources = [
+        FiniteSource(scene, intr, poses[i], seed=i + 1, n_frames=5)
+        for i in range(n)
+    ]
+    with RigFeeder(sources) as feeder:
+        batches = list(feeder)
+    # 5 aligned rounds recorded; the sync gate may hold back at most the
+    # final set awaiting a proof frame that never comes.
+    assert len(batches) >= 4, len(batches)

@@ -197,9 +197,15 @@ def compute_results(width: int, height: int, modes=RENDER_MODES,
         # consumes the host/device-packed plane instead of slicing HWC u8
         # channels — must be bit-identical on real Mosaic + XLA layouts,
         # not just on CPU (tests already cover that).
+        # Pack INSIDE the jit: eager multi-op pipelines over the axon relay
+        # have returned corrupted results (CLAUDE.md round-3) — an eager
+        # with_packed_color() on device arrays would be exactly that.
         res_pk = jax.jit(
-            lambda l, r, t: fuse(l, r, t, cfg_img, fused_intr).image
-        )(left.with_packed_color(), right.with_packed_color(), t_rl)
+            lambda l, r, t: fuse(
+                l.with_packed_color(), r.with_packed_color(), t,
+                cfg_img, fused_intr,
+            ).image
+        )(left, right, t_rl)
         out["fuse_tiled_packedplane"] = np.asarray(res_pk)
         print("[tpu] fuse tiled packed-plane done", file=sys.stderr,
               flush=True)

@@ -60,6 +60,17 @@ def main() -> None:
         "~15-100 ms/frame of host CPU that no real camera costs and "
         "dominates on few-core hosts).",
     )
+    p.add_argument(
+        "--rig", type=int, default=0,
+        help="N-camera streaming rig instead of the dual path: RigFeeder "
+        "(N-way ApproximateTime sync, one stacked upload) → rig_fuse → "
+        "readback. Uses pre-packed rgb24 color upload (--no-pack-color "
+        "for HWC).",
+    )
+    p.add_argument("--no-pack-color", dest="pack_color",
+                   action="store_false", default=True,
+                   help="rig mode: upload HWC u8 color instead of packed "
+                   "rgb24 planes")
     args = p.parse_args()
 
     import jax
@@ -119,6 +130,10 @@ def main() -> None:
         )
         record_dataset(path, clip, intr)
         return RecordedSource(path, loop=True)
+
+    if args.rig:
+        _run_rig(args, intr, scene, make_source)
+        return
 
     cam_l = CameraNode("camera_left", make_source(wl, 10, "l"),
                        fps=args.source_fps)
@@ -210,6 +225,97 @@ def main() -> None:
         existing.append(out)
         with open(args.out, "w") as f:
             json.dump(existing, f, indent=1)
+
+
+def _run_rig(args, intr, scene, make_source) -> None:
+    """N-camera streaming rig: RigFeeder ingestion → rig_fuse → readback."""
+    import json as _json
+
+    import jax
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.fusion.pipeline import FusionConfig
+    from pointcloud_depthfusion_tpu.io.feeder import RigFeeder
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    n = args.rig
+    poses, transforms = [], []
+    for i in range(n):
+        yaw = np.deg2rad(-15 + 30 * i / max(n - 1, 1))
+        r = np.array(
+            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+             [-np.sin(yaw), 0, np.cos(yaw)]]
+        )
+        m = np.eye(4)
+        m[:3, :3] = r
+        m[:3, 3] = [0.8 * (i / max(n - 1, 1) - 0.5), 0, 0]
+        poses.append(m)
+        transforms.append(m)  # camera->world == camera->virtual here
+
+    sources = [make_source(poses[i], 30 + i, f"rig{i}") for i in range(n)]
+    render_mode = args.render_mode or ("exact" if args.cpu else "tiled")
+    cfg = FusionConfig.create(
+        vertical_image=False, mirror_image=False, filter_fused_color=False,
+        render_mode=render_mode, emit_zbuf=False,
+    )
+    fn = rig_fuse(intr, intr, cfg)
+    t = np.stack(transforms).astype(np.float32)
+    backend = jax.devices()[0].platform
+    print(f"rig backend: {backend} {n} cameras pack_color={args.pack_color}",
+          file=sys.stderr)
+
+    frame_walls = []
+    n_measure = 0
+    t_start = None
+    with RigFeeder(sources, pack_color=args.pack_color) as feeder:
+        for i, batch in enumerate(feeder):
+            t0 = time.perf_counter()
+            img = fn(batch.depth, batch.color, batch.depth_scale, t)
+            np.asarray(img)  # D2H readback (publish)
+            wall = time.perf_counter() - t0
+            if i == 0:
+                print(f"first frame (jit): {wall:.1f}s", file=sys.stderr)
+            if i >= args.warmup:
+                if t_start is None:
+                    t_start = t0
+                frame_walls.append(wall * 1e3)
+                n_measure += 1
+            if i + 1 >= args.warmup + args.frames:
+                break
+    wall_s = time.perf_counter() - t_start
+    fps = n_measure / wall_s
+    out = {
+        "metric": f"streaming_fps_rig{n}_{args.width}x{args.height}",
+        "backend": backend,
+        "render_mode": render_mode,
+        "pack_color": args.pack_color,
+        "source": args.source,
+        "source_fps": args.source_fps,
+        "frames_measured": n_measure,
+        "fps_sustained": round(fps, 2),
+        "frame_wall_ms_p50": round(float(np.percentile(frame_walls, 50)), 2),
+        "frame_wall_ms_p95": round(float(np.percentile(frame_walls, 95)), 2),
+        "target_fps": 30.0,
+        "meets_target": fps >= 30.0,
+    }
+    if backend != "cpu":
+        out["note"] = (
+            "TPU via network relay: transfer-bound, see the dual-path note."
+        )
+    print(_json.dumps(out))
+    if args.out:
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                try:
+                    existing = _json.load(f)
+                    if not isinstance(existing, list):
+                        existing = [existing]
+                except Exception:
+                    existing = []
+        existing.append(out)
+        with open(args.out, "w") as f:
+            _json.dump(existing, f, indent=1)
 
 
 if __name__ == "__main__":

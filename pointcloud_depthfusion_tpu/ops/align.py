@@ -34,7 +34,12 @@ from pointcloud_depthfusion_tpu.core import geometry as G
 
 Array = jax.Array
 
-_SENTINEL = jnp.int32(0xFFFF)
+# Plain Python int, NOT jnp.int32: a module-level device constant would
+# initialize the JAX backend at import time — on the axon-relayed dev TPU
+# that first touch can block for MINUTES/hours during relay outages, so
+# merely importing the package would hang. jnp.where/full promote it
+# identically inside traces.
+_SENTINEL = 0xFFFF
 
 
 def _map_corner(

@@ -27,9 +27,14 @@ import jax.numpy as jnp
 Array = jax.Array
 
 # Large odd constants for the spatial hash (Teschner et al. style).
-_H1 = jnp.uint32(73856093)
-_H2 = jnp.uint32(19349669)
-_H3 = jnp.uint32(83492791)
+# Plain Python ints, NOT jnp.uint32: module-level device constants
+# initialize the JAX backend at import time (a relay outage then hangs
+# `import pointcloud_depthfusion_tpu.ops.voxel` itself — see ops/align.py
+# _SENTINEL). They multiply u32 arrays, so weak promotion keeps the
+# arithmetic in u32 with wraparound semantics unchanged.
+_H1 = 73856093
+_H2 = 19349669
+_H3 = 83492791
 
 
 def voxel_coords(points: Array, resolution) -> Array:

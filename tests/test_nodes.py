@@ -540,3 +540,88 @@ def test_async_then_profiling_flip_keeps_publish_order():
     assert len(stamps) == 4
     assert stamps == sorted(stamps), stamps
     assert all(b > a for a, b in zip(stamps, stamps[1:])), stamps
+
+
+def test_rig_fusion_node_streams_and_recalibrates():
+    """RigFusionNodeApp: 3 streaming cameras fuse end-to-end; the per-pair
+    RegistrationPipeline sweep calibrates the rig from identity guesses
+    (the N-camera analogue of the reference's registration service)."""
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene
+    from pointcloud_depthfusion_tpu.nodes.rig_node import RigFusionNodeApp
+    from pointcloud_depthfusion_tpu.registration.pipeline import (
+        RegistrationSettings,
+    )
+
+    n = 3
+    w, h = 106, 60
+    intr = Intrinsics.create(w, h, fx=80.0, fy=80.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+
+    # CONVERGING rig (adjacent frusta overlap like two_camera_rig): camera
+    # left of center toes right and vice versa.
+    poses = []
+    for i in range(n):
+        x = 0.4 * (i / (n - 1) - 0.5) * 2
+        yaw = np.deg2rad(-15.0 * x / 0.4)
+        r = np.array(
+            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+             [-np.sin(yaw), 0, np.cos(yaw)]]
+        )
+        m = np.eye(4)
+        m[:3, :3] = r
+        m[:3, 3] = [x, 0, 0]
+        poses.append(m)
+    sources = [
+        SyntheticSource(scene, intr, poses[i], seed=i + 1) for i in range(n)
+    ]
+
+    # Fusion starts from PERTURBED calibration; the registration sweep
+    # (which anneals from identity, like the reference service) replaces it.
+    def perturb(m, d_yaw, dx):
+        r = np.eye(4)
+        a = np.deg2rad(d_yaw)
+        r[:3, :3] = [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                     [-np.sin(a), 0, np.cos(a)]]
+        r[0, 3] = dx
+        return m @ r
+
+    init = np.stack(
+        [poses[0]] + [perturb(poses[i], 2.0 * i, 0.03 * i) for i in range(1, n)]
+    ).astype(np.float32)
+
+    # Same settings family as the proven 2-camera pipeline test (cold
+    # anneal 0.12 -> 0.02 over ticks).
+    reg = RegistrationSettings(
+        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+        resolution_step=0.05, max_iterations=48, discard_transform=False,
+        reset_initial_guess=False,
+    )
+    app = RigFusionNodeApp(
+        sources, intr, init, registration_every=1, reg_settings=reg,
+    )
+    imgs = []
+    app.subscribe_fused(lambda img, ts: imgs.append(img))
+    done = app.run(max_frames=5)
+    assert done == 5 and len(imgs) == 5
+    assert imgs[0].shape == (h, w, 3)
+    assert (imgs[-1].sum(-1) > 0).mean() > 0.5
+    assert app.registration_ticks == 5
+
+    # Calibrated relative transforms match the ground-truth rig geometry
+    # (same tolerance family as the 2-camera convergence test).
+    c = app.cam_to_virtual
+    for i in range(n - 1):
+        t_est = np.linalg.inv(c[i]) @ c[i + 1]
+        t_true = np.linalg.inv(poses[i]) @ poses[i + 1]
+        d = np.linalg.inv(t_true) @ t_est
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+        )
+        assert ang < 1.5, (i, ang)
+        assert np.linalg.norm(d[:3, 3]) < 0.03, (i, d[:3, 3])
+    # camera 0 is the anchor: untouched
+    np.testing.assert_array_equal(c[0], init[0])

@@ -254,6 +254,13 @@ def fuse(
     # The packed/indexed tails stay channel-planar through the color filter
     # and stack to HWC exactly once (the (H, W, 3) relayout + vmapped filter
     # costs ~1.5 ms/frame on v5e — see F.filter_color_planar).
+    # Pre-packed color (Frameset.color_packed) skips the per-frame HWC u8
+    # channel-plane relayout in every exact-color mode; the then-unused
+    # r/g/b slices above are dead-code-eliminated by XLA. Bit-identical
+    # either way (the packed plane is exactly the rgb24 the renders pack).
+    rgb24 = None
+    if left.color_packed is not None and right.color_packed is not None:
+        rgb24 = jnp.stack([left.color_packed, right.color_packed])
     w_f, h_f = fused_intrinsics.width, fused_intrinsics.height
     if config.render_mode == "packed":
         # Quantization range: the virtual camera sits between the two
@@ -269,13 +276,6 @@ def fuse(
         else:
             image = jnp.stack([rp, gp, bp], axis=-1)
     elif config.render_mode == "tiled":
-        # Pre-packed color (Frameset.color_packed) skips the per-frame HWC
-        # u8 channel-plane relayout; the unused r/g/b slices above are
-        # dead-code-eliminated by XLA. Bit-identical either way (the packed
-        # plane is exactly the rgb24 the render would compute).
-        rgb24 = None
-        if left.color_packed is not None and right.color_packed is not None:
-            rgb24 = jnp.stack([left.color_packed, right.color_packed])
         (rp, gp, bp), zbuf = R.project_zbuffer_tiled_planar(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image, return_planes=True,
@@ -291,7 +291,8 @@ def fuse(
             x, y, z, val, fused_intrinsics, mirror=config.mirror_image,
             z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
         )
-        rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b)
+        rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b,
+                                                 rgb24=rgb24)
         rp = rp.reshape(h_f, w_f)
         gp = gp.reshape(h_f, w_f)
         bp = bp.reshape(h_f, w_f)
@@ -302,7 +303,8 @@ def fuse(
             image = jnp.stack([rp, gp, bp], axis=-1)
     else:
         image, zbuf = R.project_zbuffer_planar(
-            x, y, z, r, g, b, val, fused_intrinsics, mirror=config.mirror_image
+            x, y, z, r, g, b, val, fused_intrinsics,
+            mirror=config.mirror_image, rgb24=rgb24,
         )
         if config.filter_fused_color:
             image = F.filter_color(image, config.use_median_filter)
@@ -542,7 +544,8 @@ class FusionPipeline:
                     x, y, z, val, fi, mirror=cfg.mirror_image,
                     z_near=z_near, z_far=z_far,
                 )
-                rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b)
+                rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b,
+                                                 rgb24=rgb24)
                 rp, gp, bp = (p.reshape(h_f, w_f) for p in (rp, gp, bp))
                 zbuf = zb.reshape(h_f, w_f)
             elif cfg.render_mode == "tiled":

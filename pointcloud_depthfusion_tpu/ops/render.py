@@ -286,6 +286,7 @@ def indexed_winner_gather(
     r: Array,
     g: Array,
     b: Array,
+    rgb24: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Recover the winners' exact RGB888 + exact f32 depth with ONE slice-2
     row gather from an (n_pts, 2) table of (packed RGB, z bit pattern).
@@ -294,11 +295,15 @@ def indexed_winner_gather(
     v5e (~2.3 ms at 407k rows) while two separate gathers pay twice.
     Returns flat (r_u8, g_u8, b_u8, zbuf_f32) over the n_px pixels.
     """
-    packed_rgb = (
-        (r.astype(jnp.uint32) << 16)
-        | (g.astype(jnp.uint32) << 8)
-        | b.astype(jnp.uint32)
-    ).reshape(-1)
+    if rgb24 is None:
+        packed_rgb = (
+            (r.astype(jnp.uint32) << 16)
+            | (g.astype(jnp.uint32) << 8)
+            | b.astype(jnp.uint32)
+        ).reshape(-1)
+    else:
+        # Pre-packed plane (Frameset.color_packed): skip the HWC relayout.
+        packed_rgb = rgb24.astype(jnp.uint32).reshape(-1)
     z_bits = jax.lax.bitcast_convert_type(
         z.astype(jnp.float32), jnp.uint32
     ).reshape(-1)
@@ -377,6 +382,7 @@ def project_zbuffer_planar(
     valid: Array,
     intrinsics: Intrinsics,
     mirror: bool = False,
+    rgb24: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Planar-input exact render (bit-identical winners to
     :func:`project_zbuffer`: min f32 depth, ties → min packed RGB).
@@ -398,11 +404,14 @@ def project_zbuffer_planar(
     okf = ok.reshape(-1)
     z_bits = jax.lax.bitcast_convert_type(zc.astype(jnp.float32), jnp.uint32).reshape(-1)
     z_entry = jnp.where(okf, z_bits, sentinel)
-    packed = (
-        (r.astype(jnp.uint32) << 16)
-        | (g.astype(jnp.uint32) << 8)
-        | b.astype(jnp.uint32)
-    ).reshape(-1)
+    if rgb24 is None:
+        packed = (
+            (r.astype(jnp.uint32) << 16)
+            | (g.astype(jnp.uint32) << 8)
+            | b.astype(jnp.uint32)
+        ).reshape(-1)
+    else:  # pre-packed plane (Frameset.color_packed)
+        packed = rgb24.astype(jnp.uint32).reshape(-1)
 
     sidx, sz, scol = jax.lax.sort((idx, z_entry, packed), num_keys=3)
     first = jnp.concatenate(

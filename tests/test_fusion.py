@@ -300,6 +300,14 @@ def test_packed_color_plane_matches_hwc_tiled():
     assert b.zbuf is None
     np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
 
+    # indexed and exact modes consume the packed plane too — bit-identical.
+    for mode in ("indexed", "exact"):
+        cfg_m = dataclasses.replace(config, render_mode=mode)
+        am = run(left, right, t, cfg_m)
+        bm = run(lp, rp, t, cfg_m)
+        np.testing.assert_array_equal(np.asarray(am.image), np.asarray(bm.image))
+        np.testing.assert_array_equal(np.asarray(am.zbuf), np.asarray(bm.zbuf))
+
 
 def test_feeder_pack_color_flag():
     """DeviceFeeder(pack_color=True) uploads framesets carrying the packed

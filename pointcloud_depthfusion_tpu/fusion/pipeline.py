@@ -544,8 +544,11 @@ class FusionPipeline:
                     x, y, z, val, fi, mirror=cfg.mirror_image,
                     z_near=z_near, z_far=z_far,
                 )
-                rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b,
-                                                 rgb24=rgb24)
+                # (split profiling path takes r/g/b buffers; no packed
+                # plane rides through the per-stage donation signature)
+                rp, gp, bp, zb = R.indexed_winner_gather(
+                    covered, widx, z, r, g, b
+                )
                 rp, gp, bp = (p.reshape(h_f, w_f) for p in (rp, gp, bp))
                 zbuf = zb.reshape(h_f, w_f)
             elif cfg.render_mode == "tiled":

@@ -21,7 +21,11 @@ import jax
 import numpy as np
 
 from pointcloud_depthfusion_tpu.core.camera import Intrinsics
-from pointcloud_depthfusion_tpu.core.frameset import Frameset, HostFrameset
+from pointcloud_depthfusion_tpu.core.frameset import (
+    Frameset,
+    HostFrameset,
+    pack_rgb24_host,
+)
 from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene
 
 
@@ -642,10 +646,6 @@ class RigFeeder(_AsyncFeederBase):
                 for frames in sets:
                     t_up = time.perf_counter()
                     if self.pack_color:
-                        from pointcloud_depthfusion_tpu.core.frameset import (  # noqa: PLC0415
-                            pack_rgb24_host,
-                        )
-
                         color = np.stack(
                             [pack_rgb24_host(f.color) for f in frames]
                         )

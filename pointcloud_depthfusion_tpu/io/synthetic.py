@@ -162,6 +162,29 @@ def two_camera_rig(
     return left, right
 
 
+def rig_arc_poses(
+    n: int,
+    span: float = 0.8,
+    toe_in_deg_per_m: float = 0.0,
+) -> list:
+    """Camera→world poses for an n-camera rig spread along x over ``span``
+    meters, each yawed by ``toe_in_deg_per_m * (-x)`` degrees (positive =
+    converging frusta like :func:`two_camera_rig`; 0 = parallel; negative =
+    the diverging fan the wide-FOV fusion benches use)."""
+    poses = []
+    for i in range(n):
+        x = span * (i / max(n - 1, 1) - 0.5)
+        a = np.deg2rad(-toe_in_deg_per_m * x)
+        r = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+        )
+        m = np.eye(4)
+        m[:3, :3] = r
+        m[:3, 3] = [x, 0.0, 0.0]
+        poses.append(m)
+    return poses
+
+
 def right_to_left_transform(
     world_from_left: np.ndarray, world_from_right: np.ndarray
 ) -> np.ndarray:

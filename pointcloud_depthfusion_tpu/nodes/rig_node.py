@@ -22,7 +22,6 @@ reference's "left camera" role as the fixed frame.
 
 from __future__ import annotations
 
-import threading
 import time
 from typing import Callable, List, Optional, Sequence
 
@@ -34,8 +33,6 @@ from pointcloud_depthfusion_tpu.core.camera import Intrinsics
 from pointcloud_depthfusion_tpu.fusion.pipeline import FusionConfig
 from pointcloud_depthfusion_tpu.io.feeder import FramesetSource, RigFeeder
 from pointcloud_depthfusion_tpu.utils.profiling import FpsCounter
-
-Array = jax.Array
 
 
 class RigFusionNodeApp:
@@ -252,25 +249,19 @@ def main() -> None:
 
     from pointcloud_depthfusion_tpu.io.artifacts import save_png
     from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
-    from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        rig_arc_poses,
+    )
 
     n = args.cameras
     w, h = args.width, args.height
     fx = 631.0 * w / 848.0
     intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
     scene = SyntheticScene()
-    poses = []
-    for i in range(n):
-        x = 0.8 * (i / max(n - 1, 1) - 0.5)
-        yaw = np.deg2rad(-15.0 * x / 0.4)
-        r = np.array(
-            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
-             [-np.sin(yaw), 0, np.cos(yaw)]]
-        )
-        m = np.eye(4)
-        m[:3, :3] = r
-        m[:3, 3] = [x, 0, 0]
-        poses.append(m)
+    # Converging arc (37.5 deg/m toe-in): adjacent frusta overlap, which
+    # the per-pair registration sweep needs.
+    poses = rig_arc_poses(n, span=0.8, toe_in_deg_per_m=37.5)
     sources = [
         SyntheticSource(scene, intr, poses[i], seed=i + 1,
                         depth_noise_std=0.002)

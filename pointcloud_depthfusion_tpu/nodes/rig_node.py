@@ -263,6 +263,10 @@ def main() -> None:
     parser.add_argument("--out", default="/tmp/pdf_rig_demo")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--registration-every", type=int, default=4)
+    parser.add_argument("--calibration", default="",
+                        help="calibration text file: loaded at start when "
+                        "present, saved at exit (the reference's "
+                        "load_transform/save_transform workflow)")
     parser.add_argument("--render-mode", default="",
                         choices=["", "tiled", "exact", "packed"])
     args = parser.parse_args()
@@ -310,8 +314,12 @@ def main() -> None:
         idx[0] += 1
 
     app.subscribe_fused(save)
+    if args.calibration and app.load_calibration(args.calibration):
+        print(f"loaded calibration from {args.calibration}")
     t0 = time.perf_counter()
     done = app.run(max_frames=args.frames)
+    if args.calibration:
+        app.save_calibration(args.calibration)
     print(json.dumps({
         "frames": done,
         "cameras": n,

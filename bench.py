@@ -135,26 +135,29 @@ def main() -> None:
         lh = left if lh is None else lh
         rh = right if rh is None else rh
 
-        def frame(carry):
-            img = step(lh, rh, t_rl + 0.0 * carry, cfg)
-            # Consume the FULL image (cheap reduction): a carry that reads a
-            # single pixel would let XLA dead-code-eliminate the color
-            # filter / winner gather for the rest of the frame.
-            return img.astype(jnp.float32).sum() * 0.0
-
+        # The framesets are jit ARGUMENTS, not closure captures: closed-over
+        # device arrays embed as HLO constants — slow compiles and no
+        # persistent-compilation-cache hits (CLAUDE.md).
         @jax.jit
-        def one(carry):
+        def one(carry, lh, rh):
+            def frame(carry):
+                img = step(lh, rh, t_rl + 0.0 * carry, cfg)
+                # Consume the FULL image (cheap reduction): a carry that
+                # reads a single pixel would let XLA dead-code-eliminate the
+                # color filter / winner gather for the rest of the frame.
+                return img.astype(jnp.float32).sum() * 0.0
+
             return jax.lax.fori_loop(0, INNER, lambda i, c: frame(c), carry)
 
         t0 = time.perf_counter()
-        jax.block_until_ready(one(jnp.float32(0.0)))
+        jax.block_until_ready(one(jnp.float32(0.0), lh, rh))
         print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
         # chained warmup: the first executions over the relay absorb remote
         # warm-up (measured 175 ms/frame for the first segment vs 11 ms
         # steady-state). --warmup counts FRAMES; each chain runs INNER.
         carry = jnp.float32(0.0)
         for _ in range(max(3, -(-args.warmup // INNER))):
-            carry = one(carry)
+            carry = one(carry, lh, rh)
         jax.block_until_ready(carry)
         # several chain segments → per-frame percentiles over segments
         seg = max(2, iters // INNER // 3)
@@ -162,7 +165,7 @@ def main() -> None:
         for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(seg):
-                carry = one(carry)
+                carry = one(carry, lh, rh)
             jax.block_until_ready(carry)
             per_frame.append((time.perf_counter() - t0) * 1e3 / (seg * INNER))
         return float(np.percentile(per_frame, 50)), float(np.max(per_frame))
@@ -267,24 +270,28 @@ def main() -> None:
             jnp.asarray(np.stack(poses), jnp.float32),
         )
 
+        # Rig arrays as jit ARGUMENTS (not closure constants — CLAUDE.md).
         @jax.jit
-        def rig_chain(carry):
+        def rig_chain(carry, depths, colors, scales, poses):
             def body(i, c):
-                out = fn(rig_args[0], rig_args[1], rig_args[2] + c, rig_args[3])
+                out = fn(depths, colors, scales + c, poses)
                 return out.astype(jnp.float32).sum() * 0.0
 
             return jax.lax.fori_loop(0, INNER, body, carry)
 
-        jax.block_until_ready(rig_chain(jnp.float32(0.0)))
+        def rig_step(carry):
+            return rig_chain(carry, *rig_args)
+
+        jax.block_until_ready(rig_step(jnp.float32(0.0)))
         carry = jnp.float32(0.0)
         for _ in range(3):
-            carry = rig_chain(carry)
+            carry = rig_step(carry)
         jax.block_until_ready(carry)
         per = []
         for _ in range(4):
             t0 = time.perf_counter()
             for _ in range(2):
-                carry = rig_chain(carry)
+                carry = rig_step(carry)
             jax.block_until_ready(carry)
             per.append((time.perf_counter() - t0) * 1e3 / (2 * INNER))
         print(

@@ -10,6 +10,8 @@ see CLAUDE.md on relay outages).
 
 from __future__ import annotations
 
+__version__ = "0.1.0"  # keep in sync with pyproject.toml
+
 _EXPORTS = {
     # core
     "Intrinsics": "pointcloud_depthfusion_tpu.core.camera",

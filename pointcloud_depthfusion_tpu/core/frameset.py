@@ -122,9 +122,12 @@ class Frameset:
         the device entirely."""
         if self.color_packed is not None:
             return self
-        c = self.color.astype(jnp.int32)
-        packed = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
-        return dataclasses.replace(self, color_packed=packed)
+        # Jitted, not eager: multi-op eager pipelines over the axon relay
+        # have returned corrupted results (CLAUDE.md round-3) — every device
+        # pack goes through one compiled program.
+        return dataclasses.replace(
+            self, color_packed=_pack_rgb24_device(self.color)
+        )
 
     @property
     def height(self) -> int:
@@ -169,7 +172,16 @@ def pack_rgb24_host(color_u8: np.ndarray) -> np.ndarray:
     The host-side twin of ops/render.pack_rgb, used to populate
     ``Frameset.color_packed`` before upload (numpy does the byte shuffle
     once, off the device hot path)."""
-    c = np.asarray(color_u8).astype(np.int32)
+    # Wrap to u8 FIRST — Frameset stores color as jnp.uint8 (wrapping), so
+    # packing wider input without the wrap would produce a plane
+    # inconsistent with the stored color (and bits above 0xFFFFFF).
+    c = np.asarray(color_u8).astype(np.uint8).astype(np.int32)
+    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+
+
+@jax.jit
+def _pack_rgb24_device(color_u8: Array) -> Array:
+    c = color_u8.astype(jnp.int32)
     return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
 
 

@@ -269,7 +269,7 @@ def fuse(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image,
             z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
-            return_planes=True,
+            return_planes=True, rgb24=rgb24,
         )
         if config.filter_fused_color:
             image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)

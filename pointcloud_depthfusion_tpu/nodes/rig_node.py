@@ -89,29 +89,13 @@ class RigFusionNodeApp:
             initial_cam_to_virtual, np.float32
         ).reshape(n, 4, 4).copy()
         self._pair_pipes: Optional[list] = None
-        if registration_every:
-            from pointcloud_depthfusion_tpu.registration.pipeline import (  # noqa: PLC0415
-                RegistrationPipeline,
-                RegistrationSettings,
-            )
-
-            reg_settings = reg_settings or RegistrationSettings(
-                resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
-                resolution_step=0.05, max_iterations=48,
-            )
-            # One full 2-camera registration service per adjacent pair:
-            # pair i refines T_i (camera i+1 → camera i). A direct
-            # fine-resolution solve is NOT a substitute — without the
-            # pipeline's coarse→fine annealing the plane-dominated
-            # synthetic scene slides ~0.1 m in-plane at equal fitness
-            # (measured); the annealed pipeline lands at ~2 mm.
-            self._pair_pipes = [
-                RegistrationPipeline(
-                    self._intr_at(i), self._intr_at(i + 1), reg_settings
-                )
-                for i in range(n - 1)
-            ]
         self.reg_settings = reg_settings
+        # True once load_calibration succeeded: pair pipelines then
+        # warm-start from the loaded transforms instead of cold-annealing
+        # (which would clobber them on the first sweep).
+        self._calibration_trusted = False
+        if registration_every:
+            self._ensure_pair_pipes()
 
         self.feeder = RigFeeder(
             sources, mesh=mesh, axis=axis, pack_color=pack_color,
@@ -136,6 +120,51 @@ class RigFusionNodeApp:
         if isinstance(self.intrinsics, Intrinsics):
             return self.intrinsics
         return self.intrinsics[i]
+
+    def _ensure_pair_pipes(self) -> list:
+        """Build the adjacent-pair registration pipelines on first use
+        (``registration_tick`` works even when ``registration_every=0``
+        and the caller drives calibration on its own cadence)."""
+        if self._pair_pipes is None:
+            from pointcloud_depthfusion_tpu.registration.pipeline import (  # noqa: PLC0415
+                RegistrationPipeline,
+                RegistrationSettings,
+            )
+
+            if self.reg_settings is None:
+                self.reg_settings = RegistrationSettings(
+                    resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
+                    resolution_step=0.05, max_iterations=48,
+                )
+            # One full 2-camera registration service per adjacent pair:
+            # pair i refines T_i (camera i+1 → camera i). A direct
+            # fine-resolution solve is NOT a substitute — without the
+            # pipeline's coarse→fine annealing the plane-dominated
+            # synthetic scene slides ~0.1 m in-plane at equal fitness
+            # (measured); the annealed pipeline lands at ~2 mm.
+            self._pair_pipes = [
+                RegistrationPipeline(
+                    self._intr_at(i), self._intr_at(i + 1), self.reg_settings
+                )
+                for i in range(self.n_cameras - 1)
+            ]
+            if self._calibration_trusted:
+                self._seed_pair_pipes()
+        return self._pair_pipes
+
+    def _seed_pair_pipes(self) -> None:
+        """Warm-start each pair pipeline from the CURRENT cam_to_virtual:
+        without the seed, the first registration sweep cold-anneals from
+        identity and clobbers a loaded calibration (the reference refines
+        a loaded transform, it never discards it —
+        registration_node.cpp:742-833). Only called for TRUSTED (loaded)
+        calibrations; a rough construction-time guess still cold-anneals."""
+        if not self._pair_pipes:
+            return
+        c2v = self.cam_to_virtual.astype(np.float64)
+        for i, pipe in enumerate(self._pair_pipes):
+            rel = np.linalg.inv(c2v[i]) @ c2v[i + 1]
+            pipe.seed(rel.astype(np.float32))
 
     @property
     def fused_intrinsics(self) -> Intrinsics:
@@ -172,7 +201,7 @@ class RigFusionNodeApp:
         cam_to_virtual[i] = cam_to_virtual[0]·P_i.
         """
         rel = []
-        for i, pipe in enumerate(self._pair_pipes):
+        for i, pipe in enumerate(self._ensure_pair_pipes()):
             fl = batch.host_frames[i]
             fr = batch.host_frames[i + 1]
             rel.append(np.asarray(pipe.tick(fl.depth, fr.depth), np.float32))
@@ -208,6 +237,10 @@ class RigFusionNodeApp:
         if not np.all(np.isfinite(m)):
             return False
         self.cam_to_virtual = m.astype(np.float32)
+        # Registration sweeps must REFINE the loaded calibration, not
+        # re-derive it: seed any (current or future) pair pipelines.
+        self._calibration_trusted = True
+        self._seed_pair_pipes()
         return True
 
     # -- streaming loop ----------------------------------------------------

@@ -170,6 +170,7 @@ def project_zbuffer_packed_planar(
     z_near=0.25,
     z_far=4.5,
     return_planes: bool = False,
+    rgb24: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Planar-input single-scatter packed render (see
     :func:`project_zbuffer_packed` for the precision envelope).
@@ -178,7 +179,9 @@ def project_zbuffer_packed_planar(
     ``return_planes=True`` the image comes back as three (H, W) uint8
     channel planes instead of (H, W, 3) — callers that filter the fused
     color should stay planar and stack once at the end (the HWC relayout
-    costs real time on TPU).
+    costs real time on TPU). ``rgb24``: optional pre-packed color plane
+    (Frameset.color_packed); when given, the RGB666 key bits derive from
+    it (identical bits to the r/g/b path, which is then dead code).
     """
     w, h = intrinsics.width, intrinsics.height
     n_px = w * h
@@ -194,10 +197,21 @@ def project_zbuffer_packed_planar(
     zq = jnp.clip(
         (zc - z_near) / (z_far - z_near) * z_levels, 0.0, z_levels - 1.0
     ).astype(jnp.uint32)
-    r6 = (r.astype(jnp.uint32) >> 2) << 12
-    g6 = (g.astype(jnp.uint32) >> 2) << 6
-    b6 = b.astype(jnp.uint32) >> 2
-    key = (zq << 18) | r6 | g6 | b6
+    if rgb24 is None:
+        rgb666 = (
+            ((r.astype(jnp.uint32) >> 2) << 12)
+            | ((g.astype(jnp.uint32) >> 2) << 6)
+            | (b.astype(jnp.uint32) >> 2)
+        )
+    else:
+        # RGB666 from the canonical rgb24 plane (same bits as above).
+        p24 = rgb24.astype(jnp.uint32)
+        rgb666 = (
+            (((p24 >> 18) & 0x3F) << 12)
+            | (((p24 >> 10) & 0x3F) << 6)
+            | ((p24 >> 2) & 0x3F)
+        )
+    key = (zq << 18) | rgb666
     key = jnp.where(ok, key, jnp.uint32(0xFFFFFFFF))
 
     buf = jnp.full((n_px + 1,), jnp.uint32(0xFFFFFFFF), jnp.uint32)

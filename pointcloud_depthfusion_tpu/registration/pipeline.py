@@ -465,6 +465,23 @@ class RegistrationPipeline:
         )
         return self.last_transform
 
+    def seed(self, transform: np.ndarray) -> None:
+        """Adopt a trusted external transform as the current calibration.
+
+        The next tick WARM-starts from it with the cold annealing phase
+        skipped — the reference's load_transform workflow
+        (registration_node.cpp:742-833), where a persisted transform is
+        refined by subsequent solves, never re-derived from scratch. The
+        fitness gate / guess-reset machinery still applies, so a stale
+        seed degrades to a normal cold solve instead of sticking."""
+        t = np.asarray(transform, np.float32).reshape(4, 4)
+        self.initial_transform = t.copy()
+        self.last_transform = t.copy()
+        self._warm_start = True
+        self.initial_phase = False
+        self.current_resolution = self.settings.resolution
+        self.current_voxelsize = self.settings.voxelsize
+
     def close(self) -> None:
         s = self.settings
         if s.save_transform and s.transform_path:

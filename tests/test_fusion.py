@@ -300,13 +300,35 @@ def test_packed_color_plane_matches_hwc_tiled():
     assert b.zbuf is None
     np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
 
-    # indexed and exact modes consume the packed plane too — bit-identical.
-    for mode in ("indexed", "exact"):
+    # indexed, exact and packed (RGB666) modes consume the packed plane
+    # too — bit-identical (the RGB666 key bits derive from the same rgb24).
+    for mode in ("indexed", "exact", "packed"):
         cfg_m = dataclasses.replace(config, render_mode=mode)
         am = run(left, right, t, cfg_m)
         bm = run(lp, rp, t, cfg_m)
         np.testing.assert_array_equal(np.asarray(am.image), np.asarray(bm.image))
         np.testing.assert_array_equal(np.asarray(am.zbuf), np.asarray(bm.zbuf))
+
+
+def test_pack_color_wraps_wide_input_like_stored_color():
+    """Frameset.create(pack_color=True) with non-u8 color must produce a
+    packed plane consistent with the STORED (u8-wrapped) color — packing
+    before the wrap produced bits above 0xFFFFFF that corrupt the RGB666
+    derivation and the min-RGB tie-break."""
+    from pointcloud_depthfusion_tpu.core.frameset import (
+        Frameset,
+        pack_rgb24_host,
+    )
+
+    h, w = 6, 8
+    wide = (np.arange(h * w * 3, dtype=np.int32).reshape(h, w, 3) * 7 + 250)
+    depth = np.full((h, w), 1000, np.uint16)
+    fs = Frameset.create(depth, wide, small_intr(), pack_color=True)
+    np.testing.assert_array_equal(
+        np.asarray(fs.color_packed),
+        pack_rgb24_host(np.asarray(fs.color)),
+    )
+    assert int(np.asarray(fs.color_packed).max()) <= 0xFFFFFF
 
 
 def test_feeder_pack_color_flag():

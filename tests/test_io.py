@@ -447,3 +447,5 @@ def test_package_lazy_exports():
 
     with pytest.raises(AttributeError):
         pdf.does_not_exist
+    # the conventional version probe must survive the lazy rewrite
+    assert pdf.__version__ == "0.1.0"

@@ -44,6 +44,22 @@ def test_camera_node_capture_and_service():
     assert params.extrinsic_rotation.shape == (9,)
 
 
+def test_fusion_node_pack_color_gated_by_render_mode():
+    """pack_color is dropped for the pallas render mode (its prep kernel
+    takes u8 channel planes and never consumes Frameset.color_packed —
+    packing would upload a dead +4 B/px plane every frame) and honored by
+    the exact-color modes."""
+    cam_l, cam_r, _ = make_rig()
+    cfg = FusionConfig.create(vertical_image=False, mirror_image=False,
+                              filter_fused_color=False, render_mode="pallas")
+    app = FusionNodeApp(cam_l, cam_r, config=cfg, pack_color=True)
+    assert app.feeder.pack_color is False
+    cfg2 = FusionConfig.create(vertical_image=False, mirror_image=False,
+                               filter_fused_color=False, render_mode="tiled")
+    app2 = FusionNodeApp(cam_l, cam_r, config=cfg2, pack_color=True)
+    assert app2.feeder.pack_color is True
+
+
 def test_camera_node_temporal_filter_applies():
     intr = Intrinsics.create(W, H, fx=50.0, fy=50.0, ppx=W / 2, ppy=H / 2)
     scene = SyntheticScene()
@@ -690,3 +706,62 @@ def test_rig_node_calibration_roundtrip(tmp_path):
     before = app2.cam_to_virtual.copy()
     assert not app2.load_calibration(str(tmp_path / "bad.txt"))
     np.testing.assert_array_equal(app2.cam_to_virtual, before)
+
+
+def test_rig_node_loaded_calibration_seeds_registration(tmp_path):
+    """A LOADED calibration must survive the registration sweep: the pair
+    pipelines warm-start from the loaded relative transforms with the cold
+    anneal skipped (the reference refines a loaded transform, never
+    re-derives it). Covers the lazy pipe build too (registration_every=0
+    then a caller-driven registration_tick)."""
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        rig_arc_poses,
+    )
+    from pointcloud_depthfusion_tpu.nodes.rig_node import RigFusionNodeApp
+
+    n = 3
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    scene = SyntheticScene()
+    poses = rig_arc_poses(n, toe_in_deg_per_m=37.5)
+    sources = [
+        SyntheticSource(scene, intr, poses[i], seed=i + 1) for i in range(n)
+    ]
+    app = RigFusionNodeApp(sources, intr, np.stack(poses))
+    path = str(tmp_path / "cal.txt")
+    app.save_calibration(path)
+
+    # registration enabled at construction → pipes exist BEFORE the load;
+    # loading must still re-seed them.
+    app2 = RigFusionNodeApp(
+        sources, intr, np.eye(4)[None].repeat(n, 0), registration_every=4
+    )
+    pipes = app2._pair_pipes
+    assert pipes is not None
+    assert pipes[0].initial_phase  # cold anneal before any load
+    assert app2.load_calibration(path)
+    c2v = app2.cam_to_virtual.astype(np.float64)
+    for i, pipe in enumerate(pipes):
+        rel = np.linalg.inv(c2v[i]) @ c2v[i + 1]
+        np.testing.assert_allclose(
+            pipe.initial_transform, rel.astype(np.float32), atol=1e-6
+        )
+        assert not pipe.initial_phase  # anneal skipped
+        assert pipe._warm_start
+
+    # registration disabled at construction → pipes build lazily on first
+    # use and inherit the loaded seed.
+    app3 = RigFusionNodeApp(sources, intr, np.eye(4)[None].repeat(n, 0))
+    assert app3._pair_pipes is None
+    assert app3.load_calibration(path)
+    pipes3 = app3._ensure_pair_pipes()
+    for i, pipe in enumerate(pipes3):
+        rel = np.linalg.inv(c2v[i]) @ c2v[i + 1]
+        np.testing.assert_allclose(
+            pipe.initial_transform, rel.astype(np.float32), atol=1e-6
+        )
+        assert not pipe.initial_phase

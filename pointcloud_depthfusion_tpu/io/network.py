@@ -188,6 +188,7 @@ class FramesetStreamServer:
         self.host, self.port = self._sock.getsockname()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._conn: Optional[socket.socket] = None  # active client (stop())
         # Incremented from the producer AND sender threads; tests assert on
         # these, so guard them (unsynchronized += can under-count).
         self._stats_lock = threading.Lock()
@@ -207,6 +208,22 @@ class FramesetStreamServer:
 
     def stop(self) -> None:
         self._stop.set()
+        # Close the ACTIVE client connection too: a sender blocked in
+        # conn.sendall (stalled client, kernel SNDBUF full) never checks
+        # _stop — closing the socket unblocks it with an OSError, which
+        # the serve loop treats as client-went-away. Without this the
+        # daemon thread survives stop() and resumes streaming if the
+        # client ever starts reading again.
+        conn = self._conn
+        if conn is not None:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
         if self._thread:
             self._thread.join(timeout=5.0)
         self._sock.close()
@@ -240,11 +257,13 @@ class FramesetStreamServer:
                 continue
             except OSError:
                 return
+            self._conn = conn
             try:
                 self._stream_to(conn)
             except (ConnectionError, OSError, BrokenPipeError):
                 pass  # client went away: re-accept
             finally:
+                self._conn = None
                 try:
                     conn.close()
                 except OSError:

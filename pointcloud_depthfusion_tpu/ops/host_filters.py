@@ -78,8 +78,17 @@ def spatial_filter_np(
 ) -> np.ndarray:
     """Four-direction recursive EMA (see filters.spatial_filter)."""
     rt = _native()
-    if rt is not None:
-        return rt.spatial_filter_native(depth, alpha, delta, magnitude)
+    # Native only for dtypes it represents EXACTLY (u16 depth, f32): the
+    # numpy recursion filters wider ints at full value and clips at the
+    # end, which a u16 buffer cannot reproduce — those (non-sensor) inputs
+    # keep the numpy path so the dispatch is value- and dtype-identical
+    # with or without the native toolchain.
+    if rt is not None and depth.dtype in (np.uint16, np.uint8, np.float32):
+        out = rt.spatial_filter_native(
+            depth.astype(np.uint16) if depth.dtype == np.uint8 else depth,
+            alpha, delta, magnitude,
+        )
+        return out.astype(depth.dtype, copy=False)
     return _spatial_filter_numpy(depth, alpha, delta, magnitude)
 
 

@@ -58,7 +58,11 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                     _lib_failed = True
                     return None
         if not os.path.exists(_LIB_PATH):
-            _lib_failed = True
+            # Only latch the failure when a build was actually ATTEMPTED: a
+            # build_if_missing=False probe must not permanently disable
+            # later default calls that would have built the library.
+            if build_if_missing:
+                _lib_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
 
@@ -180,12 +184,16 @@ def spatial_filter_native(
         raise RuntimeError("native runtime (with filters) not available")
     h, w = depth.shape
     if np.issubdtype(depth.dtype, np.integer):
-        out = np.ascontiguousarray(depth, np.uint16).copy()
+        # Clip (not modulo-wrap) into the u16 domain and hand back the
+        # INPUT dtype — exactly what _spatial_filter_numpy does, so the
+        # auto-dispatch in ops.host_filters is value- and dtype-identical
+        # whether or not the native toolchain is present.
+        out = np.ascontiguousarray(np.clip(depth, 0, 65535), np.uint16)
         lib.pdf_spatial_filter_u16(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             h, w, alpha, delta, int(magnitude),
         )
-        return out
+        return out.astype(depth.dtype, copy=False)
     out = np.ascontiguousarray(depth, np.float32).copy()
     lib.pdf_spatial_filter_f32(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

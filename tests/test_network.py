@@ -115,6 +115,23 @@ def test_server_drops_oldest_when_client_stalls():
         server.stop()
 
 
+def test_server_stop_unblocks_stalled_sender():
+    """stop() must close the ACTIVE client connection: a sender blocked in
+    conn.sendall (stalled client, kernel SNDBUF full) never checks the stop
+    event — without the close it survives stop() and resumes streaming if
+    the client ever reads again."""
+    src, _ = make_source(seed=5, w=320, h=240)
+    server = FramesetStreamServer(src, fps=0.0, queue_size=2, sndbuf=16384)
+    server.start()
+    client = NetworkSource("127.0.0.1", server.port)
+    time.sleep(1.5)  # never read → sender blocks in sendall
+    t0 = time.perf_counter()
+    server.stop()
+    assert time.perf_counter() - t0 < 4.0  # no join-timeout expiry
+    assert not server._thread.is_alive()
+    client.close()
+
+
 def test_server_reaccepts_after_disconnect():
     src, _ = make_source(seed=4)
     server = FramesetStreamServer(src, fps=0.0, max_frames=3)

@@ -125,6 +125,35 @@ def test_native_filters_match_numpy_exactly():
     )
 
 
+def test_spatial_filter_dispatch_dtype_and_value_identical():
+    """spatial_filter_np must return the SAME values and dtype whether or
+    not the native toolchain is present: wide int dtypes (which the u16
+    native buffer cannot represent exactly) stay on the numpy path."""
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    rng = np.random.default_rng(3)
+    wide = rng.integers(0, 90_000, (32, 40)).astype(np.int32)  # >65535 values
+    got = HF.spatial_filter_np(wide, 0.55, 20.0, 1)
+    want = HF._spatial_filter_numpy(wide, 0.55, 20.0, 1)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, want)
+    # u16 keeps its dtype through whichever path serves it
+    d16 = rng.integers(300, 3000, (32, 40)).astype(np.uint16)
+    assert HF.spatial_filter_np(d16, 0.55, 20.0, 1).dtype == np.uint16
+
+
+def test_load_library_probe_does_not_latch_failure(monkeypatch):
+    """A build_if_missing=False probe while the .so is absent must not
+    permanently disable later default calls that would have built it."""
+    from pointcloud_depthfusion_tpu.runtime import bindings
+
+    monkeypatch.setattr(bindings, "_lib", None)
+    monkeypatch.setattr(bindings, "_lib_failed", False)
+    monkeypatch.setattr(bindings, "_LIB_PATH", "/nonexistent/libpdf.so")
+    assert bindings.load_library(build_if_missing=False) is None
+    assert bindings._lib_failed is False  # retry latch untouched
+
+
 def test_native_spatial_filter_meets_capture_budget():
     """The capture-path reason the native version exists: 848x480 spatial
     filtering must fit the 33 ms frame budget (numpy needs ~130 ms)."""

@@ -72,6 +72,10 @@ def main() -> None:
                    help="rig mode: upload HWC u8 color instead of packed "
                    "rgb24 planes")
     args = p.parse_args()
+    if args.frames < 1:
+        p.error("--frames must be >= 1 (this tool measures a finite run)")
+    if args.warmup < 1:
+        p.error("--warmup must be >= 1")
 
     import jax
 
@@ -83,8 +87,6 @@ def main() -> None:
         )
 
         enable_persistent_cache()
-
-    import dataclasses
 
     import numpy as np
 
@@ -269,8 +271,9 @@ def _run_rig(args, intr, scene, make_source) -> None:
     with RigFeeder(sources, pack_color=args.pack_color) as feeder:
         for i, batch in enumerate(feeder):
             t0 = time.perf_counter()
-            img = fn(batch.depth, batch.color, batch.depth_scale, t)
-            np.asarray(img)  # D2H readback (publish)
+            if not args.no_compute:
+                img = fn(batch.depth, batch.color, batch.depth_scale, t)
+                np.asarray(img)  # D2H readback (publish)
             wall = time.perf_counter() - t0
             if i == 0:
                 print(f"first frame (jit): {wall:.1f}s", file=sys.stderr)
@@ -284,8 +287,10 @@ def _run_rig(args, intr, scene, make_source) -> None:
     wall_s = time.perf_counter() - t_start
     fps = n_measure / wall_s
     out = {
-        "metric": f"streaming_fps_rig{n}_{args.width}x{args.height}",
+        "metric": f"streaming_fps_rig{n}_{args.width}x{args.height}"
+                  + ("_feeder_only" if args.no_compute else ""),
         "backend": backend,
+        "compute": not args.no_compute,
         "render_mode": render_mode,
         "pack_color": args.pack_color,
         "source": args.source,

@@ -332,6 +332,15 @@ def _frac_mismatch(a: np.ndarray, b: np.ndarray) -> float:
 
 def compare(tpu: dict, cpu: dict, width: int, height: int) -> dict:
     """All parity checks → {"parity": ..., "checks": {name: {...}}}."""
+    # A golden npz recorded at another resolution (possible with an
+    # explicit --oracle-cache path) would otherwise fail every
+    # array_equal with no diagnostic — reject it up front.
+    fh, fw = cpu["fuse_tiled_img"].shape[:2]
+    if (fw, fh) not in ((width, height), (height, width)):
+        raise ValueError(
+            f"golden npz is {fw}x{fh} but the gate runs {width}x{height} "
+            "(stale --oracle-cache file?)"
+        )
     checks: dict[str, dict] = {}
 
     def add(name, ok, **info):
@@ -470,7 +479,12 @@ def _oracle_main(path: str, width: int, height: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     res = compute_results(width, height)
-    np.savez_compressed(path, **res)
+    # Atomic publish: goldens take minutes on a 1-core host, and a killed
+    # run must not leave a truncated npz at the fingerprint-keyed path
+    # (it would poison every later gate run until hand-deleted).
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **res)
+    os.replace(tmp, path)
 
 
 def _source_fingerprint() -> str:
@@ -527,7 +541,7 @@ def run_parity(width: int = 848, height: int = 480,
         tempfile.gettempdir(),
         f"pdf_tpu_oracle_{_source_fingerprint()}_{width}x{height}.npz",
     )
-    if not reuse and not os.path.exists(path):
+    def compute_goldens():
         print(f"parity: computing CPU goldens → {path}", file=sys.stderr,
               flush=True)
         subprocess.run(
@@ -535,7 +549,17 @@ def run_parity(width: int = 848, height: int = 480,
              "--width", str(width), "--height", str(height)],
             check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    cpu = dict(np.load(path))
+
+    if not reuse and not os.path.exists(path):
+        compute_goldens()
+    try:
+        cpu = dict(np.load(path))
+    except Exception as exc:  # corrupt/legacy cache file → recompute once
+        print(f"parity: golden cache unreadable ({exc}); recomputing",
+              file=sys.stderr, flush=True)
+        os.remove(path)
+        compute_goldens()
+        cpu = dict(np.load(path))
     tpu = compute_results(width, height)
     return compare(tpu, cpu, width, height)
 

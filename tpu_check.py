@@ -482,7 +482,9 @@ def _oracle_main(path: str, width: int, height: int) -> None:
     # Atomic publish: goldens take minutes on a 1-core host, and a killed
     # run must not leave a truncated npz at the fingerprint-keyed path
     # (it would poison every later gate run until hand-deleted).
-    tmp = path + ".tmp"
+    # np.savez appends ".npz" to any filename not already ending in it, so
+    # the temp name must keep the suffix or os.replace misses the file.
+    tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **res)
     os.replace(tmp, path)
 

@@ -31,8 +31,10 @@ def test_default_registration_settings_load():
     assert settings.max_iterations == 64
     assert settings.adjust_resolution
     assert tree.get("spin_rate") == 0.5
-    # round-4 knobs ride the YAML tier with reference-faithful defaults
-    assert settings.neighbor_search == "direct1"
+    # round-4 knobs ride the YAML tier with reference-faithful defaults:
+    # the reference node hard-sets the kernelized multi-voxel search
+    # (GPU_RBF_KERNEL, registration.cpp:31) → shipped default is direct7.
+    assert settings.neighbor_search == "direct7"
     assert settings.outlier_removal is False
 
 

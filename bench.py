@@ -24,9 +24,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument(
-        "--watchdog", type=int, default=1800,
+        "--watchdog", type=int, default=2700,
         help="seconds before emitting whatever was measured and exiting "
-        "(the TPU relay occasionally hangs; 0 disables)",
+        "(the TPU relay occasionally hangs; 0 disables). Sized for the "
+        "worst healthy run: ~8 min timing + ~8 min CPU-golden recompute "
+        "(1-core host) + ~8 min on-chip parity, with slack",
     )
     parser.add_argument(
         "--no-parity", action="store_true",

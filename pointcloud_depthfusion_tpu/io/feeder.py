@@ -314,6 +314,38 @@ class ApproximateTimeSyncN:
             break
         return out
 
+    def flush(self) -> List[Tuple[HostFrameset, ...]]:
+        """End-of-stream drain: emit remaining within-interval sets with
+        the final-pick gate relaxed.
+
+        The gate withholds a set whose picks could be beaten by a stream's
+        NEXT frame — at end of stream there is no next frame, so a
+        complete, matchable final set would otherwise be silently dropped
+        (the 2-stream pairer has no such gate and emits it; the N-way sync
+        must match at stream end). Unmatchable heads are discarded to make
+        progress, like the saturated-queue path."""
+        out = []
+        while all(self.queues):
+            pivot = max(q[0].timestamp for q in self.queues)
+            picks = [
+                min(range(len(q)),
+                    key=lambda i: abs(q[i].timestamp - pivot))
+                for q in self.queues
+            ]
+            stamps = [q[k].timestamp for q, k in zip(self.queues, picks)]
+            if max(stamps) - min(stamps) <= self.max_interval_s:
+                out.append(tuple(q[k] for q, k in zip(self.queues, picks)))
+                for q, k in zip(self.queues, picks):
+                    for _ in range(k + 1):
+                        q.popleft()
+                    self.dropped += k
+                self.emitted += 1
+                continue
+            oldest = min(self.queues, key=lambda q: q[0].timestamp)
+            oldest.popleft()
+            self.dropped += 1
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Async device feeder (double buffering)
@@ -642,8 +674,27 @@ class RigFeeder(_AsyncFeederBase):
                     sets += self.sync.push(i, f)
                 # Sets completed THIS round (e.g. one previously withheld
                 # by the final-pick gate) must still reach the consumer
-                # even when a finite source just ended.
+                # even when a finite source just ended — and at stream end
+                # the sync gate is RELAXED (flush): a final matchable set
+                # whose picks were each waiting on a next frame that will
+                # never arrive is emitted, not silently dropped.
+                if ended:
+                    sets += self.sync.flush()
                 for frames in sets:
+                    for f in frames:
+                        # Same invariant DeviceFeeder._upload enforces: a
+                        # decimated (non-color-aligned) depth stream must
+                        # fail HERE with the explanation, not later as an
+                        # opaque XLA reshape error inside the rig trace.
+                        if f.depth.shape != f.color.shape[:2]:
+                            raise ValueError(
+                                f"depth {f.depth.shape} / color "
+                                f"{f.color.shape[:2]} size mismatch — the "
+                                "fusion path needs color-aligned depth. "
+                                "Disable the camera node's decimation "
+                                "filter for composed fusion (the reference "
+                                "also runs it disabled, realsense.cpp:393)."
+                            )
                     t_up = time.perf_counter()
                     if self.pack_color:
                         color = np.stack(

@@ -57,6 +57,13 @@ class RigFusionNodeApp:
         pair does. A gated/diverged pair keeps its previous transform
         (discard_transform semantics, registration_node.cpp:363-393).
       reg_settings: RegistrationSettings shared by the pair pipelines.
+        The default disables the STEREO angle gate (angle_gate=False): a
+        converging rig's correct pair solves carry toe-in yaw that the
+        reference's near-parallel |euler_y| < 2° prior would discard.
+      registration_async: run sweeps on a background thread (default) —
+        registration is a separate service in the reference, never in the
+        fusion hot path; a due sweep is SKIPPED while one is in flight.
+        False runs sweeps inline (deterministic tick counts).
     """
 
     def __init__(
@@ -71,6 +78,7 @@ class RigFusionNodeApp:
         lifespan_s: Optional[float] = None,
         registration_every: int = 0,
         reg_settings=None,
+        registration_async: bool = True,
     ):
         from pointcloud_depthfusion_tpu.parallel.mesh import (  # noqa: PLC0415
             rig_fuse,
@@ -85,6 +93,17 @@ class RigFusionNodeApp:
         )
         self.intrinsics = intrinsics
         self.registration_every = registration_every
+        # Async sweeps match the reference architecture (registration is a
+        # SEPARATE 0.5 Hz service, never in the fusion hot path — and this
+        # repo's own 2-camera RegistrationNodeApp spins its own thread):
+        # N-1 sequential pipeline ticks take ~0.2 s each warm and seconds
+        # cold, which would stall the streaming loop for whole frames.
+        # When a sweep is due but one is still running, the new one is
+        # SKIPPED (latest-wins cadence, like the reference's one-shot
+        # re-subscribe). registration_async=False keeps the sweep inline
+        # (deterministic tick counts for tests/offline calibration runs).
+        self.registration_async = registration_async
+        self._sweep_thread = None
         self.cam_to_virtual = np.asarray(
             initial_cam_to_virtual, np.float32
         ).reshape(n, 4, 4).copy()
@@ -132,9 +151,18 @@ class RigFusionNodeApp:
             )
 
             if self.reg_settings is None:
+                # angle_gate=False: the Euler gate encodes the reference's
+                # STEREO prior (near-parallel cameras, |euler_y| < 2°). A
+                # converging rig's adjacent pairs have toe-in yaw by
+                # construction — with the gate on, every correct solve is
+                # discarded and the identity start transforms collapse
+                # cam_to_virtual onto camera 0 on the first sweep. The
+                # fitness-regression gate (the half that generalizes to
+                # rigs) stays on via discard_transform.
                 self.reg_settings = RegistrationSettings(
                     resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
                     resolution_step=0.05, max_iterations=48,
+                    angle_gate=False,
                 )
             # One full 2-camera registration service per adjacent pair:
             # pair i refines T_i (camera i+1 → camera i). A direct
@@ -204,11 +232,26 @@ class RigFusionNodeApp:
         for i, pipe in enumerate(self._ensure_pair_pipes()):
             fl = batch.host_frames[i]
             fr = batch.host_frames[i + 1]
-            rel.append(np.asarray(pipe.tick(fl.depth, fr.depth), np.float32))
+            # Per-FRAME depth scales: the settings' 0.001 default is only a
+            # fallback — a rig source at a different m/LSB would otherwise
+            # deproject its calibration clouds at the wrong scale while
+            # fusion (which honors RigBatch.depth_scale) stays correct.
+            rel.append(np.asarray(
+                pipe.tick(fl.depth, fr.depth,
+                          depth_scale_left=fl.depth_scale,
+                          depth_scale_right=fr.depth_scale),
+                np.float32,
+            ))
+        # Compose into a NEW array and swap the reference atomically: the
+        # sweep may run on the background registration thread while
+        # process_batch reads cam_to_virtual — per-row in-place updates
+        # would let a frame fuse with a half-updated chain.
+        new = self.cam_to_virtual.copy()
         p = np.eye(4, dtype=np.float32)
         for i in range(self.n_cameras - 1):
             p = p @ rel[i]
-            self.cam_to_virtual[i + 1] = self.cam_to_virtual[0] @ p
+            new[i + 1] = new[0] @ p
+        self.cam_to_virtual = new
         self.registration_ticks += 1
         for cb in self._transform_subs:
             cb(self.cam_to_virtual.copy())
@@ -259,9 +302,31 @@ class RigFusionNodeApp:
             print(msg, flush=True)
         return out
 
+    def _maybe_sweep(self, batch) -> None:
+        """Kick (or run) one calibration sweep for ``batch``."""
+        if not self.registration_async:
+            self.registration_tick(batch)
+            return
+        import threading  # noqa: PLC0415
+
+        if self._sweep_thread is not None and self._sweep_thread.is_alive():
+            return  # latest-wins: a sweep is still running, skip this one
+        # host_frames are host-side numpy — safe to hand to the worker
+        # while the streaming loop moves on to newer batches.
+        self._sweep_thread = threading.Thread(
+            target=self.registration_tick, args=(batch,), daemon=True
+        )
+        self._sweep_thread.start()
+
+    def _join_sweep(self, timeout: float = 60.0) -> None:
+        t = self._sweep_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=timeout)
+
     def run(self, max_frames: Optional[int] = None) -> int:
         """Stream until the sources end (or ``max_frames``); returns the
-        number of fused frames."""
+        number of fused frames. Any in-flight async sweep is joined before
+        returning, so save_calibration at exit sees the final chain."""
         done = 0
         with self.feeder as feeder:
             for batch in feeder:
@@ -269,15 +334,17 @@ class RigFusionNodeApp:
                     self.registration_every
                     and done % self.registration_every == 0
                 ):
-                    self.registration_tick(batch)
+                    self._maybe_sweep(batch)
                 self.process_batch(batch)
                 done += 1
                 if max_frames is not None and done >= max_frames:
                     break
+        self._join_sweep()
         return done
 
     def stop(self) -> None:
         self.feeder.stop()
+        self._join_sweep(timeout=5.0)
 
 
 def main() -> None:

@@ -202,11 +202,12 @@ class _RigCalibration:
 
 def _rgb24_of(color, ref_ndim: int):
     """rgb24 i32 from either an (…,3) u8 HWC image or a pre-packed
-    (…) i32 plane (Frameset.color_packed semantics): rank tells which."""
+    (…) i32 plane (Frameset.color_packed semantics): rank tells which.
+    The HWC branch delegates to the ONE canonical device packer
+    (ops.render.pack_rgb) so the bit layout lives in exactly one place."""
     if color.ndim == ref_ndim:
         return color.astype(jnp.int32)
-    c = color.astype(jnp.int32)
-    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+    return R.pack_rgb(color)
 
 
 def _packed_rig_body(
@@ -590,6 +591,29 @@ def rig_fuse(
     like the dual ``fuse()`` path.
     """
     calib = _RigCalibration(intrinsics, rois)
+
+    def _check_count(fn):
+        """Per-camera calibration must match the camera axis EXACTLY on the
+        single-device path: _RigCalibration._take's tile fallback exists
+        for the batched path (n_local = B·C), and without this check a
+        4-camera rig handed 2 per-camera intrinsics would silently
+        deproject cameras 2-3 with cameras 0-1's fx/ppx/coeffs/ROI."""
+        n_cal = calib.n_cameras
+        if n_cal is None:
+            return fn
+
+        def checked(depth, color, depth_scale, cam_to_virtual):
+            if depth.shape[0] != n_cal:
+                raise ValueError(
+                    f"rig got {depth.shape[0]} cameras but {n_cal} "
+                    "per-camera calibration entries — they must match "
+                    "exactly (use batched_rig_fuse for B rigs sharing one "
+                    "calibration)"
+                )
+            return fn(depth, color, depth_scale, cam_to_virtual)
+
+        return checked
+
     if _rig_render_mode(config) == "tiled":
         _, _, local_minbufs, unpack_t, local_winner = _tiled_rig_body(
             calib, fused_intrinsics, config
@@ -604,7 +628,7 @@ def rig_fuse(
                 mrgb = local_winner(depth, color, depth_scale, cam_to_virtual)
                 return unpack_t(mrgb, mrgb)
 
-            return fn_imgonly
+            return _check_count(fn_imgonly)
 
         @jax.jit
         def fn_tiled(depth, color, depth_scale, cam_to_virtual):
@@ -614,7 +638,7 @@ def rig_fuse(
             )
             return unpack_t(minz, mrgb)
 
-        return fn_tiled
+        return _check_count(fn_tiled)
 
     _, local_buffer, unpack = _packed_rig_body(
         calib, fused_intrinsics, config, z_near, z_far
@@ -624,7 +648,7 @@ def rig_fuse(
     def fn(depth, color, depth_scale, cam_to_virtual):
         return unpack(local_buffer(depth, color, depth_scale, cam_to_virtual))
 
-    return fn
+    return _check_count(fn)
 
 
 def rig_fuse_sharded(
@@ -769,6 +793,12 @@ def batched_rig_fuse(
     grid just grows with B).
     """
     calib = _RigCalibration(intrinsics, rois)
+    if calib.n_cameras is not None and calib.n_cameras != cameras:
+        raise ValueError(
+            f"batched rig got {calib.n_cameras} per-camera calibration "
+            f"entries for cameras={cameras} — every stream fuses the same "
+            "physical rig, so the calibration must cover exactly one rig"
+        )
     n_px = fused_intrinsics.width * fused_intrinsics.height
     h_f, w_f = fused_intrinsics.height, fused_intrinsics.width
     stream_offsets = jnp.repeat(

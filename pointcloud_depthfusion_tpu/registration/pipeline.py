@@ -72,6 +72,14 @@ class RegistrationSettings:
 
     # Gating / annealing (registration_node.cpp:363-407, :485-530)
     discard_transform: bool = True
+    # The Euler-angle half of the discard gate encodes the reference's
+    # STEREO-PAIR mounting prior: two near-parallel cameras, so a solved
+    # right→left rotation with |euler_y| ≥ 2° is implausible
+    # (registration_node.cpp:363-393). A converging N-camera rig violates
+    # that prior BY CONSTRUCTION (adjacent toe-in is the whole point), so
+    # the rig tier disables the angle gate while keeping the
+    # fitness-regression gate + decay (the half that generalizes).
+    angle_gate: bool = True
     reset_initial_guess: bool = True
     adjust_resolution: bool = True
     initial_resolution: float = 0.1
@@ -314,17 +322,34 @@ class RegistrationPipeline:
         self,
         depth_left_u16,
         depth_right_u16,
+        depth_scale_left: Optional[float] = None,
+        depth_scale_right: Optional[float] = None,
     ) -> np.ndarray:
         """One registration tick: returns the current right→left 4×4.
 
         Left is the target, right the source (the published transform maps
         right-camera points into the left frame,
         registration_node.cpp:532-545).
+
+        ``depth_scale_left``/``depth_scale_right``: the frames' actual
+        m/LSB scales, overriding the settings defaults — callers holding
+        HostFramesets MUST pass the per-frame scales (a sensor at 1e-4
+        m/unit deprojects 10× wrong under the 0.001 default, silently:
+        the solve is then fitness-gated forever or converges to garbage).
+        Traced jit arguments, so varying scales never recompile.
         """
         import time
 
         s = self.settings
         t0 = time.perf_counter()
+        scale_l = (
+            s.depth_scale_left if depth_scale_left is None
+            else float(depth_scale_left)
+        )
+        scale_r = (
+            s.depth_scale_right if depth_scale_right is None
+            else float(depth_scale_right)
+        )
 
         depth_left_u16 = np.asarray(depth_left_u16)
         depth_right_u16 = np.asarray(depth_right_u16)
@@ -341,7 +366,7 @@ class RegistrationPipeline:
 
         right_cloud, right_valid, right_count = self._cloud_fn("right")(
             jnp.asarray(depth_right_u16, jnp.uint16),
-            jnp.asarray(s.depth_scale_right, jnp.float32),
+            jnp.asarray(scale_r, jnp.float32),
         )
 
         config = self._make_config()
@@ -353,6 +378,7 @@ class RegistrationPipeline:
             float(self.current_resolution),
             float(self.current_voxelsize),
             s.table_size,
+            float(scale_l),  # a scale change invalidates the cached grid
         )
         rebuild = (
             self._tgt_grid is None
@@ -365,7 +391,7 @@ class RegistrationPipeline:
         if rebuild or s.publish_clouds:
             left_cloud, left_valid, left_count = self._cloud_fn("left")(
                 jnp.asarray(depth_left_u16, jnp.uint16),
-                jnp.asarray(s.depth_scale_left, jnp.float32),
+                jnp.asarray(scale_l, jnp.float32),
             )
             self._left_count = int(left_count)
         else:
@@ -402,7 +428,10 @@ class RegistrationPipeline:
 
         # --- transform gating (registration_node.cpp:363-393) -----------
         if s.discard_transform:
-            angles_fit = transform_angles_fit(final, s.cam_upside_down)
+            angles_fit = (
+                not s.angle_gate
+                or transform_angles_fit(final, s.cam_upside_down)
+            )
             if fitness < self.best_fitness and angles_fit:
                 self.best_fitness = fitness
             else:

@@ -76,6 +76,7 @@ def registration_settings_from_tree(cfg: ConfigTree) -> RegistrationSettings:
         translation_epsilon=float(cfg.get("translation_epsilon", 1e-4)),
         fitness_epsilon=float(cfg.get("fitness_epsilon", 1e-12)),
         discard_transform=bool(cfg.get("discard_transform", True)),
+        angle_gate=bool(cfg.get("angle_gate", True)),
         reset_initial_guess=bool(cfg.get("reset_initial_guess", True)),
         adjust_resolution=bool(cfg.get("adjust_resolution", True)),
         initial_resolution=float(cfg.get("initial_resolution", 0.1)),

@@ -432,6 +432,42 @@ def test_approximate_time_sync_n():
     assert sync2.dropped > 0
 
 
+def test_approximate_time_sync_n_flush():
+    """flush() relaxes the final-pick gate at end of stream: a complete
+    within-interval set whose picks were each waiting on a (never-coming)
+    next frame is emitted, not dropped — regression for the RigFeeder
+    losing the last synchronized set of a finite recorded stream."""
+    from pointcloud_depthfusion_tpu.io.feeder import ApproximateTimeSyncN
+
+    def f(t):
+        return HostFrameset(
+            depth=np.zeros((2, 2), np.uint16),
+            color=np.zeros((2, 2, 3), np.uint8),
+            timestamp=t,
+        )
+
+    sync = ApproximateTimeSyncN(3, max_interval_s=0.017)
+    # Streams 1 and 2 end on frames just EARLIER than stream 0's last
+    # (each is its queue's newest and before the pivot → withheld).
+    got = sync.push(0, f(1.000))
+    got += sync.push(1, f(0.996))
+    got += sync.push(2, f(0.995))
+    assert got == []  # the streaming gate correctly waits
+    flushed = sync.flush()
+    assert len(flushed) == 1
+    stamps = [fr.timestamp for fr in flushed[0]]
+    assert max(stamps) - min(stamps) <= 0.017
+    assert all(not q for q in sync.queues)
+
+    # Unmatchable leftovers at stream end are discarded, never emitted
+    # (the drop loop stops once some queue empties; any residue in the
+    # other queues is unreachable and simply abandoned with the sync).
+    sync2 = ApproximateTimeSyncN(2, max_interval_s=0.017)
+    sync2.push(0, f(1.0))
+    sync2.push(1, f(2.0))
+    assert sync2.flush() == []
+
+
 def test_package_lazy_exports():
     """Top-level lazy API: every advertised export resolves, and the bare
     package import stays free (no submodule/backend work)."""

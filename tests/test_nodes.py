@@ -561,16 +561,20 @@ def test_async_then_profiling_flip_keeps_publish_order():
 def test_rig_fusion_node_streams_and_recalibrates():
     """RigFusionNodeApp: 3 streaming cameras fuse end-to-end; the per-pair
     RegistrationPipeline sweep calibrates the rig from identity guesses
-    (the N-camera analogue of the reference's registration service)."""
+    (the N-camera analogue of the reference's registration service).
+
+    Runs with the SHIPPED default reg_settings (reg_settings=None):
+    discard_transform fitness gating ON, angle_gate OFF. Regression: with
+    the stereo angle gate on (|euler_y| < 2°), every converging-rig pair
+    solve (~10-15° toe-in yaw) was discarded and the identity start
+    transforms collapsed cam_to_virtual onto camera 0 on the first sweep —
+    the asserts below would see ang ≈ toe-in, not < 1.5°."""
     import numpy as np
 
     from pointcloud_depthfusion_tpu.core.camera import Intrinsics
     from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
     from pointcloud_depthfusion_tpu.io.synthetic import SyntheticScene
     from pointcloud_depthfusion_tpu.nodes.rig_node import RigFusionNodeApp
-    from pointcloud_depthfusion_tpu.registration.pipeline import (
-        RegistrationSettings,
-    )
 
     n = 3
     w, h = 106, 60
@@ -609,15 +613,12 @@ def test_rig_fusion_node_streams_and_recalibrates():
         [poses[0]] + [perturb(poses[i], 2.0 * i, 0.03 * i) for i in range(1, n)]
     ).astype(np.float32)
 
-    # Same settings family as the proven 2-camera pipeline test (cold
-    # anneal 0.12 -> 0.02 over ticks).
-    reg = RegistrationSettings(
-        resolution=0.02, voxelsize=0.01, initial_resolution=0.12,
-        resolution_step=0.05, max_iterations=48, discard_transform=False,
-        reset_initial_guess=False,
-    )
+    # reg_settings=None → the shipped default family (cold anneal
+    # 0.12 → 0.02, fitness gating on, angle gate off);
+    # registration_async=False pins deterministic tick counts.
     app = RigFusionNodeApp(
-        sources, intr, init, registration_every=1, reg_settings=reg,
+        sources, intr, init, registration_every=1,
+        registration_async=False,
     )
     imgs = []
     app.subscribe_fused(lambda img, ts: imgs.append(img))

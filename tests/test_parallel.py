@@ -788,11 +788,81 @@ def test_rig_feeder_finite_sources_deliver_all_sets():
     scene = SyntheticScene()
     poses = rig_poses(n)
     sources = [
-        FiniteSource(scene, intr, poses[i], seed=i + 1, n_frames=5)
+        FiniteSource(scene, intr, poses[i], seed=i + 1, n_frames=5,
+                     timestamp_jitter_s=0.003)
         for i in range(n)
     ]
     with RigFeeder(sources) as feeder:
         batches = list(feeder)
-    # 5 aligned rounds recorded; the sync gate may hold back at most the
-    # final set awaiting a proof frame that never comes.
-    assert len(batches) >= 4, len(batches)
+    # 5 jittered-but-matchable rounds recorded (max spread 6 ms < the
+    # 17 ms gate): ALL of them must arrive — the end-of-stream flush()
+    # emits the final set the streaming gate was withholding while it
+    # waited for proof frames that never come.
+    assert len(batches) == 5, len(batches)
+
+
+def test_rig_per_camera_calibration_count_enforced():
+    """A per-camera calibration whose length differs from the camera axis
+    must raise on every rig path — the batched tile fallback previously
+    let a 4-camera rig silently reuse a 2-entry calibration."""
+    import pytest
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import (
+        batched_rig_fuse,
+        rig_fuse,
+    )
+
+    w, h = 64, 48
+    intrs = _het_intrinsics(2, w, h)
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False, render_mode="tiled")
+    n = 4
+    depth = jnp.zeros((n, h, w), jnp.uint16)
+    color = jnp.zeros((n, h, w, 3), jnp.uint8)
+    scale = jnp.full((n,), 0.001, jnp.float32)
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    for mode in ("tiled", "packed"):
+        import dataclasses
+
+        cfg = dataclasses.replace(config, render_mode=mode)
+        fn = rig_fuse(intrs, intrs[0], cfg)
+        with pytest.raises(ValueError, match="must match"):
+            fn(depth, color, scale, poses)
+
+    with pytest.raises(ValueError, match="calibration"):
+        batched_rig_fuse(intrs, intrs[0], config, batch=2, cameras=4)
+
+
+def test_rig_feeder_rejects_decimated_depth():
+    """A rig source delivering non-color-aligned (decimated) depth must
+    fail with the explanatory ValueError at upload, not as an opaque XLA
+    shape error inside the rig trace (DeviceFeeder enforces the same)."""
+    import pytest
+
+    from pointcloud_depthfusion_tpu.io.feeder import (
+        HostFrameset,
+        RigFeeder,
+        SyntheticSource,
+    )
+
+    class DecimatedSource(SyntheticSource):
+        def next_frame(self):
+            f = super().next_frame()
+            return HostFrameset(
+                depth=f.depth[::2, ::2], color=f.color,
+                depth_scale=f.depth_scale, timestamp=f.timestamp,
+            )
+
+    w, h = 32, 24
+    intr = Intrinsics.create(w, h, fx=25.0, fy=25.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    poses = rig_poses(2)
+    sources = [
+        SyntheticSource(scene, intr, poses[0], seed=1),
+        DecimatedSource(scene, intr, poses[1], seed=2),
+    ]
+    with pytest.raises(RuntimeError, match="producer failed") as ei:
+        with RigFeeder(sources) as feeder:
+            feeder.get()
+    assert isinstance(ei.value.__cause__, ValueError)
+    assert "size mismatch" in str(ei.value.__cause__)

@@ -149,8 +149,18 @@ class RealsenseSource(FramesetSource):
     def next_frame(self) -> Optional[HostFrameset]:  # pragma: no cover
         try:
             frames = self._pipe.wait_for_frames(self.timeout_ms)
-        except RuntimeError:
-            return None  # capture timeout → end of stream
+        except RuntimeError as exc:
+            # RAISE, never return None: a live sensor has no natural end of
+            # stream, so every wait_for_frames RuntimeError (capture
+            # timeout, USB stall, device disconnect) is a FAILURE. A None
+            # here would make FramesetStreamServer send its clean
+            # end-sentinel and the remote fusion host would shut down
+            # mid-capture with zero diagnostic — the exact silent-EOS trap
+            # io/network.py's receive path raises TimeoutError to avoid.
+            raise TimeoutError(
+                f"RealSense capture failed after {self.timeout_ms} ms "
+                f"({exc}) — sensor stalled or disconnected"
+            ) from exc
         frames = self._align.process(frames)
         depth = frames.get_depth_frame()
         color = frames.get_color_frame()
@@ -179,24 +189,45 @@ def main() -> None:  # pragma: no cover - requires a physical sensor
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=7447)
     parser.add_argument("--fps", type=float, default=0.0)
+    parser.add_argument("--width", type=int, default=0,
+                        help="override the model preset's stream width")
+    parser.add_argument("--height", type=int, default=0)
+    parser.add_argument("--warmup-frames", type=int, default=4)
+    parser.add_argument("--timeout-ms", type=int, default=5000)
+    parser.add_argument(
+        "--codec", default="png", choices=["png", "raw"],
+        help="frame codec: 'png' (compressed — thin links) or 'raw' (zero "
+        "encode cost on this camera host — wired-LAN deployments; a "
+        "720p@30 stream's per-frame PNG encode can exceed the 33 ms "
+        "budget on Jetson-class hosts and silently halve the delivered "
+        "rate via the drop-oldest QoS)",
+    )
     args = parser.parse_args()
 
     from pointcloud_depthfusion_tpu.io.network import FramesetStreamServer
 
     source = RealsenseSource(
-        serial=args.serial, model=args.model, fps=args.fps or None
+        serial=args.serial, model=args.model, fps=args.fps or None,
+        width=args.width, height=args.height,
+        warmup_frames=args.warmup_frames, timeout_ms=args.timeout_ms,
     )
     server = FramesetStreamServer(
         source, host=args.host, port=args.port, name=args.name,
         fps=source.fps, depth_to_color=source.depth_to_color,
+        codec=args.codec,
     )
     server.start()
-    print(f"{args.name}: RealSense → tcp://{server.host}:{server.port}")
+    print(f"{args.name}: RealSense → tcp://{server.host}:{server.port} "
+          f"({args.codec})")
     try:
         while True:
             time.sleep(5)
             print(f"sent {server.frames_sent} dropped {server.frames_dropped}")
     except KeyboardInterrupt:
+        pass
+    finally:
+        # Stop on ANY exit path (not just ^C): a crashed status loop must
+        # still release the sensor pipeline and close the client socket.
         server.stop()
         source.stop()
 

@@ -18,12 +18,21 @@ from pointcloud_depthfusion_tpu.io.feeder import FramesetSource
 
 
 def record_dataset(path: str, frames: List[HostFrameset], intr: Intrinsics) -> None:
+    if not frames:
+        raise ValueError(
+            "no frames captured — refusing to write an empty recording "
+            f"to {path!r}"
+        )
     np.savez_compressed(
         path,
         depth=np.stack([f.depth for f in frames]),
         color=np.stack([f.color for f in frames]),
         timestamps=np.asarray([f.timestamp for f in frames], np.float64),
-        depth_scale=np.asarray([frames[0].depth_scale], np.float64),
+        # PER-FRAME scales: the feeder/registration tiers honor each
+        # HostFrameset's own depth_scale, so a recording must preserve
+        # them (a single stored scalar would silently rescale any frame
+        # whose sensor scale differed from frame 0's).
+        depth_scale=np.asarray([f.depth_scale for f in frames], np.float64),
         intrinsics=np.asarray(
             [
                 intr.width,
@@ -44,16 +53,28 @@ class RecordedSource(FramesetSource):
     """Plays back a recorded .npz dataset, optionally looping."""
 
     def __init__(self, path: str, loop: bool = False):
-        data = np.load(path)
-        self.depth = data["depth"]
-        self.color = data["color"]
-        self.timestamps = data["timestamps"]
-        self.depth_scale = float(data["depth_scale"][0])
-        w, h, fx, fy, ppx, ppy = data["intrinsics"]
-        self._intr = Intrinsics.create(
-            int(w), int(h), fx=fx, fy=fy, ppx=ppx, ppy=ppy,
-            model=int(data["model"][0]), coeffs=tuple(data["coeffs"]),
-        )
+        # Context-managed: everything is materialized here, and an open
+        # NpzFile otherwise pins its file descriptor for the object's
+        # lifetime (N sources per rig replay, looped forever in the demo).
+        with np.load(path) as data:
+            self.depth = data["depth"]
+            self.color = data["color"]
+            self.timestamps = data["timestamps"]
+            # Legacy recordings stored ONE scalar; current files store one
+            # scale per frame. Broadcast the legacy form.
+            scales = np.asarray(data["depth_scale"], np.float64).reshape(-1)
+            if scales.shape[0] == len(self.timestamps):
+                self.depth_scales = scales
+            else:
+                self.depth_scales = np.full(
+                    len(self.timestamps), float(scales[0]), np.float64
+                )
+            w, h, fx, fy, ppx, ppy = data["intrinsics"]
+            self._intr = Intrinsics.create(
+                int(w), int(h), fx=fx, fy=fy, ppx=ppx, ppy=ppy,
+                model=int(data["model"][0]), coeffs=tuple(data["coeffs"]),
+            )
+        self.depth_scale = float(self.depth_scales[0])
         self.loop = loop
         self.idx = 0
         self._loop_offset = 0.0
@@ -88,5 +109,5 @@ class RecordedSource(FramesetSource):
             depth=self.depth[i],
             color=self.color[i],
             timestamp=float(self.timestamps[i]) + self._loop_offset,
-            depth_scale=self.depth_scale,
+            depth_scale=float(self.depth_scales[i]),
         )

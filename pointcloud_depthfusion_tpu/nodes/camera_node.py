@@ -129,6 +129,7 @@ class CameraNode(FramesetSource):
         self.debug_save_data = False
         self.debug_save_dir = f"{name}_debug"
         self._debug_frame_idx = 0
+        self._fx_cache: Optional[float] = None
         self._prev_depth: Optional[np.ndarray] = None
         self._frameset_subs: List[Callable[[HostFrameset], None]] = []
         self._depth_subs: List[Callable[[np.ndarray, float], None]] = []
@@ -173,6 +174,12 @@ class CameraNode(FramesetSource):
             return float(value)
         return type(current)(value)
 
+    # Enumerated string options: validated AT SET TIME (parametersCallback
+    # semantics) — the generic str() coercion would accept any spelling and
+    # defer the failure to hole_fill_np inside capture(), killing the
+    # streaming thread frames later instead of rejecting the bad value.
+    _ENUM_OPTIONS = {"hole_fill_mode": ("farthest", "nearest", "left")}
+
     def _set_option(self, group: str, name: str, value) -> bool:
         """Dispatch one runtime option update (parametersCallback
         equivalent, config.cpp:53-169)."""
@@ -180,7 +187,14 @@ class CameraNode(FramesetSource):
             group == "color" and name in self.COLOR_OPTIONS
         )
         if own:
-            setattr(self, name, self._coerce_option(getattr(self, name), value))
+            coerced = self._coerce_option(getattr(self, name), value)
+            allowed = self._ENUM_OPTIONS.get(name)
+            if allowed is not None and coerced not in allowed:
+                raise ValueError(
+                    f"sensor.{group}.{name} must be one of {allowed}, "
+                    f"not {value!r}"
+                )
+            setattr(self, name, coerced)
             return True
         src_opts = getattr(self.source, "sensor_options", None)
         if callable(src_opts) and name in src_opts().get(group, {}):
@@ -354,7 +368,15 @@ class CameraNode(FramesetSource):
         from pointcloud_depthfusion_tpu.ops import host_filters as HF  # noqa: PLC0415
 
         depth = fs.depth
-        fx = float(self.source.intrinsics.fx)
+        # fx is only consumed by the decimation/disparity branches (both
+        # off by default) and Intrinsics leaves are DEVICE arrays: an
+        # unconditional float() here was a device→host fetch on EVERY
+        # captured frame — over the relayed TPU that is a multi-ms (worst
+        # case multi-second) stall per frame on the capture hot path. Read
+        # it lazily, once.
+        fx = self._fx_host() if (
+            self.decimation_filter or self.disparity_domain
+        ) else 0.0
         if self.decimation_filter:
             depth = HF.decimation_filter_np(depth, self.decimation_magnitude)
             fx /= self.decimation_magnitude
@@ -393,6 +415,12 @@ class CameraNode(FramesetSource):
             timestamp=fs.timestamp,
             depth_scale=fs.depth_scale,
         )
+
+    def _fx_host(self) -> float:
+        """The source's fx as a host float, fetched from the device ONCE."""
+        if self._fx_cache is None:
+            self._fx_cache = float(self.source.intrinsics.fx)
+        return self._fx_cache
 
     def _apply_temporal(self, data: np.ndarray) -> np.ndarray:
         """Temporal EMA step in the current domain (u16 depth or f32
@@ -537,7 +565,14 @@ def main() -> None:
             SyntheticScene(), intr, pose, fps=fps,
             depth_noise_std=0.002, hole_fraction=0.01,
         )
-    node = CameraNode(args.name, source, fps=fps)
+    # Apply the temporal EMA exactly ONCE per stream, like the reference's
+    # getFrames: a network bridge (io/realsense_host.py) and a recording
+    # captured through a CameraNode both deliver ALREADY-filtered depth —
+    # re-filtering here would double the EMA (extra motion lag/ghosting).
+    # Only the local synthetic sensor needs the node-level filter.
+    node = CameraNode(
+        args.name, source, fps=fps, temporal_filter=not args.source
+    )
 
     frames = []
     node.subscribe_frameset(frames.append)

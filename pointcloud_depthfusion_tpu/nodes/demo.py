@@ -118,8 +118,11 @@ def main() -> None:
         # (FusionNodeApp/registration read calibration from the camera
         # nodes' handshake, so the recordings' intrinsics flow from the
         # sources themselves.)
-        cam_left = CameraNode("camera_left", src_l)
-        cam_right = CameraNode("camera_right", src_r)
+        # temporal_filter=False: the recording already carries whatever
+        # temporal EMA its capture path applied (CameraNode records the
+        # FILTERED stream) — re-filtering on replay would double it.
+        cam_left = CameraNode("camera_left", src_l, temporal_filter=False)
+        cam_right = CameraNode("camera_right", src_r, temporal_filter=False)
     else:
         cam_left = CameraNode(
             "camera_left",

@@ -19,7 +19,7 @@ default to ≥4× the expected occupied-voxel count to keep collisions rare.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -364,7 +364,7 @@ def regularize_covariances(
 
 def neighborhood_moments(
     grid: VoxelGrid, include_cov: bool = True
-) -> Tuple[Array, Array, Array]:
+) -> Tuple[Array, Array, Optional[Array]]:
     """Aggregate each occupied voxel's 3×3×3 neighborhood statistics.
 
     ``include_cov=False`` skips the 6 second-moment channels end to end —

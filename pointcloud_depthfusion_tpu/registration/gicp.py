@@ -515,8 +515,15 @@ def _solve_planar(
         )
         g = jnp.stack([-svx, -svy, -svz, -scx, -scy, -scz])
 
-        delta = -_solve_6x6(h, g, config.damping)
-        delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
+        delta_raw = -_solve_6x6(h, g, config.damping)
+        # A zeroed step (degenerate Hessian → non-finite delta, or zero
+        # correspondences → g = 0) must NOT read as convergence: its step
+        # norms are 0 and would satisfy the epsilon test, reporting
+        # converged=True for a FAILED solve. The step-norm exit therefore
+        # requires a finite step AND live correspondences; a NaN solve then
+        # burns out at the iteration cap with converged=False.
+        step_finite = jnp.all(jnp.isfinite(delta_raw))
+        delta = jnp.where(done | ~step_finite, 0.0, delta_raw)
         new_transform = G.mm(G.se3_exp(delta), transform)
 
         if axis_name is not None:
@@ -537,12 +544,17 @@ def _solve_planar(
             & (jnp.abs(prev_fitness - fitness) < config.fitness_rel_eps * fitness)
         )
         newly_done = (
-            ((rot_step < config.rotation_eps) & (trans_step < config.translation_eps))
+            ((rot_step < config.rotation_eps)
+             & (trans_step < config.translation_eps)
+             & step_finite & (n_corr > 0))
             | (fitness_ok & (jnp.abs(prev_fitness - fitness) < config.fitness_eps))
             | plateau
         ) & ~done
         it_count = jnp.where(done, it_count, it_count + 1)
-        done = done | newly_done
+        # Zero correspondences still EXITS immediately (the step is zero —
+        # further iterations cannot improve), but the result assembly
+        # below reports it unconverged via the n_corr>0 conjunct.
+        done = done | newly_done | (n_corr == 0)
         return (new_transform, fitness, done, it_count, n_corr)
 
     init = (
@@ -567,7 +579,8 @@ def _solve_planar(
     return GICPResult(
         transform=transform,
         fitness=fitness,
-        converged=done,
+        # A no-correspondence exit is a FAILURE, not convergence.
+        converged=done & (n_corr > 0),
         iterations=iters,
         num_correspondences=n_corr,
     )
@@ -738,8 +751,11 @@ def gicp_register_prepared(
             h = jnp.einsum("nij,nik,n->jk", jac, wj, wgt)
             g = jnp.einsum("nij,ni,n->j", wj, resid, wgt)
 
-            delta = -_solve_6x6(h, g, config.damping)
-            delta = jnp.where(done | ~jnp.all(jnp.isfinite(delta)), 0.0, delta)
+            delta_raw = -_solve_6x6(h, g, config.damping)
+            # See the planar loop: a zeroed degenerate step must not pass
+            # the step-norm convergence test.
+            step_finite = jnp.all(jnp.isfinite(delta_raw))
+            delta = jnp.where(done | ~step_finite, 0.0, delta_raw)
 
             new_transform = G.mm(G.se3_exp(delta), transform)
 
@@ -760,12 +776,16 @@ def gicp_register_prepared(
                 & (jnp.abs(prev_fitness - fitness) < config.fitness_rel_eps * fitness)
             )
             newly_done = (
-                ((rot_step < config.rotation_eps) & (trans_step < config.translation_eps))
+                ((rot_step < config.rotation_eps)
+                 & (trans_step < config.translation_eps)
+                 & step_finite & (n_corr > 0))
                 | (fitness_ok & (jnp.abs(prev_fitness - fitness) < config.fitness_eps))
                 | plateau
             ) & ~done
             it_count = jnp.where(done, it_count, it_count + 1)
-            done = done | newly_done
+            # See the planar loop: exit on zero correspondences, reported
+            # unconverged at result assembly.
+            done = done | newly_done | (n_corr == 0)
 
             return (new_transform, fitness, done, it_count, n_corr), None
 
@@ -793,7 +813,8 @@ def gicp_register_prepared(
         return GICPResult(
             transform=transform,
             fitness=fitness,
-            converged=done,
+            # A no-correspondence exit is a FAILURE, not convergence.
+            converged=done & (n_corr > 0),
             iterations=iters,
             num_correspondences=n_corr,
         )

@@ -250,3 +250,29 @@ def test_neighbor_search_validation():
     with _pytest.raises(ValueError, match="planar"):
         gicp_register(src, ones, src, ones, jnp.eye(4, dtype=jnp.float32),
                       matrix27)
+
+
+def test_no_correspondences_reports_unconverged():
+    """A solve whose transformed source lands entirely outside the target
+    (zero correspondences) must exit quickly but report converged=False —
+    the zeroed Gauss-Newton step previously satisfied the step-norm
+    epsilons and stamped a FAILED solve as converged."""
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(0.0, 1.0, (500, 3)).astype(np.float32)
+    src = tgt + np.float32(100.0)  # far outside every target voxel
+    cfg = GICPConfig.create(
+        resolution=0.05, voxel_size=0.02, max_iterations=8,
+        table_size=1 << 10,
+    )
+    valid = jnp.ones((500,), bool)
+    res = gicp_register(
+        jnp.asarray(src), valid, jnp.asarray(tgt), valid,
+        jnp.eye(4, dtype=jnp.float32), cfg,
+    )
+    assert int(res.num_correspondences) == 0
+    assert not bool(res.converged)
+    assert float(res.fitness) > 1e10  # the failure sentinel
+    # exits immediately (zero step cannot improve), not at the cap
+    assert int(res.iterations) <= 2, int(res.iterations)
+    # the transform is left at the initial guess, not corrupted
+    np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-6)

@@ -99,6 +99,12 @@ def test_recorded_round_trip(tmp_path):
     wl, _ = two_camera_rig()
     src = SyntheticSource(scene, small_intr(), wl, fps=30.0)
     frames = [src.next_frame() for _ in range(5)]
+    # Per-frame depth scales survive the round trip (a recording that
+    # flattened them to frame 0's value would silently rescale geometry).
+    frames[3] = HostFrameset(
+        depth=frames[3].depth, color=frames[3].color,
+        timestamp=frames[3].timestamp, depth_scale=2.5e-4,
+    )
     path = str(tmp_path / "rec.npz")
     record_dataset(path, frames, small_intr())
     rec = RecordedSource(path)
@@ -106,7 +112,13 @@ def test_recorded_round_trip(tmp_path):
     f0 = rec.next_frame()
     np.testing.assert_array_equal(f0.depth, frames[0].depth)
     np.testing.assert_array_equal(f0.color, frames[0].color)
+    assert f0.depth_scale == frames[0].depth_scale
     assert rec.intrinsics.width == 64
+    for _ in range(2):
+        rec.next_frame()
+    assert rec.next_frame().depth_scale == 2.5e-4
+    rec.idx = 0  # rewind for the count/EOS checks below
+    rec.next_frame()
     for _ in range(4):
         rec.next_frame()
     assert rec.next_frame() is None
@@ -485,3 +497,29 @@ def test_package_lazy_exports():
         pdf.does_not_exist
     # the conventional version probe must survive the lazy rewrite
     assert pdf.__version__ == "0.1.0"
+
+
+def test_record_dataset_rejects_empty(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="no frames"):
+        record_dataset(str(tmp_path / "e.npz"), [], small_intr())
+
+
+def test_recorded_legacy_scalar_scale(tmp_path):
+    """Legacy recordings stored ONE depth_scale; the loader broadcasts it."""
+    scene = SyntheticScene()
+    wl, _ = two_camera_rig()
+    src = SyntheticSource(scene, small_intr(), wl, fps=30.0)
+    frames = [src.next_frame() for _ in range(3)]
+    path = str(tmp_path / "legacy.npz")
+    record_dataset(path, frames, small_intr())
+    # rewrite the scale field in the legacy single-element form
+    with np.load(path) as d:
+        data = dict(d)
+    data["depth_scale"] = np.asarray([0.0005], np.float64)
+    np.savez_compressed(path, **data)
+    rec = RecordedSource(path)
+    assert all(
+        rec.next_frame().depth_scale == 0.0005 for _ in range(3)
+    )

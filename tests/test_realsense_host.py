@@ -150,12 +150,17 @@ def test_temporal_filter_runs_in_hot_loop():
     assert not np.array_equal(f2.depth, raw2)
 
 
-def test_timeout_ends_stream_with_none():
+def test_timeout_raises_instead_of_silent_eos():
+    """A wait_for_frames failure must RAISE, not read as a clean end of
+    stream: a live sensor has no natural EOS, and a None here would make
+    the bridge server send its clean end-sentinel — shutting the remote
+    fusion host down mid-capture with zero diagnostic."""
     mockrs.add_device(n_frames=6)
     src = make_source()  # 4 grabs consumed by rebase+warmup
     assert src.next_frame() is not None
     assert src.next_frame() is not None
-    assert src.next_frame() is None  # capture timeout → end of stream
+    with pytest.raises(TimeoutError, match="stalled or disconnected"):
+        src.next_frame()
 
 
 def test_bridge_serves_over_tcp_to_network_source():

@@ -262,30 +262,23 @@ def fuse(
     if left.color_packed is not None and right.color_packed is not None:
         rgb24 = jnp.stack([left.color_packed, right.color_packed])
     w_f, h_f = fused_intrinsics.width, fused_intrinsics.height
+    planes = None
     if config.render_mode == "packed":
         # Quantization range: the virtual camera sits between the two
         # physical ones, so transformed depths stay within ~[min/2, max+1].
-        (rp, gp, bp), zbuf = R.project_zbuffer_packed_planar(
+        planes, zbuf = R.project_zbuffer_packed_planar(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image,
             z_near=0.5 * config.min_depth, z_far=config.max_depth + 1.0,
             return_planes=True, rgb24=rgb24,
         )
-        if config.filter_fused_color:
-            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
-        else:
-            image = jnp.stack([rp, gp, bp], axis=-1)
     elif config.render_mode == "tiled":
-        (rp, gp, bp), zbuf = R.project_zbuffer_tiled_planar(
+        planes, zbuf = R.project_zbuffer_tiled_planar(
             x, y, z, r, g, b, val, fused_intrinsics,
             mirror=config.mirror_image, return_planes=True,
             interpret=jax.default_backend() == "cpu",
             need_zbuf=config.emit_zbuf, rgb24=rgb24,
         )
-        if config.filter_fused_color:
-            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
-        else:
-            image = jnp.stack([rp, gp, bp], axis=-1)
     elif config.render_mode == "indexed":
         covered, widx = R.indexed_winner_planar(
             x, y, z, val, fused_intrinsics, mirror=config.mirror_image,
@@ -293,14 +286,9 @@ def fuse(
         )
         rp, gp, bp, zb = R.indexed_winner_gather(covered, widx, z, r, g, b,
                                                  rgb24=rgb24)
-        rp = rp.reshape(h_f, w_f)
-        gp = gp.reshape(h_f, w_f)
-        bp = bp.reshape(h_f, w_f)
+        planes = (rp.reshape(h_f, w_f), gp.reshape(h_f, w_f),
+                  bp.reshape(h_f, w_f))
         zbuf = zb.reshape(h_f, w_f)
-        if config.filter_fused_color:
-            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
-        else:
-            image = jnp.stack([rp, gp, bp], axis=-1)
     else:
         image, zbuf = R.project_zbuffer_planar(
             x, y, z, r, g, b, val, fused_intrinsics,
@@ -308,6 +296,14 @@ def fuse(
         )
         if config.filter_fused_color:
             image = F.filter_color(image, config.use_median_filter)
+    if planes is not None:
+        # ONE shared fused-image tail for every planar mode: a tail change
+        # (like the round-4 half-up Gauss rounding fix) lands exactly once.
+        rp, gp, bp = planes
+        if config.filter_fused_color:
+            image = F.filter_color_planar(rp, gp, bp, config.use_median_filter)
+        else:
+            image = jnp.stack([rp, gp, bp], axis=-1)
 
     return FusionResult(
         image=image,
@@ -467,6 +463,8 @@ class FusionPipeline:
             _suppress_expected_donation_warning()
         self._donate = donate
         self.right_transform = jnp.eye(4, dtype=jnp.float32)
+        # Reused placeholder for the stripped "rest" pytrees in process().
+        self._zero = jnp.zeros((), jnp.uint8)
 
     def set_right_transform(self, transform) -> None:
         """Registration-transform update (transformCallback equivalent)."""
@@ -592,8 +590,10 @@ class FusionPipeline:
     def process_profiled(self, left: Frameset, right: Frameset):
         """Run one frame through the SPLIT pipeline with per-stage fences.
 
-        Returns (FusionResult, laps dict) where laps carries real
-        milliseconds for the reference schema's device stages: filter,
+        Returns (FusionResult, laps dict, host_image ndarray) — the host
+        copy rides along because the copy_from_gpu lap already fenced it.
+        laps carries real milliseconds for the reference schema's device
+        stages: filter,
         deproject, transform_right, fuse, transform, project, filter_image,
         copy_from_gpu. (Host-side stages — callback/publish/latency/diff —
         are the caller's to fill, like the reference.) ~15-25% slower than
@@ -645,8 +645,12 @@ class FusionPipeline:
 
     def process(self, left: Frameset, right: Frameset) -> FusionResult:
         # Strip the image buffers out of the "rest" pytrees so the donated
-        # arrays appear exactly once in the argument list.
-        zero = jnp.zeros((), jnp.uint8)
+        # arrays appear exactly once in the argument list. The placeholder
+        # scalar is allocated ONCE and reused: a fresh jnp.zeros per frame
+        # is its own device dispatch, and the relay charges a per-dispatch
+        # floor that degrades to 1-8 ms within a session (CLAUDE.md) — two
+        # placeholder allocations could cost as much as the fuse itself.
+        zero = self._zero
         left_rest = dataclasses.replace(left, depth=zero, color=zero)
         right_rest = dataclasses.replace(right, depth=zero, color=zero)
         return self._fuse_impl(

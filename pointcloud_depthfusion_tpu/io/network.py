@@ -60,6 +60,10 @@ from pointcloud_depthfusion_tpu.io.feeder import FramesetSource
 
 _MAGIC = b"PDFN"
 _VERSION = 1
+# Producer→sender queue marker for a SOURCE FAILURE: the sender closes the
+# connection without the clean u32(0) end sentinel, so the consuming host
+# raises ConnectionError instead of reading the crash as end-of-stream.
+_ABORT = object()
 # Wire sanity caps: the u32 length fields come from the peer; a desynced,
 # corrupt, or hostile sender must not drive a multi-GB allocation or an
 # unbounded buffering stall on the fusion host.
@@ -125,13 +129,18 @@ def _decode_raw(blob: bytes) -> HostFrameset:
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
+    # Preallocated + recv_into: `bytes +=` would recopy the accumulated
+    # buffer per kernel-sized recv chunk — quadratic, tens of extra MB of
+    # memcpy per raw-codec 720p frame at 30 FPS.
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        k = sock.recv_into(view[got:], n - got)
+        if not k:
             raise ConnectionError("stream closed mid-message")
-        buf += chunk
-    return buf
+        got += k
+    return bytes(buf)
 
 
 class FramesetStreamServer:
@@ -296,18 +305,23 @@ class FramesetStreamServer:
                     try:
                         fs = self.source.next_frame()
                     except Exception:
-                        # A broken source must END the stream (clients would
-                        # otherwise block forever on a silent producer).
+                        # A broken source must end the stream LOUDLY: the
+                        # abort marker makes the sender close the socket
+                        # WITHOUT the clean end sentinel, so the consuming
+                        # host's NetworkSource raises ConnectionError
+                        # instead of reading a sensor crash as a normal
+                        # end-of-recording (silent-EOS masking).
                         traceback.print_exc(file=sys.stderr)
-                        fs = None
-                if fs is None:
-                    # The end sentinel MUST reach the sender even through a
-                    # full queue (drop-oldest like the frame path) — a lost
-                    # sentinel leaves the consumer thread waiting and the
-                    # client hanging instead of a clean end-of-stream.
+                        fs = _ABORT
+                if fs is None or fs is _ABORT:
+                    marker = None if fs is None else _ABORT
+                    # The end/abort marker MUST reach the sender even
+                    # through a full queue (drop-oldest like the frame
+                    # path) — a lost marker leaves the consumer thread
+                    # waiting and the client hanging.
                     while not (self._stop.is_set() or done.is_set()):
                         try:
-                            q.put(None, timeout=0.1)
+                            q.put(marker, timeout=0.1)
                             return
                         except queue.Full:
                             try:
@@ -348,13 +362,19 @@ class FramesetStreamServer:
                     blob = q.get(timeout=0.5)
                 except queue.Empty:
                     if not prod.is_alive():
-                        # Producer died without a reachable sentinel (it
-                        # crashed mid-drop): end the stream cleanly anyway.
-                        conn.sendall(struct.pack("<I", 0))
+                        # Producer died without a reachable marker (it
+                        # crashed mid-drop): ABORT — closing without the
+                        # clean sentinel makes the client raise
+                        # ConnectionError rather than read a crash as EOS.
+                        print(f"{self.name}: producer died, aborting client",
+                              file=sys.stderr, flush=True)
                         return
                     continue
                 if blob is None:
                     conn.sendall(struct.pack("<I", 0))  # clean end
+                    return
+                if blob is _ABORT:
+                    # Source failure: close WITHOUT the clean end sentinel.
                     return
                 conn.sendall(struct.pack("<I", len(blob)) + blob)
                 with self._stats_lock:
@@ -374,34 +394,50 @@ class NetworkSource(FramesetSource):
 
     def __init__(self, host: str, port: int, timeout_s: float = 10.0):
         self._sock = socket.create_connection((host, port), timeout=timeout_s)
-        self._sock.settimeout(timeout_s)
-        magic = _recv_exact(self._sock, 4)
-        if magic != _MAGIC:
-            raise ConnectionError(f"not a PDFN stream (got {magic!r})")
-        version, jlen = struct.unpack("<BI", _recv_exact(self._sock, 5))
-        if version != _VERSION:
-            raise ConnectionError(f"unsupported stream version {version}")
-        if jlen > _MAX_HANDSHAKE_BYTES:
-            raise ConnectionError(
-                f"handshake length {jlen} exceeds the {_MAX_HANDSHAKE_BYTES}"
-                " byte cap (desynced or hostile peer)"
+        try:
+            self._sock.settimeout(timeout_s)
+            magic = _recv_exact(self._sock, 4)
+            if magic != _MAGIC:
+                raise ConnectionError(f"not a PDFN stream (got {magic!r})")
+            version, jlen = struct.unpack("<BI", _recv_exact(self._sock, 5))
+            if version != _VERSION:
+                raise ConnectionError(f"unsupported stream version {version}")
+            if jlen > _MAX_HANDSHAKE_BYTES:
+                raise ConnectionError(
+                    f"handshake length {jlen} exceeds the "
+                    f"{_MAX_HANDSHAKE_BYTES} byte cap (desynced or hostile "
+                    "peer)"
+                )
+            meta = json.loads(_recv_exact(self._sock, jlen).decode())
+            self.name = meta.get("name", "camera")
+            self.fps = float(meta.get("fps", 30.0))
+            self.codec = meta.get("codec", "png")
+            self._intr = _intrinsics_from_json(meta["intrinsics"])
+            self.depth_to_color = Extrinsics.create(
+                np.asarray(meta["extrinsic_rotation"], np.float64).reshape(
+                    3, 3
+                ),
+                meta["extrinsic_translation"],
             )
-        meta = json.loads(_recv_exact(self._sock, jlen).decode())
-        self.name = meta.get("name", "camera")
-        self.fps = float(meta.get("fps", 30.0))
-        self.codec = meta.get("codec", "png")
-        self._intr = _intrinsics_from_json(meta["intrinsics"])
-        self.depth_to_color = Extrinsics.create(
-            np.asarray(meta["extrinsic_rotation"], np.float64).reshape(3, 3),
-            meta["extrinsic_translation"],
-        )
+        except BaseException:
+            # A failed handshake must not leak the connected socket (a
+            # reconnect loop would otherwise accumulate fds and pin the
+            # server's single-client accept slot until GC).
+            self._sock.close()
+            raise
         self._ended = False
+        self._failed: Optional[str] = None
 
     @property
     def intrinsics(self) -> Intrinsics:
         return self._intr
 
     def next_frame(self) -> Optional[HostFrameset]:
+        if self._failed is not None:
+            # The stream died on an ERROR: keep raising — a caller that
+            # caught the first error and retried must not read the
+            # post-error state as a clean end of stream.
+            raise ConnectionError(self._failed)
         if self._ended:
             return None
         try:
@@ -423,10 +459,11 @@ class NetworkSource(FramesetSource):
             # pipeline down mid-capture with no diagnostic. Slow-cadence
             # servers should be consumed with a larger timeout_s.
             self.close()
-            raise TimeoutError(
+            self._failed = (
                 f"no frame from {self.name} within the socket timeout — "
                 "raise NetworkSource(timeout_s=...) for slow senders"
             )
+            raise TimeoutError(self._failed)
         except (ConnectionError, OSError) as exc:
             # An abrupt close is an ERROR, not a clean end: the server
             # always delivers a 0-length end sentinel, so missing it means
@@ -435,10 +472,11 @@ class NetworkSource(FramesetSource):
             # end-of-stream with zero diagnostic — and would also swallow
             # the oversized-frame ConnectionError raised above.
             self.close()
-            raise ConnectionError(
+            self._failed = (
                 f"frameset stream from {self.name} aborted mid-stream: "
                 f"{exc}"
-            ) from exc
+            )
+            raise ConnectionError(self._failed) from exc
         if self.codec == "raw":
             return _decode_raw(blob)
         return EncodedFrameset.from_bytes(blob).decode()

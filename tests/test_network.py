@@ -242,3 +242,30 @@ def test_server_max_frames_does_not_consume_extra():
             got += 1
     assert got == 3
     assert counting.pulled == 3, counting.pulled
+
+
+def test_source_crash_aborts_client_loudly():
+    """A source failure on the camera host must surface on the FUSION host
+    as a ConnectionError, not as the clean end-of-stream sentinel — and a
+    retry after the error keeps raising instead of reading as clean EOS."""
+    import pytest
+
+    class CrashSource(SyntheticSource):
+        def next_frame(self):
+            if self.frame_idx >= 2:
+                raise RuntimeError("sensor stalled")
+            return super().next_frame()
+
+    intr = Intrinsics.create(W, H, fx=40.0, fy=40.0, ppx=W / 2, ppy=H / 2)
+    wl, _ = two_camera_rig()
+    crash = CrashSource(SyntheticScene(), intr, wl, seed=1)
+    with FramesetStreamServer(crash, fps=0.0, name="camera_left") as server:
+        client = NetworkSource("127.0.0.1", server.port, timeout_s=10.0)
+        assert client.next_frame() is not None
+        assert client.next_frame() is not None
+        with pytest.raises(ConnectionError, match="aborted mid-stream"):
+            client.next_frame()
+        # post-error calls keep raising (no silent clean-EOS after error)
+        with pytest.raises(ConnectionError):
+            client.next_frame()
+        client.close()

@@ -81,3 +81,19 @@ def test_dryrun_multichip_small():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_fails_on_broken_solver(monkeypatch):
+    """The dryrun asserts QUALITY, not just shapes: a wrecked GN solver
+    (damping 1e6 freezes the update, so the sharded solve never leaves the
+    identity guess) must raise — the driver then records a non-zero exit
+    instead of `ok: true` for a numerically-broken multichip path. Same
+    executable as the healthy run above (damping is a traced leaf), so
+    this costs no extra compiles."""
+    import pytest
+
+    import __graft_entry__ as g
+
+    monkeypatch.setenv("PDF_DRYRUN_BREAK_SOLVER", "1")
+    with pytest.raises(AssertionError, match="fitness|corr"):
+        g.dryrun_multichip(4)

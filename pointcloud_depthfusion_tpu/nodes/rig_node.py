@@ -89,7 +89,11 @@ class RigFusionNodeApp:
         self.n_cameras = n
         self.config = config or FusionConfig.create(
             vertical_image=False, mirror_image=False,
-            filter_fused_color=False, emit_zbuf=False,
+            filter_fused_color=False,
+            # Image-only resolve on single-chip; the camera-sharded merge
+            # REQUIRES per-device min-z (rig_fuse_sharded raises on
+            # emit_zbuf=False rather than silently ignoring it).
+            emit_zbuf=mesh is not None,
         )
         self.intrinsics = intrinsics
         self.registration_every = registration_every

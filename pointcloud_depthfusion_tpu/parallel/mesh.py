@@ -713,6 +713,22 @@ def rig_fuse_sharded(
         return jax.lax.axis_index(axis) * n_local
 
     if _rig_render_mode(config) == "tiled":
+        if not config.emit_zbuf:
+            # No silent meaning change across paths: single-device rig_fuse
+            # honors emit_zbuf=False with the image-only resolve, but the
+            # camera-sharded merge is TWO pmin collectives over per-device
+            # (min-z, rgb-of-winner) buffers — the z output is what lets a
+            # device's winner lose to a closer camera on another device, so
+            # an image-only kernel cannot feed it. (A single-pmin packed
+            # z|rgb merge would need 31 z bits + 24 rgb bits > 32, and i64
+            # collectives are out with jax_enable_x64 off.) Callers must
+            # opt back into the z-emitting kernel explicitly.
+            raise ValueError(
+                "rig_fuse_sharded(tiled) cannot honor emit_zbuf=False: the "
+                "cross-device merge pmins per-device min-z buffers. Use "
+                "emit_zbuf=True for sharded rigs (single-device rig_fuse "
+                "honors the image-only resolve)."
+            )
         _, _, local_minbufs, unpack_t, _ = _tiled_rig_body(
             calib, fused_intrinsics, config
         )

@@ -866,3 +866,22 @@ def test_rig_feeder_rejects_decimated_depth():
             feeder.get()
     assert isinstance(ei.value.__cause__, ValueError)
     assert "size mismatch" in str(ei.value.__cause__)
+
+
+def test_sharded_rig_rejects_imgonly_emit_zbuf():
+    """rig_fuse_sharded must REFUSE emit_zbuf=False rather than silently
+    ignore it (the two-pmin cross-device merge needs per-device min-z;
+    single-device rig_fuse honors the image-only resolve) — no config may
+    silently change meaning across paths."""
+    import dataclasses
+
+    import pytest
+
+    intr = Intrinsics.create(64, 48, fx=50.0, fy=50.0, ppx=32.0, ppy=24.0)
+    config = dataclasses.replace(
+        FusionConfig.create(vertical_image=False, mirror_image=False,
+                            filter_fused_color=False),
+        emit_zbuf=False,
+    )
+    with pytest.raises(ValueError, match="emit_zbuf"):
+        rig_fuse_sharded(make_camera_mesh(2), intr, intr, config)

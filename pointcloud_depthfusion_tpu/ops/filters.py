@@ -486,11 +486,36 @@ def decimate_intrinsics(intr, magnitude: int = 2):
 # ---------------------------------------------------------------------------
 
 
-def _spatial_sweep(x: Array, alpha: float, delta: float, integer_domain: bool):
+def _spatial_sweep(x: Array, alpha: float, delta: float, integer_domain: bool,
+                   holes_radius: int = 0):
     """One left→right recursive EMA sweep along axis 1 (vectorized over
     rows). The recurrence is data-dependent (the gate compares against the
     FILTERED previous value), so it is a lax.scan, not an associative scan.
+
+    ``holes_radius > 0`` adds the rs2 hole-persistence behavior to THIS
+    sweep: a hole (0) within ``holes_radius`` pixels of the last valid
+    value to its left inherits that value exactly (left-value fill); hole
+    runs longer than the radius stay 0 past it. The filled value then
+    participates as the carry like any valid pixel.
     """
+
+    if holes_radius:
+        def step(carry, col):
+            prev, run = carry
+            is_hole = col == 0
+            run = jnp.where(is_hole, run + 1, 0)
+            fill = is_hole & (prev > 0) & (run <= holes_radius)
+            col = jnp.where(fill, prev, col)
+            gate = (col > 0) & (prev > 0) & (jnp.abs(col - prev) <= delta)
+            blended = col * alpha + prev * (1.0 - alpha)
+            if integer_domain:
+                blended = jnp.floor(blended + 0.5)
+            out = jnp.where(gate, blended, col)
+            return (out, run), out
+
+        init = (x[:, 0], jnp.zeros_like(x[:, 0], jnp.int32))
+        _, cols = jax.lax.scan(step, init, jnp.moveaxis(x[:, 1:], 1, 0))
+        return jnp.concatenate([x[:, :1], jnp.moveaxis(cols, 0, 1)], axis=1)
 
     def step(carry, col):
         gate = (col > 0) & (carry > 0) & (jnp.abs(col - carry) <= delta)
@@ -504,6 +529,19 @@ def _spatial_sweep(x: Array, alpha: float, delta: float, integer_domain: bool):
     init = x[:, 0]
     _, cols = jax.lax.scan(step, init, jnp.moveaxis(x[:, 1:], 1, 0))
     return jnp.concatenate([x[:, :1], jnp.moveaxis(cols, 0, 1)], axis=1)
+
+
+def spatial_holes_radius(holes_fill: int, width: int) -> int:
+    """rs2 spatial-filter holes_fill option → persistence radius in pixels:
+    0 disabled, 1..4 → 2/4/8/16, 5 → unlimited (the row width)."""
+    holes_fill = int(holes_fill)
+    if not 0 <= holes_fill <= 5:
+        raise ValueError(f"holes_fill must be 0..5, got {holes_fill}")
+    if holes_fill == 0:
+        return 0
+    if holes_fill == 5:
+        return int(width)
+    return 1 << holes_fill
 
 
 def spatial_filter(
@@ -523,15 +561,23 @@ def spatial_filter(
     edge gate compares against the already-filtered neighbor, which is what
     makes the filter edge-preserving rather than a separable blur.
     Works on uint16 depth (librealsense's rounding reproduced) or float32
-    disparity. holes_fill>0 (hole persistence radii) is not implemented —
-    the reference leaves it at the disabled default.
+    disparity.
+
+    ``holes_fill`` selects the rs2 hole-persistence radius (the SDK option
+    set the reference's spatial filter configuration exposes,
+    realsense.cpp:245-247): 0 disabled (the reference's active value),
+    1→2 px, 2→4, 3→8, 4→16, 5→unlimited. Persistence is applied during the
+    left→right sweep of every iteration: a hole inherits the nearest valid
+    value to its LEFT, propagated through at most `radius` consecutive
+    holes. Identical semantics in the numpy/native host mirrors
+    (ops/host_filters.py, runtime/pdf_runtime.cpp) and the scalar oracle.
     """
-    if holes_fill:
-        raise NotImplementedError("spatial holes_fill modes are not supported")
+    holes_radius = spatial_holes_radius(holes_fill, depth.shape[1])
     integer_domain = jnp.issubdtype(depth.dtype, jnp.integer)
     x = depth.astype(jnp.float32)
     for _ in range(int(magnitude)):
-        x = _spatial_sweep(x, alpha, delta, integer_domain)  # left→right
+        x = _spatial_sweep(x, alpha, delta, integer_domain,
+                           holes_radius=holes_radius)  # left→right
         x = _spatial_sweep(x[:, ::-1], alpha, delta, integer_domain)[:, ::-1]
         xt = jnp.swapaxes(x, 0, 1)
         xt = _spatial_sweep(xt, alpha, delta, integer_domain)  # top→bottom

@@ -55,11 +55,18 @@ def _decimation_filter_numpy(depth_u16: np.ndarray, m: int) -> np.ndarray:
 
 
 def _spatial_sweep_np(x: np.ndarray, alpha: float, delta: float,
-                      integer_domain: bool) -> np.ndarray:
+                      integer_domain: bool,
+                      holes_radius: int = 0) -> np.ndarray:
     out = x.copy()
     carry = out[:, 0].copy()
+    run = np.zeros(out.shape[0], np.int32)
     for u in range(1, out.shape[1]):
         col = out[:, u]
+        if holes_radius:
+            is_hole = col == 0
+            run = np.where(is_hole, run + 1, 0)
+            fill = is_hole & (carry > 0) & (run <= holes_radius)
+            col = np.where(fill, carry, col)
         gate = (col > 0) & (carry > 0) & (np.abs(col - carry) <= delta)
         blended = col * alpha + carry * (1.0 - alpha)
         if integer_domain:
@@ -75,6 +82,7 @@ def spatial_filter_np(
     alpha: float = 0.55,
     delta: float = 20.0,
     magnitude: int = 2,
+    holes_fill: int = 0,
 ) -> np.ndarray:
     """Four-direction recursive EMA (see filters.spatial_filter)."""
     rt = _native()
@@ -86,17 +94,24 @@ def spatial_filter_np(
     if rt is not None and depth.dtype in (np.uint16, np.uint8, np.float32):
         out = rt.spatial_filter_native(
             depth.astype(np.uint16) if depth.dtype == np.uint8 else depth,
-            alpha, delta, magnitude,
+            alpha, delta, magnitude, holes_fill,
         )
         return out.astype(depth.dtype, copy=False)
-    return _spatial_filter_numpy(depth, alpha, delta, magnitude)
+    return _spatial_filter_numpy(depth, alpha, delta, magnitude, holes_fill)
 
 
-def _spatial_filter_numpy(depth, alpha=0.55, delta=20.0, magnitude=2):
+def _spatial_filter_numpy(depth, alpha=0.55, delta=20.0, magnitude=2,
+                          holes_fill=0):
+    from pointcloud_depthfusion_tpu.ops.filters import spatial_holes_radius
+
+    holes_radius = spatial_holes_radius(holes_fill, depth.shape[1])
     integer_domain = np.issubdtype(depth.dtype, np.integer)
     x = depth.astype(np.float32)
     for _ in range(int(magnitude)):
-        x = _spatial_sweep_np(x, alpha, delta, integer_domain)
+        # Hole persistence rides the left→right sweep only (left-value
+        # fill), matching filters.spatial_filter / the native mirror.
+        x = _spatial_sweep_np(x, alpha, delta, integer_domain,
+                              holes_radius=holes_radius)
         x = _spatial_sweep_np(x[:, ::-1], alpha, delta, integer_domain)[:, ::-1]
         xt = x.T.copy()
         xt = _spatial_sweep_np(xt, alpha, delta, integer_domain)

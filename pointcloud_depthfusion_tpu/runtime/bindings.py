@@ -110,6 +110,7 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                 getattr(lib, fn).argtypes = [
                     ctypes.POINTER(elem), ctypes.c_int, ctypes.c_int,
                     ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                    ctypes.c_int,
                 ]
                 getattr(lib, fn).restype = None
         if hasattr(lib, "pdf_decimation_u16"):
@@ -173,7 +174,7 @@ def has_native_filters() -> bool:
 
 def spatial_filter_native(
     depth: np.ndarray, alpha: float = 0.55, delta: float = 20.0,
-    magnitude: int = 2,
+    magnitude: int = 2, holes_fill: int = 0,
 ) -> np.ndarray:
     """OpenMP rs2 spatial filter — value-identical to
     ops.host_filters.spatial_filter_np (built with -ffp-contract=off so the
@@ -191,13 +192,13 @@ def spatial_filter_native(
         out = np.ascontiguousarray(np.clip(depth, 0, 65535), np.uint16)
         lib.pdf_spatial_filter_u16(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            h, w, alpha, delta, int(magnitude),
+            h, w, alpha, delta, int(magnitude), int(holes_fill),
         )
         return out.astype(depth.dtype, copy=False)
     out = np.ascontiguousarray(depth, np.float32).copy()
     lib.pdf_spatial_filter_f32(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        h, w, alpha, delta, int(magnitude),
+        h, w, alpha, delta, int(magnitude), int(holes_fill),
     )
     return out
 

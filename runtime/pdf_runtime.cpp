@@ -316,10 +316,25 @@ size_t pdf_ring_size(void* h) {
 
 template <typename T, bool kRound>
 static inline void spatial_sweep_row(T* row, int n, int stride, float alpha,
-                                     float delta) {
+                                     float delta, int holes_radius = 0) {
+  // holes_radius > 0: rs2 hole persistence — a 0 within holes_radius pixels
+  // of the last valid value to its LEFT inherits it (left-value fill);
+  // identical semantics to ops/filters.py _spatial_sweep(holes_radius=).
   float carry = (float)row[0];
+  int run = 0;
   for (int u = 1; u < n; ++u) {
     float col = (float)row[u * stride];
+    if (holes_radius) {
+      if (col == 0.0f) {
+        ++run;
+        if (carry > 0.0f && run <= holes_radius) {
+          col = carry;
+          row[u * stride] = (T)col;
+        }
+      } else {
+        run = 0;
+      }
+    }
     if (col > 0.0f && carry > 0.0f && std::fabs(col - carry) <= delta) {
       float blended = col * alpha + carry * (1.0f - alpha);
       if (kRound) blended = std::floor(blended + 0.5f);
@@ -332,13 +347,18 @@ static inline void spatial_sweep_row(T* row, int n, int stride, float alpha,
 
 template <typename T, bool kRound>
 static void spatial_filter_impl(T* img, int h, int w, float alpha, float delta,
-                                int magnitude) {
+                                int magnitude, int holes_fill) {
+  // holes_fill option → persistence radius: 0 off, 1..4 → 2/4/8/16 px,
+  // 5 → unlimited (row width). Applied on the left→right sweep only.
+  int holes_radius = 0;
+  if (holes_fill > 0) holes_radius = holes_fill >= 5 ? w : (1 << holes_fill);
   for (int it = 0; it < magnitude; ++it) {
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
     for (int v = 0; v < h; ++v) {  // left→right then right→left
-      spatial_sweep_row<T, kRound>(img + (size_t)v * w, w, 1, alpha, delta);
+      spatial_sweep_row<T, kRound>(img + (size_t)v * w, w, 1, alpha, delta,
+                                   holes_radius);
       spatial_sweep_row<T, kRound>(img + (size_t)v * w + (w - 1), w, -1, alpha,
                                    delta);
     }
@@ -356,13 +376,15 @@ static void spatial_filter_impl(T* img, int h, int w, float alpha, float delta,
 extern "C" {
 
 void pdf_spatial_filter_u16(uint16_t* img, int h, int w, float alpha,
-                            float delta, int magnitude) {
-  spatial_filter_impl<uint16_t, true>(img, h, w, alpha, delta, magnitude);
+                            float delta, int magnitude, int holes_fill) {
+  spatial_filter_impl<uint16_t, true>(img, h, w, alpha, delta, magnitude,
+                                      holes_fill);
 }
 
 void pdf_spatial_filter_f32(float* img, int h, int w, float alpha, float delta,
-                            int magnitude) {
-  spatial_filter_impl<float, false>(img, h, w, alpha, delta, magnitude);
+                            int magnitude, int holes_fill) {
+  spatial_filter_impl<float, false>(img, h, w, alpha, delta, magnitude,
+                                    holes_fill);
 }
 
 // Decimation: per m×m block, the upper median (sorted[count/2]) of the

@@ -219,10 +219,14 @@ def decimation_filter_oracle(depth_u16, magnitude=2):
     return out
 
 
-def spatial_filter_oracle(depth, alpha=0.55, delta=20.0, magnitude=2):
+def spatial_filter_oracle(depth, alpha=0.55, delta=20.0, magnitude=2,
+                          holes_fill=0):
     """Scalar rs2 spatial filter oracle: recursive EMA, four sweep
     directions per iteration, gate compares against the FILTERED neighbor
-    (alpha 0.55 per realsense.cpp:248)."""
+    (alpha 0.55 per realsense.cpp:248). ``holes_fill`` 1..5 adds the rs2
+    persistence radii (2/4/8/16/unlimited px): in the LEFT→RIGHT sweep a
+    hole inherits the nearest valid value to its left through at most
+    `radius` consecutive holes."""
     d = np.asarray(depth)
     integer_domain = np.issubdtype(d.dtype, np.integer)
     # float32 like the implementations (numpy mirror, native C++, and the
@@ -233,16 +237,27 @@ def spatial_filter_oracle(depth, alpha=0.55, delta=20.0, magnitude=2):
     h, w = x.shape
     alpha = np.float32(alpha)
     one_m = np.float32(1.0) - alpha
+    radius = 0
+    if holes_fill:
+        radius = w if holes_fill >= 5 else (1 << holes_fill)
 
-    def sweep_row(row):
+    def sweep_row(row, holes_radius=0):
+        run = 0
         for u in range(1, len(row)):
+            if holes_radius:
+                if row[u] == 0:
+                    run += 1
+                    if row[u - 1] > 0 and run <= holes_radius:
+                        row[u] = row[u - 1]
+                else:
+                    run = 0
             if row[u] > 0 and row[u - 1] > 0 and abs(row[u] - row[u - 1]) <= delta:
                 v = row[u] * alpha + row[u - 1] * one_m
                 row[u] = np.floor(v + np.float32(0.5)) if integer_domain else v
 
     for _ in range(magnitude):
         for r in range(h):
-            sweep_row(x[r])
+            sweep_row(x[r], holes_radius=radius)
         for r in range(h):
             rev = x[r, ::-1].copy()
             sweep_row(rev)

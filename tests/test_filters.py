@@ -152,6 +152,51 @@ def test_spatial_filter_matches_oracle(rng):
     np.testing.assert_array_equal(HF.spatial_filter_np(d, 0.55, 20.0, 2), want)
 
 
+def test_spatial_filter_holes_fill_matches_oracle(rng):
+    """rs2 hole-persistence radii (holes_fill 1..5 → 2/4/8/16/unlimited px):
+    XLA, numpy mirror, native C++ and the scalar oracle agree value-for-
+    value; filled pixels inherit the nearest valid value to their left
+    within the radius, longer hole runs stay 0 past it
+    (realsense.cpp:245-247 configures the rs2 spatial filter whose option
+    set includes these modes)."""
+    from pointcloud_depthfusion_tpu.ops import host_filters as HF
+
+    d = rng.integers(500, 3000, (12, 40)).astype(np.uint16)
+    d[rng.random((12, 40)) < 0.3] = 0
+    d[3, 5:30] = 0  # a long run: exceeds radius 2/4/8, inside 16/unlimited
+    for mode in (1, 2, 3, 4, 5):
+        want = oracles.spatial_filter_oracle(d, 0.55, 20.0, 2,
+                                             holes_fill=mode)
+        got = np.asarray(
+            F.spatial_filter(jnp.asarray(d), 0.55, 20.0, 2, holes_fill=mode)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"mode {mode}")
+        np.testing.assert_array_equal(
+            HF.spatial_filter_np(d, 0.55, 20.0, 2, holes_fill=mode), want,
+            err_msg=f"host mode {mode}",
+        )
+        np.testing.assert_array_equal(
+            HF._spatial_filter_numpy(d, 0.55, 20.0, 2, holes_fill=mode),
+            want, err_msg=f"numpy mode {mode}",
+        )
+    # Semantics spot check, mode 1 (radius 2): the two holes nearest a
+    # valid left value fill with it; the rest of a long run stays 0 after
+    # the first iteration's left sweep (later sweeps may spread from the
+    # right edge, so check against a single-iteration run).
+    row = np.zeros((1, 10), np.uint16)
+    row[0, 0] = 1000
+    one = np.asarray(
+        F.spatial_filter(jnp.asarray(row), 0.55, 20.0, 1, holes_fill=1)
+    )
+    np.testing.assert_array_equal(one[0, :4], [1000, 1000, 1000, 0])
+    assert not one[0, 3:].any()
+    # Invalid mode rejected.
+    import pytest
+
+    with pytest.raises(ValueError):
+        F.spatial_filter(jnp.asarray(row), holes_fill=6)
+
+
 def test_spatial_filter_float_disparity_domain(rng):
     disp = (rng.random((10, 12)).astype(np.float32) * 50 + 10).astype(np.float32)
     disp[rng.random((10, 12)) < 0.2] = 0.0

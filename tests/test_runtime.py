@@ -123,6 +123,13 @@ def test_native_filters_match_numpy_exactly():
     np.testing.assert_array_equal(
         rt.decimation_filter_native(d, 4), HF._decimation_filter_numpy(d, 4)
     )
+    # rs2 hole-persistence modes (left-value fill within 2/4/8/16/∞ px)
+    for mode in (1, 3, 5):
+        np.testing.assert_array_equal(
+            rt.spatial_filter_native(d, 0.55, 20.0, 2, holes_fill=mode),
+            HF._spatial_filter_numpy(d, 0.55, 20.0, 2, holes_fill=mode),
+            err_msg=f"holes_fill {mode}",
+        )
 
 
 def test_spatial_filter_dispatch_dtype_and_value_identical():

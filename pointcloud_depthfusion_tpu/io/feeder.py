@@ -510,6 +510,7 @@ class DeviceFeeder(_AsyncFeederBase):
         device: Optional[jax.Device] = None,
         lifespan_s: Optional[float] = None,
         pack_color: bool = False,
+        upload: bool = True,
     ):
         """``lifespan_s``: drop pairs that sat in the queue longer than this
         before the consumer asked for them — the QoS 1 s message-lifespan
@@ -521,12 +522,21 @@ class DeviceFeeder(_AsyncFeederBase):
         ``pack_color``: also upload ``Frameset.color_packed`` — the rgb24
         plane packed host-side in this feeder thread (overlapped with
         device compute). Saves the tiled render's per-frame HWC channel
-        relayout at the cost of +4 B/px upload."""
+        relayout at the cost of +4 B/px upload.
+
+        ``upload=False``: deliver host-only pairs (``pair.left``/``right``
+        are None). The capture/pairing/QoS machinery runs unchanged but the
+        per-frame H2D transfer is skipped — the measurement mode behind
+        tools/stream_bench.py --device-resident, which substitutes a
+        pre-uploaded device ring so the streaming MACHINERY can be timed on
+        hosts whose device link (this environment's ~40 MB/s relay) would
+        otherwise dominate every row. Not a production path."""
         self.source_left = source_left
         self.source_right = source_right
         self.pairer = pairer or ApproximateTimePairer()
         self.device = device
         self.pack_color = pack_color
+        self.upload = upload
         self._init_delivery(depth, lifespan_s)
 
     def _upload(self, host: HostFrameset, intr: Intrinsics) -> Frameset:
@@ -563,6 +573,13 @@ class DeviceFeeder(_AsyncFeederBase):
                 pairs += self.pairer.push(1, fr)
                 for hl, hr in pairs:
                     t_up = time.perf_counter()
+                    if not self.upload:
+                        pair = DevicePair(left=None, right=None,
+                                          host_left=hl, host_right=hr)
+                        pair.enqueue_time = time.perf_counter()
+                        if not self._deliver(pair):
+                            return
+                        continue
                     pair = DevicePair(
                         left=self._upload(hl, self.source_left.intrinsics),
                         right=self._upload(hr, self.source_right.intrinsics),
@@ -634,7 +651,11 @@ class RigFeeder(_AsyncFeederBase):
         device: Optional[jax.Device] = None,
         lifespan_s: Optional[float] = None,
         pack_color: bool = False,
+        upload: bool = True,
     ):
+        """``upload=False``: deliver host-only batches (device fields are
+        None) — same machinery-isolation measurement mode as
+        DeviceFeeder(upload=False); see that docstring."""
         if len(sources) < 2:
             raise ValueError(f"rig needs >= 2 cameras, got {len(sources)}")
         if mesh is not None and len(sources) % mesh.shape[axis] != 0:
@@ -648,6 +669,7 @@ class RigFeeder(_AsyncFeederBase):
         self.sync = sync or ApproximateTimeSyncN(len(sources))
         self.device = device
         self.pack_color = pack_color
+        self.upload = upload
         self._init_delivery(depth, lifespan_s)
 
     def _put(self, arr: np.ndarray) -> jax.Array:
@@ -696,6 +718,16 @@ class RigFeeder(_AsyncFeederBase):
                                 "also runs it disabled, realsense.cpp:393)."
                             )
                     t_up = time.perf_counter()
+                    if not self.upload:
+                        batch = RigBatch(
+                            depth=None, color=None, depth_scale=None,
+                            timestamps=[f.timestamp for f in frames],
+                            host_frames=frames,
+                        )
+                        batch.enqueue_time = time.perf_counter()
+                        if not self._deliver(batch):
+                            return
+                        continue
                     if self.pack_color:
                         color = np.stack(
                             [pack_rgb24_host(f.color) for f in frames]

@@ -44,6 +44,7 @@ import json
 import queue
 import socket
 import struct
+import sys
 import threading
 from typing import Optional
 

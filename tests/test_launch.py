@@ -1,0 +1,107 @@
+"""One-command deployment composition (nodes/launch.py): the ros2-launch
+equivalent must stand up cameras + fusion + registration (+ optional TCP
+hop and viewer) from one manifest and flow fused frames end to end."""
+
+import os
+
+import numpy as np
+import yaml
+
+from pointcloud_depthfusion_tpu.nodes.launch import (
+    load_manifest,
+    run_deployment,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dual_deployment_end_to_end(tmp_path):
+    """2 synthetic cameras + fusion + registration + PNG viewer, composed
+    in-process from the example manifest: fused frames flow, registration
+    ticks produce a fitness, PNGs land."""
+    manifest = load_manifest(
+        os.path.join(REPO, "configs", "deployment_dual.yaml")
+    )
+    manifest = dict(manifest)
+    manifest["viewer"] = {"out_dir": str(tmp_path / "viewer"), "every_n": 4}
+    summary = run_deployment(manifest, cpu=True, frames=8)
+    assert summary["tier"] == "dual"
+    assert summary["frames"] == 8
+    assert summary["fused_coverage"] and summary["fused_coverage"] > 0.3
+    assert summary["registration_fitness"] is not None
+    assert summary["saved_pngs"] >= 1
+    assert any(f.startswith("fused") for f in os.listdir(tmp_path / "viewer"))
+
+
+def test_dual_deployment_with_tcp_hop(tmp_path):
+    """The cross-machine composition: camera_left also serves its frameset
+    stream over TCP (`serve:`), and a second manifest camera consumes it as
+    `source: tcp://…` — the two-Jetson DDS hop (README.md:14-34) in one
+    process. Phase 1 starts the server; phase 2 composes against it."""
+    import threading
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.network import FramesetStreamServer
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        two_camera_rig,
+    )
+
+    w, h = 64, 48
+    fx = 631.0 * w / 848.0
+    intr = Intrinsics.create(w, h, fx=fx, fy=fx, ppx=w / 2, ppy=h / 2)
+    wl, wr = two_camera_rig(baseline=0.6, toe_in_deg=10.0)
+    remote = SyntheticSource(SyntheticScene(), intr, wr, seed=20)
+    srv = FramesetStreamServer(remote, name="camera_right", codec="raw")
+    srv.start()
+    try:
+        manifest = {
+            "width": w,
+            "height": h,
+            "cameras": [
+                {"name": "camera_left", "source": "synthetic", "seed": 10,
+                 "pose": "left"},
+                {"name": "camera_right",
+                 "source": f"tcp://127.0.0.1:{srv.port}"},
+            ],
+            "registration": {"every_n_frames": 0},
+        }
+        summary = run_deployment(manifest, cpu=True, frames=4)
+    finally:
+        srv.stop()
+    assert summary["frames"] == 4
+    assert summary["fused_coverage"] and summary["fused_coverage"] > 0.3
+
+
+def test_rig_deployment_three_cameras(tmp_path):
+    """3+ cameras compose the rig tier from the same manifest schema."""
+    manifest = {
+        "width": 64,
+        "height": 48,
+        "cameras": [
+            {"name": f"cam{i}", "source": "synthetic", "seed": 10 + i,
+             "pose": i}
+            for i in range(3)
+        ],
+        "registration": {"every_n_frames": 0},
+        "viewer": {"out_dir": str(tmp_path / "rigview"), "every_n": 2},
+    }
+    summary = run_deployment(manifest, cpu=True, frames=4)
+    assert summary["tier"] == "rig"
+    assert summary["frames"] == 4
+    assert summary["fused_coverage"] and summary["fused_coverage"] > 0.3
+    assert summary["saved_pngs"] >= 1
+
+
+def test_manifest_validation(tmp_path):
+    import pytest
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("deployment: {}\n")
+    with pytest.raises(ValueError, match="cameras"):
+        load_manifest(str(bad))
+
+    one_cam = {"cameras": [{"name": "only", "source": "synthetic"}]}
+    with pytest.raises(ValueError, match="at least 2"):
+        run_deployment(one_cam, cpu=True, frames=1)

@@ -1,5 +1,7 @@
 """Camera-sharded rig fusion on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -885,3 +887,30 @@ def test_sharded_rig_rejects_imgonly_emit_zbuf():
     )
     with pytest.raises(ValueError, match="emit_zbuf"):
         rig_fuse_sharded(make_camera_mesh(2), intr, intr, config)
+
+
+def test_sharded_720p_rig_matches_single_device():
+    """The camera-sharded rig at the reference's NATIVE resolution: 4
+    cameras x 1280x720 over a 4-device mesh, bit-exact against the
+    single-chip program. This is the correctness half of the sharded-720p
+    throughput story (per-device work == a 1-camera 720p render + two pmin
+    collectives; tools/probes/sharded_rig_720p.py measures the on-chip
+    per-device time)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import tpu_check
+
+    from pointcloud_depthfusion_tpu.parallel.mesh import rig_fuse
+
+    intr, rig_args = tpu_check._build_rig(4, 1280, 720)
+    config = FusionConfig.create(vertical_image=False, mirror_image=False,
+                                 filter_fused_color=False,
+                                 render_mode="tiled")
+    img_sharded = np.asarray(
+        rig_fuse_sharded(make_camera_mesh(4), intr, intr, config)(*rig_args)
+    )
+    img_single = np.asarray(rig_fuse(intr, intr, config)(*rig_args))
+    np.testing.assert_array_equal(img_sharded, img_single)
+    assert (img_single.sum(-1) > 0).mean() > 0.9

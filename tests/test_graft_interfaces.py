@@ -95,5 +95,5 @@ def test_dryrun_multichip_fails_on_broken_solver(monkeypatch):
     import __graft_entry__ as g
 
     monkeypatch.setenv("PDF_DRYRUN_BREAK_SOLVER", "1")
-    with pytest.raises(AssertionError, match="fitness|corr"):
+    with pytest.raises(AssertionError, match="fitness|corr|rotation"):
         g.dryrun_multichip(4)

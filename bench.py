@@ -139,6 +139,23 @@ def main() -> None:
         out.update(extra)
         print(json.dumps(out), flush=True)
 
+    # Crash-proofing: the probe guards against a DOWN relay and the
+    # watchdog against a HUNG one; an exception mid-run (relay dying after
+    # a healthy probe, OOM, a kernel regression) must also leave a
+    # parseable line with whatever was already measured, not a bare
+    # traceback and rc!=0.
+    def on_crash(exc_type, exc, tb):
+        import traceback
+
+        traceback.print_exception(exc_type, exc, tb, file=sys.stderr)
+        state["note"] = (
+            f"bench crashed mid-run: {exc_type.__name__}: {exc}"[:300]
+        )
+        emit(stage="crash")
+        os._exit(0)
+
+    sys.excepthook = on_crash
+
     # Relay fast-fail: probe in a bounded SUBPROCESS before this process
     # imports jax — a hung backend init blocks in C where neither signals
     # nor watchdog threads can print for us, and outages last hours.

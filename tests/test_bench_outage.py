@@ -58,6 +58,23 @@ def test_probe_relay_failure_detail():
     assert "probe timeout" in detail
 
 
+def test_bench_mid_run_crash_still_emits_json():
+    """A healthy probe followed by a mid-run exception (relay dying, OOM,
+    kernel regression) must still end in a parseable JSON line and rc 0 —
+    the crash hook. Simulated by pointing the probe at the hang env var's
+    sibling: we run bench with a bogus --width that makes _build_fusion
+    raise long after the probe (probe skipped via --probe-timeout 0)."""
+    r = subprocess.run(
+        [sys.executable, BENCH, "--probe-timeout", "0", "--cpu",
+         "--width", "-5"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _last_json_line(r.stdout)
+    assert out["value"] is None
+    assert "crashed mid-run" in out["note"]
+
+
 @pytest.mark.skipif(
     os.environ.get("PDF_RUN_SLOW") is None,
     reason="spawns a jax import; set PDF_RUN_SLOW=1 to run",

@@ -471,8 +471,11 @@ def main() -> None:
             grid = prepare_target(tgt, tv, gcfg)
             REG_CHAIN = 4
 
+            # grid/src are jit ARGUMENTS like chained_ms's framesets:
+            # closed-over device arrays embed as HLO constants — slow
+            # compiles, no persistent-cache hits (CLAUDE.md).
             @jax.jit
-            def reg_chain(t0, src, sv):
+            def reg_chain(t0, src, sv, grid):
                 def body(i, t):
                     res = gicp_register_prepared(src, sv, grid, t, gcfg)
                     return res.transform
@@ -481,17 +484,19 @@ def main() -> None:
 
             t_init = jnp.eye(4, dtype=jnp.float32)
             t0 = time.perf_counter()
-            warm_t = jax.block_until_ready(reg_chain(t_init, src, sv))
+            warm_t = jax.block_until_ready(reg_chain(t_init, src, sv, grid))
             print(f"registration compile+first: {time.perf_counter()-t0:.1f}s",
                   file=sys.stderr)
             # warm: iterate from the converged transform (realistic tick)
             for _ in range(2):
-                warm_t = reg_chain(warm_t, src, sv)
+                warm_t = reg_chain(warm_t, src, sv, grid)
             jax.block_until_ready(warm_t)
             per = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                warm_t = jax.block_until_ready(reg_chain(warm_t, src, sv))
+                warm_t = jax.block_until_ready(
+                    reg_chain(warm_t, src, sv, grid)
+                )
                 per.append((time.perf_counter() - t0) * 1e3 / REG_CHAIN)
             reg_ms = float(np.percentile(per, 50))
             state["registration_ms_warm"] = round(reg_ms, 3)

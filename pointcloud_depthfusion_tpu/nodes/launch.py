@@ -61,7 +61,7 @@ def load_manifest(path: str) -> dict:
 
     with open(path) as f:
         doc = yaml.safe_load(f) or {}
-    manifest = doc.get("deployment", doc)
+    manifest = doc.get("deployment", doc) if isinstance(doc, dict) else doc
     if not isinstance(manifest, dict) or "cameras" not in manifest:
         raise ValueError(
             f"{path}: manifest needs a 'deployment:' mapping with a "
@@ -70,7 +70,54 @@ def load_manifest(path: str) -> dict:
     return manifest
 
 
-def _camera_pose(spec, index: int, n: int, width: int):
+class _TeeSource:
+    """FramesetSource view of a CameraNode's published frameset stream.
+
+    A manifest camera with ``serve:`` is consumed TWICE — by the local
+    fusion feeder and by the TCP server. Pulling the CameraNode from both
+    would steal alternating frames from each consumer and race the
+    temporal-filter state across threads; instead the server reads this
+    tee, fed by the camera's publish fan-out (every frame the LOCAL
+    consumer captures reaches both — the reference's one-capture-loop,
+    many-subscribers shape, camera_node.cpp:338-343). Bounded keep-last
+    queue: a stalled/slow remote client drops oldest, never stalls local
+    capture."""
+
+    def __init__(self, cam, depth: int = 4):
+        import queue as _queue
+        import threading as _threading
+
+        self._q: "_queue.Queue" = _queue.Queue(depth)
+        self._closed = _threading.Event()
+        self.intrinsics = cam.intrinsics
+        cam.subscribe_frameset(self._on_frame)
+
+    def _on_frame(self, fs) -> None:
+        while True:
+            try:
+                self._q.put_nowait(fs)
+                return
+            except Exception:  # Full: drop oldest (keep-last QoS)
+                try:
+                    self._q.get_nowait()
+                except Exception:
+                    pass
+
+    def next_frame(self):
+        import queue as _queue
+
+        while not self._closed.is_set():
+            try:
+                return self._q.get(timeout=0.2)
+            except _queue.Empty:
+                continue
+        return None
+
+    def close(self) -> None:
+        self._closed.set()
+
+
+def _camera_pose(spec, index: int, n: int):
     """Resolve a manifest pose entry to a 4×4 world_from_camera matrix."""
     from pointcloud_depthfusion_tpu.io.synthetic import (
         rig_arc_poses,
@@ -117,6 +164,7 @@ def _build_camera(spec: dict, index: int, n: int, width: int, height: int,
 
     name = spec.get("name", f"camera_{index}")
     kind = str(spec.get("source", "synthetic"))
+    pose = _camera_pose(spec, index, n) if kind == "synthetic" else None
     temporal = True
     if kind.startswith("tcp://"):
         from pointcloud_depthfusion_tpu.io.network import NetworkSource
@@ -136,7 +184,7 @@ def _build_camera(spec: dict, index: int, n: int, width: int, height: int,
                                  ppx=width / 2, ppy=height / 2)
         cls = NativeSyntheticSource if native_ok() else SyntheticSource
         source = cls(
-            SyntheticScene(), intr, _camera_pose(spec, index, n, width),
+            SyntheticScene(), intr, pose,
             depth_noise_std=float(spec.get("depth_noise_std", 0.002)),
             seed=int(spec.get("seed", 10 * (index + 1))),
         )
@@ -147,18 +195,19 @@ def _build_camera(spec: dict, index: int, n: int, width: int, height: int,
     # its cam_to_virtual calibration from these when EVERY camera has one
     # (tcp/recorded deployments start at identity and calibrate via the
     # per-pair registration sweeps instead).
-    cam.launch_pose = (
-        _camera_pose(spec, index, n, width) if kind == "synthetic" else None
-    )
+    cam.launch_pose = pose
 
     serve = spec.get("serve")
     if serve:
         # Cross-machine hop: publish this camera's framesets over TCP so a
-        # remote manifest can consume it as source: tcp://host:port.
+        # remote manifest can consume it as source: tcp://host:port. The
+        # server reads a subscription TEE, not the CameraNode itself — the
+        # node is already pulled by the local fusion feeder, and two
+        # pullers would steal alternating frames from each other.
         from pointcloud_depthfusion_tpu.io.network import FramesetStreamServer
 
         host, _, port = str(serve).partition(":")
-        srv = FramesetStreamServer(cam, host=host or "127.0.0.1",
+        srv = FramesetStreamServer(_TeeSource(cam), host=host or "127.0.0.1",
                                    port=int(port or 0), name=name)
         srv.start()
         servers.append(srv)
@@ -186,24 +235,27 @@ def run_deployment(manifest: dict, cpu: bool = False,
         raise ValueError("a deployment needs at least 2 cameras")
 
     servers: list = []
-    cameras = [
-        _build_camera(spec, i, len(cam_specs), width, height, servers)
-        for i, spec in enumerate(cam_specs)
-    ]
-
-    fusion_section = manifest.get("fusion") or {}
-    reg_section = manifest.get("registration") or {}
-    reg_every = int(reg_section.get("every_n_frames", 15))
-    viewer_section = manifest.get("viewer") or {}
-
-    sink = None
-    if viewer_section.get("out_dir"):
-        sink = ImageNode(out_dir=str(viewer_section["out_dir"]),
-                         every_n=int(viewer_section.get("every_n", 8)))
-
     fused = []
     t0 = time.perf_counter()
+    # The try covers CONSTRUCTION too: a camera that raises mid-build
+    # (unreachable tcp:// peer, bad recording path) must not leak the TCP
+    # servers earlier cameras already bound and started.
     try:
+        cameras = [
+            _build_camera(spec, i, len(cam_specs), width, height, servers)
+            for i, spec in enumerate(cam_specs)
+        ]
+
+        fusion_section = manifest.get("fusion") or {}
+        reg_section = manifest.get("registration") or {}
+        reg_every = int(reg_section.get("every_n_frames", 15))
+        viewer_section = manifest.get("viewer") or {}
+
+        sink = None
+        if viewer_section.get("out_dir"):
+            sink = ImageNode(out_dir=str(viewer_section["out_dir"]),
+                             every_n=int(viewer_section.get("every_n", 8)))
+
         if len(cameras) == 2:
             frames_done, reg_fitness = _run_dual(
                 cameras, fusion_section, reg_section, reg_every, sink,
@@ -212,7 +264,7 @@ def run_deployment(manifest: dict, cpu: bool = False,
         else:
             frames_done, reg_fitness = _run_rig(
                 cameras, fusion_section, reg_every, sink, fused,
-                max_frames, cpu,
+                max_frames,
             )
     finally:
         for srv in servers:
@@ -286,8 +338,7 @@ def _run_dual(cameras, fusion_section, reg_section, reg_every, sink, fused,
     return done, fitness
 
 
-def _run_rig(cameras, fusion_section, reg_every, sink, fused, max_frames,
-             cpu):
+def _run_rig(cameras, fusion_section, reg_every, sink, fused, max_frames):
     from pointcloud_depthfusion_tpu.nodes.rig_node import RigFusionNodeApp
     from pointcloud_depthfusion_tpu.utils import factory
 
@@ -295,8 +346,10 @@ def _run_rig(cameras, fusion_section, reg_every, sink, fused, max_frames,
     config = None
     if fusion_section.get("config"):
         config, _ = factory.fusion_config(fusion_section["config"])
-    if config is not None and cpu and config.render_mode == "tiled":
-        config = dataclasses.replace(config, render_mode="exact")
+    # No CPU render-mode remap here: the rig paths alias "exact" back to
+    # the sorted-slab program (parallel/mesh._rig_render_mode), so off-TPU
+    # rigs always run the kernel under the Pallas interpreter — correct,
+    # just slow; keep manifests small for CPU smoke runs.
     intr = cameras[0].source.intrinsics
     # Initial calibration: synthetic manifests seed the true source poses
     # (cam→world == cam→virtual for the world-frame virtual camera); live

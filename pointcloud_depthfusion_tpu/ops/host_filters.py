@@ -85,6 +85,13 @@ def spatial_filter_np(
     holes_fill: int = 0,
 ) -> np.ndarray:
     """Four-direction recursive EMA (see filters.spatial_filter)."""
+    # Validate holes_fill on BOTH dispatch paths: the C++ clamps any
+    # out-of-range mode (>=5 → unlimited) where the numpy path raises —
+    # the same inputs must never behave differently depending on whether
+    # the native toolchain is present.
+    from pointcloud_depthfusion_tpu.ops.filters import spatial_holes_radius
+
+    spatial_holes_radius(holes_fill, depth.shape[1])
     rt = _native()
     # Native only for dtypes it represents EXACTLY (u16 depth, f32): the
     # numpy recursion filters wider ints at full value and clips at the

@@ -74,6 +74,59 @@ def test_dual_deployment_with_tcp_hop(tmp_path):
     assert summary["fused_coverage"] and summary["fused_coverage"] > 0.3
 
 
+def test_served_camera_also_fuses_locally(tmp_path):
+    """A camera with `serve:` is consumed by BOTH the local fusion feeder
+    and a remote TCP client. The server reads a subscription tee — two
+    direct pullers would steal alternating frames from each other (halving
+    the local rate and racing the temporal-filter state), so this asserts
+    the local deployment keeps its full frame count WHILE a live remote
+    client simultaneously receives frames."""
+    import threading
+    import time
+
+    from pointcloud_depthfusion_tpu.io.network import NetworkSource
+
+    manifest = {
+        "width": 64,
+        "height": 48,
+        "cameras": [
+            {"name": "camera_left", "source": "synthetic", "seed": 10,
+             "pose": "left", "serve": "127.0.0.1:7461"},
+            {"name": "camera_right", "source": "synthetic", "seed": 20,
+             "pose": "right"},
+        ],
+        "registration": {"every_n_frames": 0},
+    }
+    res: dict = {}
+    th = threading.Thread(
+        target=lambda: res.update(run_deployment(manifest, cpu=True,
+                                                 frames=40))
+    )
+    th.start()
+    src = None
+    try:
+        deadline = time.time() + 20
+        while src is None:
+            try:
+                src = NetworkSource("127.0.0.1", 7461, timeout_s=10)
+            except OSError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        got = [src.next_frame() for _ in range(3)]
+        assert all(f is not None for f in got)
+        assert got[0].depth.shape == (48, 64)
+    finally:
+        if src is not None:
+            src.close()
+        th.join(timeout=120)
+    assert not th.is_alive()
+    # Local fusion saw EVERY synchronized pair — no frame stealing.
+    assert res["frames"] == 40
+    assert res["fused_coverage"] and res["fused_coverage"] > 0.3
+    assert res["served_ports"] == [7461]
+
+
 def test_rig_deployment_three_cameras(tmp_path):
     """3+ cameras compose the rig tier from the same manifest schema."""
     manifest = {

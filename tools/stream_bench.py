@@ -218,9 +218,7 @@ def main() -> None:
     upload_mbps = reps * payload.nbytes / 1e6 / (time.perf_counter() - t0)
 
     # -- sustained streaming loop ------------------------------------------
-    import collections
-
-    fence_q = collections.deque()
+    fence = _FenceWindow()
     frame_walls = []
     n_measure = 0
     t_start = None
@@ -236,26 +234,12 @@ def main() -> None:
             t0 = time.perf_counter()
             if not args.no_compute:
                 if ring is not None and args.readback == "fence":
-                    # Same jitted program; every frame is eventually
-                    # completion-fenced over the link (3 B), but the fence
-                    # is STARTED async here and collected a bounded 4-frame
-                    # window later — the double-buffer discipline
-                    # generalized. The link's ~30 ms ROUND-TRIP LATENCY
-                    # (not bandwidth) then pipelines instead of
-                    # serializing frame-lockstep (a synchronous per-frame
-                    # 3-byte get measured 24 FPS; unfenced dispatches
-                    # drain at 4.1 ms/frame — device throughput). Only the
-                    # bulk image bytes (0.12 ms on a device-attached host)
-                    # are excluded; lockstep full readback = 'full' row.
+                    # Same jitted program, per-frame async completion
+                    # fence (see _FenceWindow); only the bulk image bytes
+                    # (0.12 ms on a device-attached host) are excluded —
+                    # lockstep full readback is the 'full' row.
                     result = app.pipeline.process(pair.left, pair.right)
-                    small = result.image[0, 0]
-                    try:
-                        small.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    fence_q.append(small)
-                    if len(fence_q) > 4:
-                        np.asarray(fence_q.popleft())
+                    fence.push(result.image)
                     published.append(time.perf_counter())
                 else:
                     app.process_pair(pair)
@@ -270,19 +254,13 @@ def main() -> None:
             if i + 1 >= args.warmup + args.frames:
                 break
     app.flush_pending()
-    while fence_q:  # drain the bounded in-flight window (counted in wall)
-        np.asarray(fence_q.popleft())
+    fence.drain()  # in-flight window counted in the wall time
     t_end = time.perf_counter()
     wall_s = t_end - t_start
     fps = n_measure / wall_s
 
-    suffix = ""
-    if args.no_compute:
-        suffix = "_feeder_only"
-    elif args.device_resident:
-        suffix = "_machinery"
     out = {
-        "metric": f"streaming_fps_dual_{w}x{h}{suffix}",
+        "metric": f"streaming_fps_dual_{w}x{h}{_metric_suffix(args)}",
         "backend": backend,
         "compute": not args.no_compute,
         "device_resident_ring": args.device_resident or None,
@@ -323,6 +301,47 @@ def main() -> None:
     print(json.dumps(out))
     if args.out:
         _append_artifact(out, args.out)
+
+
+class _FenceWindow:
+    """Bounded async completion-fence pipeline (--readback fence, dual and
+    rig loops): start a 3-byte D2H of the finished image's [0,0] pixel per
+    frame, collect it ``depth`` frames later — the double-buffer discipline
+    generalized so the link round trip pipelines instead of serializing
+    frame-lockstep (a synchronous per-frame get measured 24 FPS where
+    unfenced dispatches drain at 4.1 ms/frame)."""
+
+    def __init__(self, depth: int = 4):
+        import collections
+
+        self._q = collections.deque()
+        self.depth = depth
+
+    def push(self, image) -> None:
+        import numpy as np
+
+        small = image[0, 0]
+        try:
+            small.copy_to_host_async()
+        except AttributeError:  # backend without async copies
+            pass
+        self._q.append(small)
+        if len(self._q) > self.depth:
+            np.asarray(self._q.popleft())
+
+    def drain(self) -> None:
+        import numpy as np
+
+        while self._q:
+            np.asarray(self._q.popleft())
+
+
+def _metric_suffix(args) -> str:
+    if args.no_compute:
+        return "_feeder_only"
+    if args.device_resident:
+        return "_machinery"
+    return ""
 
 
 def _extrapolation(w: int, h: int, cameras: int, bench_ms: float,
@@ -427,9 +446,7 @@ def _run_rig(args, intr, scene, make_source) -> None:
         print(f"device ring: {len(ring)} rig batches resident",
               file=sys.stderr)
 
-    import collections
-
-    fence_q = collections.deque()
+    fence = _FenceWindow()
     frame_walls = []
     n_measure = 0
     t_start = None
@@ -446,17 +463,7 @@ def _run_rig(args, intr, scene, make_source) -> None:
                     )
                 img = fn(depth, color, scales, t)
                 if ring is not None and args.readback == "fence":
-                    # Async 3-byte completion fence collected 4 frames
-                    # later (see the dual loop): the link RTT pipelines
-                    # instead of serializing frame-lockstep.
-                    small = img[0, 0]
-                    try:
-                        small.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    fence_q.append(small)
-                    if len(fence_q) > 4:
-                        np.asarray(fence_q.popleft())
+                    fence.push(img)  # async fence window (see _FenceWindow)
                 else:
                     np.asarray(img)  # D2H readback (publish)
             wall = time.perf_counter() - t0
@@ -469,17 +476,12 @@ def _run_rig(args, intr, scene, make_source) -> None:
                 n_measure += 1
             if i + 1 >= args.warmup + args.frames:
                 break
-    while fence_q:  # drain the bounded in-flight window (counted in wall)
-        np.asarray(fence_q.popleft())
+    fence.drain()  # in-flight window counted in the wall time
     wall_s = time.perf_counter() - t_start
     fps = n_measure / wall_s
-    suffix = ""
-    if args.no_compute:
-        suffix = "_feeder_only"
-    elif args.device_resident:
-        suffix = "_machinery"
     out = {
-        "metric": f"streaming_fps_rig{n}_{args.width}x{args.height}{suffix}",
+        "metric": f"streaming_fps_rig{n}_{args.width}x{args.height}"
+                  f"{_metric_suffix(args)}",
         "backend": backend,
         "compute": not args.no_compute,
         "device_resident_ring": args.device_resident or None,

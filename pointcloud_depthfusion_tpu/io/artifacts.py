@@ -74,9 +74,13 @@ def save_ply(
         fh.write(("\n".join(header) + "\n").encode())
         if binary:
             if has_color:
+                # Explicit little-endian floats: the header declares
+                # binary_little_endian, and np.float32 is NATIVE order —
+                # on a big-endian host the colorless branch ('<f4') would
+                # be correct while this one wrote garbage coordinates.
                 rec = np.zeros(
                     n,
-                    dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)],
+                    dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)],
                 )
                 rec["xyz"] = pts
                 rec["rgb"] = cols

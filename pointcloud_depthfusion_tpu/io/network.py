@@ -317,14 +317,22 @@ class FramesetStreamServer:
                 if fs is None or fs is _ABORT:
                     marker = None if fs is None else _ABORT
                     # The end/abort marker MUST reach the sender even
-                    # through a full queue (drop-oldest like the frame
-                    # path) — a lost marker leaves the consumer thread
-                    # waiting and the client hanging.
+                    # through a full queue — a lost marker leaves the
+                    # consumer thread waiting and the client hanging. On a
+                    # CLEAN end there is nothing left to capture, so just
+                    # WAIT for the sender to drain (it exits via `done` if
+                    # the client dies, so no hang) — dropping would lose
+                    # the tail frames of a bounded stream. Only the ABORT
+                    # path sacrifices queued frames for immediacy (the
+                    # feeder sentinel makes the same distinction,
+                    # feeder._deliver_sentinel(drop_pending)).
                     while not (self._stop.is_set() or done.is_set()):
                         try:
                             q.put(marker, timeout=0.1)
                             return
                         except queue.Full:
+                            if marker is None:
+                                continue  # clean end: let the sender drain
                             try:
                                 q.get_nowait()
                                 with self._stats_lock:
@@ -478,9 +486,22 @@ class NetworkSource(FramesetSource):
                 f"{exc}"
             )
             raise ConnectionError(self._failed) from exc
-        if self.codec == "raw":
-            return _decode_raw(blob)
-        return EncodedFrameset.from_bytes(blob).decode()
+        # Decode failures latch _failed too: a desynced/corrupt payload is
+        # a transport error like any other — letting it escape unlatched
+        # would leave the socket open and a retrying caller reading length
+        # fields from mid-frame bytes as if healthy (and the PNG decoder's
+        # ValueError would bypass the documented ConnectionError contract).
+        try:
+            if self.codec == "raw":
+                return _decode_raw(blob)
+            return EncodedFrameset.from_bytes(blob).decode()
+        except Exception as exc:
+            self.close()
+            self._failed = (
+                f"frameset stream from {self.name} delivered an "
+                f"undecodable frame: {exc}"
+            )
+            raise ConnectionError(self._failed) from exc
 
     def close(self) -> None:
         self._ended = True

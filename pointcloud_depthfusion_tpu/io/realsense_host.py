@@ -147,25 +147,34 @@ class RealsenseSource(FramesetSource):
         return self._intr
 
     def next_frame(self) -> Optional[HostFrameset]:  # pragma: no cover
-        try:
-            frames = self._pipe.wait_for_frames(self.timeout_ms)
-        except RuntimeError as exc:
-            # RAISE, never return None: a live sensor has no natural end of
-            # stream, so every wait_for_frames RuntimeError (capture
-            # timeout, USB stall, device disconnect) is a FAILURE. A None
-            # here would make FramesetStreamServer send its clean
-            # end-sentinel and the remote fusion host would shut down
-            # mid-capture with zero diagnostic — the exact silent-EOS trap
-            # io/network.py's receive path raises TimeoutError to avoid.
+        # Bounded retry over partial framesets (one stream missing after
+        # align — common transiently under USB pressure): a SKIP, never a
+        # None — None would make FramesetStreamServer send its clean
+        # end-sentinel and the remote fusion host would shut down
+        # mid-capture with zero diagnostic while the sensor is healthy
+        # (the silent-EOS trap io/network.py raises TimeoutError to avoid).
+        for _ in range(64):
+            try:
+                frames = self._pipe.wait_for_frames(self.timeout_ms)
+            except RuntimeError as exc:
+                # RAISE, never return None: a live sensor has no natural
+                # end of stream, so every wait_for_frames RuntimeError
+                # (capture timeout, USB stall, device disconnect) is a
+                # FAILURE.
+                raise TimeoutError(
+                    f"RealSense capture failed after {self.timeout_ms} ms "
+                    f"({exc}) — sensor stalled or disconnected"
+                ) from exc
+            frames = self._align.process(frames)
+            depth = frames.get_depth_frame()
+            color = frames.get_color_frame()
+            if depth and color:
+                break
+        else:
             raise TimeoutError(
-                f"RealSense capture failed after {self.timeout_ms} ms "
-                f"({exc}) — sensor stalled or disconnected"
-            ) from exc
-        frames = self._align.process(frames)
-        depth = frames.get_depth_frame()
-        color = frames.get_color_frame()
-        if not depth or not color:
-            return None
+                "RealSense delivered 64 consecutive partial framesets "
+                "(missing depth or color after align) — sensor failing"
+            )
         depth = self._temporal.process(depth)
         stamp = frames.get_timestamp() / 1e3 + self._clock_offset
         return HostFrameset(

@@ -23,30 +23,40 @@ def record_dataset(path: str, frames: List[HostFrameset], intr: Intrinsics) -> N
             "no frames captured — refusing to write an empty recording "
             f"to {path!r}"
         )
-    np.savez_compressed(
-        path,
-        depth=np.stack([f.depth for f in frames]),
-        color=np.stack([f.color for f in frames]),
-        timestamps=np.asarray([f.timestamp for f in frames], np.float64),
-        # PER-FRAME scales: the feeder/registration tiers honor each
-        # HostFrameset's own depth_scale, so a recording must preserve
-        # them (a single stored scalar would silently rescale any frame
-        # whose sensor scale differed from frame 0's).
-        depth_scale=np.asarray([f.depth_scale for f in frames], np.float64),
-        intrinsics=np.asarray(
-            [
-                intr.width,
-                intr.height,
-                float(intr.fx),
-                float(intr.fy),
-                float(intr.ppx),
-                float(intr.ppy),
-            ],
-            np.float64,
-        ),
-        coeffs=np.asarray(intr.coeffs, np.float64),
-        model=np.asarray([int(intr.model)], np.int64),
-    )
+    # np.savez appends '.npz' to any NAME not already ending in it (the
+    # same trap that once broke tpu_check's atomic golden publish) — so
+    # write through an open file handle, which savez never renames: the
+    # recording lands at exactly the path the caller asked for, where a
+    # later RecordedSource(path) will look.
+    with open(path, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            depth=np.stack([f.depth for f in frames]),
+            color=np.stack([f.color for f in frames]),
+            timestamps=np.asarray(
+                [f.timestamp for f in frames], np.float64
+            ),
+            # PER-FRAME scales: the feeder/registration tiers honor each
+            # HostFrameset's own depth_scale, so a recording must preserve
+            # them (a single stored scalar would silently rescale any
+            # frame whose sensor scale differed from frame 0's).
+            depth_scale=np.asarray(
+                [f.depth_scale for f in frames], np.float64
+            ),
+            intrinsics=np.asarray(
+                [
+                    intr.width,
+                    intr.height,
+                    float(intr.fx),
+                    float(intr.fy),
+                    float(intr.ppx),
+                    float(intr.ppy),
+                ],
+                np.float64,
+            ),
+            coeffs=np.asarray(intr.coeffs, np.float64),
+            model=np.asarray([int(intr.model)], np.int64),
+        )
 
 
 class RecordedSource(FramesetSource):

@@ -43,7 +43,10 @@ class FusionNodeApp:
         config: Optional[FusionConfig] = None,
         legacy_int_truncation: bool = True,
         max_sync_interval_s: float = 0.017,
+        sync_queue_size: int = 10,
+        feeder_depth: int = 2,
         profiling_path: Optional[str] = None,
+        profiling_log_size: int = 400,
         device: Optional[jax.Device] = None,
         save_data_dir: Optional[str] = None,
         async_readback: bool = False,
@@ -131,7 +134,11 @@ class FusionNodeApp:
         self.feeder = DeviceFeeder(
             camera_left,
             camera_right,
-            pairer=ApproximateTimePairer(max_interval_s=max_sync_interval_s),
+            pairer=ApproximateTimePairer(
+                max_interval_s=max_sync_interval_s,
+                queue_size=sync_queue_size,
+            ),
+            depth=feeder_depth,
             device=device,
             lifespan_s=lifespan_s,
             pack_color=pack_color,
@@ -139,7 +146,10 @@ class FusionNodeApp:
         self._fused_subs: List[Callable[[np.ndarray, float], None]] = []
         self._sync_debug_subs: List[Callable[[str], None]] = []
         self.fps_counter = FpsCounter(name="fusion/fps")
-        self.stage_log = StageLog(profiling_path) if profiling_path else None
+        self.stage_log = (
+            StageLog(profiling_path, log_size=profiling_log_size)
+            if profiling_path else None
+        )
         self._transform_lock = threading.Lock()
         self.frames_processed = 0
         self.save_data_dir = save_data_dir

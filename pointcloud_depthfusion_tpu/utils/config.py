@@ -77,8 +77,17 @@ class ConfigTree:
         subscribers (the add_on_set_parameters_callback equivalent)."""
         parts = dotted.split(".")
         node = self._data
-        for part in parts[:-1]:
+        for i, part in enumerate(parts[:-1]):
             node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                # A scalar leaf in the path: without this check the next
+                # step raises an opaque "'int' object does not support
+                # item assignment" with no hint which parameter collided.
+                raise ValueError(
+                    f"cannot set {dotted!r}: "
+                    f"{'.'.join(parts[:i + 1])!r} is a scalar "
+                    f"({node!r}), not a namespace"
+                )
         node[parts[-1]] = value
         for cb in self._callbacks:
             cb(dotted, value)

@@ -112,6 +112,12 @@ def fusion_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
     kwargs = {
         "max_sync_interval_s": float(cfg.get("sync.max_interval_ms", 17.0))
         / 1e3,
+        # The documented YAML knobs actually reach their objects: the sync
+        # queue bound (message_filters queue 10, fusion_node.cpp:221-228),
+        # the feeder hand-off depth (qos_history_depth — documented as
+        # "feeder queue depth" in the YAML), and the profiling flush size.
+        "sync_queue_size": int(cfg.get("sync.queue_size", 10)),
+        "feeder_depth": int(cfg.get("qos_history_depth", 2)),
         "donate": bool(cfg.get("donate", True)),
         "async_readback": bool(cfg.get("async_readback", True)),
         # Upload a host-packed rgb24 plane alongside the HWC color: the
@@ -127,6 +133,7 @@ def fusion_node_kwargs_from_tree(cfg: ConfigTree) -> dict:
         kwargs["profiling_path"] = str(
             cfg.get("profiling.filename", "fusion_node_profiling.txt")
         )
+        kwargs["profiling_log_size"] = int(cfg.get("profiling.log_size", 400))
     if bool(cfg.get("save_data", False)):
         kwargs["save_data_dir"] = str(cfg.get("save_data_dir", "save_data"))
     return kwargs

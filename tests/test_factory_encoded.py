@@ -158,3 +158,38 @@ def test_node_kwargs_from_tree(tmp_path):
     rkw = factory.registration_node_kwargs_from_tree(rtree)
     assert rkw["spin_rate_hz"] == 2.0
     assert rkw["profiling_path"] == "registration_node_profiling.txt"
+
+
+def test_config_set_through_scalar_leaf_raises_clearly():
+    """Dynamic reconfiguration through an existing scalar leaf must name
+    the colliding path, not die with an opaque TypeError."""
+    import pytest
+
+    from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+    t = ConfigTree({"sync": 5})
+    with pytest.raises(ValueError, match="'sync' is a scalar"):
+        t.set("sync.max_interval_ms", 20)
+    # namespaces still auto-create through missing keys
+    t.set("debug.save_data", True)
+    assert t.get("debug.save_data") is True
+
+
+def test_fusion_node_kwargs_plumb_documented_yaml_knobs():
+    """qos_history_depth ('feeder queue depth'), sync.queue_size and
+    profiling.log_size are documented YAML keys — they must actually reach
+    DeviceFeeder/ApproximateTimePairer/StageLog instead of being ignored."""
+    from pointcloud_depthfusion_tpu.utils import factory
+    from pointcloud_depthfusion_tpu.utils.config import ConfigTree
+
+    cfg = ConfigTree({
+        "qos_history_depth": 7,
+        "sync": {"max_interval_ms": 20.0, "queue_size": 4},
+        "profiling": {"enable_profiling": True, "filename": "p.txt",
+                      "log_size": 10},
+    })
+    kwargs = factory.fusion_node_kwargs_from_tree(cfg)
+    assert kwargs["feeder_depth"] == 7
+    assert kwargs["sync_queue_size"] == 4
+    assert kwargs["profiling_log_size"] == 10
+    assert kwargs["profiling_path"] == "p.txt"

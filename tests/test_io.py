@@ -523,3 +523,29 @@ def test_recorded_legacy_scalar_scale(tmp_path):
     assert all(
         rec.next_frame().depth_scale == 0.0005 for _ in range(3)
     )
+
+
+def test_record_dataset_exact_path_no_suffix(tmp_path):
+    """np.savez appends '.npz' to bare NAMES (the trap that once broke
+    tpu_check's golden publish); record_dataset writes through a file
+    handle so the recording lands at EXACTLY the requested path."""
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.core.frameset import HostFrameset
+    from pointcloud_depthfusion_tpu.io.recorded import (
+        RecordedSource,
+        record_dataset,
+    )
+
+    intr = Intrinsics.create(8, 6, fx=5.0, fy=5.0, ppx=4.0, ppy=3.0)
+    frames = [
+        HostFrameset(depth=np.full((6, 8), 100 + i, np.uint16),
+                     color=np.full((6, 8, 3), i, np.uint8),
+                     timestamp=0.1 * i, depth_scale=0.001)
+        for i in range(3)
+    ]
+    p = str(tmp_path / "run1")  # deliberately no .npz suffix
+    record_dataset(p, frames, intr)
+    assert os.path.exists(p) and not os.path.exists(p + ".npz")
+    src = RecordedSource(p)
+    f = src.next_frame()
+    assert f is not None and int(f.depth[0, 0]) == 100

@@ -269,3 +269,67 @@ def test_source_crash_aborts_client_loudly():
         with pytest.raises(ConnectionError):
             client.next_frame()
         client.close()
+
+
+def test_clean_end_does_not_drop_tail_frames():
+    """A bounded stream's final frames must all arrive even when the client
+    is slow at stream end: the clean end-sentinel WAITS for the sender to
+    drain instead of dropping queued frames to make room (only the ABORT
+    path sacrifices the backlog for immediacy)."""
+    src, _ = make_source(seed=9)
+    server = FramesetStreamServer(src, fps=0.0, queue_size=2, max_frames=7)
+    server.start()
+    try:
+        client = NetworkSource("127.0.0.1", server.port)
+        time.sleep(1.0)  # small frames: queue fills, kernel holds the rest
+        got = 0
+        while True:
+            f = client.next_frame()
+            if f is None:
+                break
+            got += 1
+            time.sleep(0.05)  # slow consumer through stream end
+        assert got == 7, f"lost tail frames: got {got}/7"
+        assert server.frames_dropped == 0
+    finally:
+        server.stop()
+
+
+def test_undecodable_frame_latches_connection_error():
+    """A desynced/corrupt payload raises ConnectionError (not a codec
+    ValueError) and LATCHES: a retrying caller keeps getting the error
+    instead of reading mid-frame bytes as fresh length fields."""
+    import socket
+    import struct
+
+    import pytest
+
+    from pointcloud_depthfusion_tpu.io import network as N
+
+    lst = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    port = lst.getsockname()[1]
+
+    def serve():
+        conn, _ = lst.accept()
+        # valid handshake, then one garbage frame blob
+        src, intr = make_source(seed=11)
+        srv = FramesetStreamServer.__new__(FramesetStreamServer)
+        srv.name, srv.fps, srv.codec, srv.source = "x", 30.0, "raw", src
+        srv._ext_rot = np.eye(3)
+        srv._ext_t = np.zeros(3)
+        conn.sendall(srv._handshake_blob())
+        junk = b"\x01\x02\x03\x04" * 8
+        conn.sendall(struct.pack("<I", len(junk)) + junk)
+        time.sleep(1.0)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    client = NetworkSource("127.0.0.1", port)
+    with pytest.raises(ConnectionError, match="undecodable"):
+        client.next_frame()
+    with pytest.raises(ConnectionError):  # latched, keeps raising
+        client.next_frame()
+    th.join(timeout=5)

@@ -196,7 +196,7 @@ def main() -> None:
             # capture() already publishes filtered depth to the registration
             # service's subscriptions — no manual forwarding here (it would
             # double-push the pairer from two threads).
-            if i % args.registration_every == 0:
+            if args.registration_every and i % args.registration_every == 0:
                 registration.tick()
             t1 = time.perf_counter()
             fusion.process_pair(pair)

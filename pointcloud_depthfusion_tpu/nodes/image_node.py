@@ -137,7 +137,10 @@ class ImageNode:
                 )
             except (TypeError, ValueError):
                 pass
-        self.every_n = every_n
+        # A YAML-driven every_n of 0 must not crash the first frame
+        # callback with a modulo-by-zero; 'save every frame' is the only
+        # sane reading.
+        self.every_n = max(1, int(every_n))
         self.max_saved = max_saved
         self.depth_scale_abs = depth_scale_abs
         self._on_close = on_close

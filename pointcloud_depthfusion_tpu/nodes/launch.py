@@ -268,6 +268,13 @@ def run_deployment(manifest: dict, cpu: bool = False,
             )
     finally:
         for srv in servers:
+            # Close the tee FIRST: its producer thread is otherwise blocked
+            # polling for frames that stopped arriving (the local run
+            # ended), and srv.stop() would burn its full join timeout per
+            # served camera and leak a spinning daemon thread.
+            close = getattr(srv.source, "close", None)
+            if close is not None:
+                close()
             srv.stop()
     wall = time.perf_counter() - t0
 
@@ -350,7 +357,10 @@ def _run_rig(cameras, fusion_section, reg_every, sink, fused, max_frames):
     # the sorted-slab program (parallel/mesh._rig_render_mode), so off-TPU
     # rigs always run the kernel under the Pallas interpreter — correct,
     # just slow; keep manifests small for CPU smoke runs.
-    intr = cameras[0].source.intrinsics
+    # PER-CAMERA intrinsics: heterogeneous rigs (tcp:// remotes each hand
+    # their own fx/ppx through the handshake) must not silently deproject
+    # cameras 1..N-1 with camera 0's calibration.
+    intrs = [c.intrinsics for c in cameras]
     # Initial calibration: synthetic manifests seed the true source poses
     # (cam→world == cam→virtual for the world-frame virtual camera); live
     # tcp/recorded deployments start at identity and calibrate through the
@@ -361,7 +371,7 @@ def _run_rig(cameras, fusion_section, reg_every, sink, fused, max_frames):
     else:
         initial = np.eye(4)[None].repeat(n, 0)
     app = RigFusionNodeApp(
-        cameras, intr, initial,
+        cameras, intrs, initial,
         config=config,
         registration_every=reg_every,
         registration_async=False,  # deterministic frame counts

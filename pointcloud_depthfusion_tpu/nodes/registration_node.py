@@ -42,24 +42,30 @@ class RegistrationNodeApp:
         intr_r = camera_right.source.intrinsics
         self.pipeline = RegistrationPipeline(intr_l, intr_r, settings)
         self.pairer = ApproximateTimePairer(max_interval_s=max_sync_interval_s)
-        self._latest: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._latest: Optional[tuple] = None
         self._lock = threading.Lock()
         self._transform_subs: List[Callable[[np.ndarray], None]] = []
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
-        camera_left.subscribe_depth(lambda d, t: self._on_depth(0, d, t))
-        camera_right.subscribe_depth(lambda d, t: self._on_depth(1, d, t))
+        # Frameset (not depth-image) subscriptions: the depth topic drops
+        # the frame's depth_scale, and pipeline.tick MUST receive the
+        # per-frame scales (its own contract — a 1e-4 m/LSB sensor
+        # deprojects 10× wrong under the 0.001 default, silently; the rig
+        # tier passes them, rig_node.py, and the dual tier must too).
+        camera_left.subscribe_frameset(lambda fs: self._on_frameset(0, fs))
+        camera_right.subscribe_frameset(lambda fs: self._on_frameset(1, fs))
 
-    def _on_depth(self, stream: int, depth: np.ndarray, stamp: float) -> None:
-        # The whole push runs under the lock: depth callbacks arrive from
+    def _on_frameset(self, stream: int, fs: HostFrameset) -> None:
+        # The whole push runs under the lock: callbacks arrive from
         # whatever thread drives capture() (the fusion feeder thread in the
         # composed deployment) while tick() reads on the registration
         # thread, and ApproximateTimePairer itself is not thread-safe.
-        fs = HostFrameset(depth=depth, color=np.zeros(0, np.uint8), timestamp=stamp)
         with self._lock:
             for fl, fr in self.pairer.push(stream, fs):
-                self._latest = (fl.depth, fr.depth)
+                self._latest = (
+                    fl.depth, fr.depth, fl.depth_scale, fr.depth_scale
+                )
 
     def subscribe_transform(self, cb: Callable[[np.ndarray], None]) -> None:
         self._transform_subs.append(cb)
@@ -70,7 +76,10 @@ class RegistrationNodeApp:
             latest = self._latest
         if latest is None:
             return None
-        transform = self.pipeline.tick(latest[0], latest[1])
+        transform = self.pipeline.tick(
+            latest[0], latest[1],
+            depth_scale_left=latest[2], depth_scale_right=latest[3],
+        )
         for cb in self._transform_subs:
             cb(transform)
         return transform

@@ -57,6 +57,12 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                 if stale or not os.path.exists(_LIB_PATH):
                     _lib_failed = True
                     return None
+        elif stale:
+            # build_if_missing=False with a STALE binary on disk: refuse to
+            # load it rather than silently "verify" outdated native code —
+            # the same invariant the rebuild path enforces. Not latched:
+            # a later default call rebuilds and succeeds.
+            return None
         if not os.path.exists(_LIB_PATH):
             # Only latch the failure when a build was actually ATTEMPTED: a
             # build_if_missing=False probe must not permanently disable

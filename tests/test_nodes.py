@@ -766,3 +766,48 @@ def test_rig_node_loaded_calibration_seeds_registration(tmp_path):
             pipe.initial_transform, rel.astype(np.float32), atol=1e-6
         )
         assert not pipe.initial_phase
+
+
+def test_registration_node_passes_per_frame_depth_scales():
+    """The dual registration tier must hand each frame's OWN depth_scale to
+    pipeline.tick (its documented contract — a 1e-4 m/LSB sensor deprojects
+    10x wrong under the 0.001 default, silently): the depth-image topic
+    drops the scale, so the node subscribes framesets."""
+    import dataclasses
+
+    import numpy as np
+
+    from pointcloud_depthfusion_tpu.core.camera import Intrinsics
+    from pointcloud_depthfusion_tpu.io.feeder import SyntheticSource
+    from pointcloud_depthfusion_tpu.io.synthetic import (
+        SyntheticScene,
+        two_camera_rig,
+    )
+    from pointcloud_depthfusion_tpu.nodes.camera_node import CameraNode
+    from pointcloud_depthfusion_tpu.nodes.registration_node import (
+        RegistrationNodeApp,
+    )
+
+    class ScaledSource(SyntheticSource):
+        def next_frame(self):
+            fs = super().next_frame()
+            return dataclasses.replace(fs, depth_scale=0.0005)
+
+    w, h = 32, 24
+    intr = Intrinsics.create(w, h, fx=25.0, fy=25.0, ppx=w / 2, ppy=h / 2)
+    scene = SyntheticScene()
+    wl, wr = two_camera_rig()
+    cam_l = CameraNode("camera_left", ScaledSource(scene, intr, wl, seed=1))
+    cam_r = CameraNode("camera_right", ScaledSource(scene, intr, wr, seed=2))
+    app = RegistrationNodeApp(cam_l, cam_r)
+    seen = {}
+
+    def fake_tick(dl, dr, depth_scale_left=None, depth_scale_right=None):
+        seen["l"], seen["r"] = depth_scale_left, depth_scale_right
+        return np.eye(4, dtype=np.float32)
+
+    app.pipeline.tick = fake_tick
+    cam_l.capture()
+    cam_r.capture()
+    assert app.tick() is not None
+    assert seen["l"] == 0.0005 and seen["r"] == 0.0005

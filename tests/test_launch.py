@@ -158,3 +158,18 @@ def test_manifest_validation(tmp_path):
     one_cam = {"cameras": [{"name": "only", "source": "synthetic"}]}
     with pytest.raises(ValueError, match="at least 2"):
         run_deployment(one_cam, cpu=True, frames=1)
+
+
+def test_rig_manifest_example_parses_and_runs(tmp_path):
+    """The shipped 4-camera example manifest composes and flows (scaled
+    down for the CPU suite: small frames, registration off, few frames)."""
+    manifest = dict(load_manifest(
+        os.path.join(REPO, "configs", "deployment_rig4.yaml")
+    ))
+    manifest.update(width=64, height=48,
+                    registration={"every_n_frames": 0},
+                    viewer={"out_dir": str(tmp_path / "v"), "every_n": 2})
+    summary = run_deployment(manifest, cpu=True, frames=3)
+    assert summary["tier"] == "rig" and summary["cameras"] == 4
+    assert summary["frames"] == 3
+    assert summary["fused_coverage"] and summary["fused_coverage"] > 0.3
